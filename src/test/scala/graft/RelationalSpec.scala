@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class RelationalSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.spark
+
+  test("every SparkEntry query runs at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(n >= 0, s"$name failed to execute")
+    }
+  }
+
+  test("every query has an oracle or is explicitly rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // rows-only entries are allowed but should be deliberate; keep the
+    // list visible here so additions are reviewed.
+    val allowedRowsOnly = Set.empty[String]
+    assert((missing -- allowedRowsOnly).isEmpty || missing == allowedRowsOnly,
+      s"queries without oracle: $missing")
+  }
+
+  test("q01 pinned aggregate at sf0.001") {
+    val row = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+      .filter("l_returnflag = 'A' AND l_linestatus = 'F'")
+      .collect()
+    assert(row.length == 1)
+    assert(row(0).getAs[Long]("count_order") > 0)
+    val avgQty = row(0).getAs[Double]("avg_qty")
+    assert(avgQty > 0 && avgQty < 100, s"avg_qty out of range: $avgQty")
+  }
+
+  test("q10 dedup keeps exactly one row per user") {
+    val df = SparkEntry.queries("q10_latest_event_per_user")(spark, sf)
+    import spark.implicits._
+    val users = df.select("user_id").as[Long].collect()
+    assert(users.length == users.distinct.length)
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
