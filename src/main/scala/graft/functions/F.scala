@@ -1,0 +1,171 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The PG-parity / time-series function library (SURVEY.md §2.8).
+  *
+  * Everything here composes Spark's codegen'd built-ins wherever possible;
+  * only the PG-JSON renderers are interpreted expressions. `registerAll`
+  * exposes the library under its reference SQL names so `spark.sql(…)`
+  * queries run unchanged.
+  */
+object F {
+
+  /** TimescaleDB-style `time_bucket(width, ts)` — epoch-aligned floor, the
+    * reference engine's semantics (`/root/reference/src/functions.rs:1087-1092`;
+    * it truncates `ts/size` which equals floor for post-1970 data — we use
+    * true floor so pre-epoch timestamps bucket downward consistently).
+    * Output is timestamp_ntz (all engine timestamps are UTC wall-clock).
+    */
+  def time_bucket(width: String, ts: Column): Column = {
+    val w = Intervals.parseToMicros(width)
+    val us = unix_micros(ts.cast("timestamp"))
+    timestamp_micros(us - pmod(us, lit(w))).cast("timestamp_ntz")
+  }
+
+  /** PG `to_char(ts, fmt)` — see [[ToChar]]. */
+  def to_char(ts: Column, fmt: String): Column = ToChar.toChar(ts, fmt)
+
+  /** PG `EXTRACT(EPOCH FROM ts)`: seconds as double, sub-second preserved
+    * (`/root/reference/src/functions.rs:939-967`). */
+  def extract_epoch(ts: Column): Column =
+    unix_micros(ts.cast("timestamp")).cast("double") / lit(1e6)
+
+  /** PG `ts AT TIME ZONE tz` for UTC-stored timestamps: shift the instant so
+    * the naive rendering shows local wall-clock time
+    * (`/root/reference/src/functions.rs:777-818`). */
+  def at_time_zone(ts: Column, tz: String): Column =
+    from_utc_timestamp(ts.cast("timestamp"), tz).cast("timestamp_ntz")
+
+  /** Case-insensitive all-tokens-substring match — the reference's
+    * correctness-fallback full-text predicate
+    * (`/root/reference/src/tantivy_index/udf.rs`). Compiles to a codegen'd
+    * conjunction of `contains`. */
+  def text_match(c: Column, query: String): Column = {
+    val toks = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) lit(true)
+    else toks.map(t => col2(lower(c)).contains(lit(t))).reduce(_ && _)
+  }
+  private def col2(c: Column): Column = c // keep explicit for readability
+
+  /** PG `json_build_array(args…)` (and `jsonb_build_array`). */
+  def json_build_array(cols: Column*): Column =
+    ColumnBridge.column(JsonBuildArray(cols.map(ColumnBridge.expression)))
+
+  /** PG `to_jsonb(x)` / scalar `to_json(x)` with the JSON-sniff rules. */
+  def to_jsonb(c: Column): Column =
+    ColumnBridge.column(ToJsonb(ColumnBridge.expression(c)))
+
+  /** PG `->>` leaf semantics on a Variant value
+    * (`/root/reference/src/functions.rs:256-264`): JSON null → SQL NULL,
+    * strings unquoted, numbers/bools literal text, objects/arrays as
+    * compact JSON text. */
+  def variant_text(v: Column): Column = {
+    when(v.isNull || is_variant_null(v), lit(null).cast("string"))
+      .when(schema_of_variant(v) === lit("STRING"), variant_get(v, "$", "string"))
+      .otherwise(to_json(v))
+  }
+
+  /** `v -> path ->> leaf` in one call: extract `path` (e.g. `a.b[0]`) from a
+    * variant column and render with PG text semantics. */
+  def jsonb_path_text(v: Column, path: String): Column =
+    variant_text(try_variant_get(v, normalizePath(path), "variant"))
+
+  /** `jsonb_path_exists(v, '$.a.b[0]')` for simple (non-filter) paths: a key
+    * present with JSON-null value still exists, matching PG lax mode. */
+  def jsonb_path_exists(v: Column, path: String): Column =
+    try_variant_get(v, normalizePath(path), "variant").isNotNull
+
+  private def normalizePath(path: String): String =
+    if (path.startsWith("$")) path else "$." + path
+
+  // ---------------------------------------------------------------- SQL --
+
+  /** Register the library under its reference SQL names. Formats, interval
+    * widths and match queries must be foldable string literals (true of
+    * every reference query shape).
+    *
+    * Implementation note: registry builders must return plain Catalyst trees
+    * (a Column-API tree wraps opaque `ColumnNodeExpression`s that never
+    * resolve inside an already-running analysis), so each function is a SQL
+    * template parsed by the session parser with the caller's argument
+    * expressions spliced in for `__aN` placeholders.
+    */
+  def registerAll(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val registry = spark.sessionState.functionRegistry
+    val parser = spark.sessionState.sqlParser
+
+    def reg(name: String)(builder: Seq[Expression] => Expression): Unit =
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+
+    def template(sql: String, args: Seq[Expression]): Expression =
+      parser.parseExpression(sql).transformUp {
+        case a: UnresolvedAttribute if a.name.startsWith("__a") =>
+          args(a.name.drop(3).toInt)
+      }
+
+    def litString(e: Expression, fn: String, arg: String): String = e match {
+      case Literal(s: UTF8String, _) => s.toString
+      case other if other.foldable =>
+        String.valueOf(other.eval(null) match {
+          case u: UTF8String => u.toString
+          case x => x
+        })
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $arg must be a string literal")
+    }
+    def sq(s: String): String = s.replace("'", "''")
+
+    reg("time_bucket") { args =>
+      val w = Intervals.parseToMicros(litString(args(0), "time_bucket", "width"))
+      template(
+        s"""cast(timestamp_micros(unix_micros(cast(__a1 as timestamp))
+           |  - pmod(unix_micros(cast(__a1 as timestamp)), ${w}L)) as timestamp_ntz)""".stripMargin,
+        args)
+    }
+    reg("to_char") { args =>
+      val fmt = litString(args(1), "to_char", "format")
+      template(ToChar.toSqlTemplate(fmt, "cast(__a0 as timestamp_ntz)"), args)
+    }
+    reg("extract_epoch") { args =>
+      template("cast(unix_micros(cast(__a0 as timestamp)) as double) / 1e6", args)
+    }
+    reg("at_time_zone") { args =>
+      val tz = litString(args(1), "at_time_zone", "tz")
+      template(
+        s"cast(from_utc_timestamp(cast(__a0 as timestamp), '${sq(tz)}') as timestamp_ntz)",
+        args)
+    }
+    reg("text_match") { args =>
+      val toks = litString(args(1), "text_match", "query")
+        .toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.isEmpty) Literal(true)
+      else template(
+        toks.map(t => s"contains(lower(__a0), '${sq(t)}')").mkString(" AND "),
+        args)
+    }
+    reg("json_build_array") { args => JsonBuildArray(args) }
+    reg("jsonb_build_array") { args => JsonBuildArray(args) }
+    reg("to_jsonb") { args => ToJsonb(args.head) }
+
+    def variantTextSql(v: String): String =
+      s"""CASE WHEN $v IS NULL OR is_variant_null($v) THEN CAST(NULL AS STRING)
+         |  WHEN schema_of_variant($v) = 'STRING' THEN variant_get($v, '$$', 'string')
+         |  ELSE to_json($v) END""".stripMargin
+    reg("variant_text") { args => template(variantTextSql("__a0"), args) }
+    reg("jsonb_path_text") { args =>
+      val p = normalizePath(litString(args(1), "jsonb_path_text", "path"))
+      template(
+        variantTextSql(s"try_variant_get(__a0, '${sq(p)}', 'variant')"), args)
+    }
+    reg("jsonb_path_exists") { args =>
+      val p = normalizePath(litString(args(1), "jsonb_path_exists", "path"))
+      template(s"try_variant_get(__a0, '${sq(p)}', 'variant') IS NOT NULL", args)
+    }
+  }
+}

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.F
+import graft.tables.Tables
+
+/** Time-series + PG-function coverage (SURVEY.md §2.8): `time_bucket`,
+  * `to_char`, `extract_epoch`, `at_time_zone`, JSON string access, Variant
+  * access, PG JSON builders, and the full-text fallback `text_match`.
+  *
+  * Oracle notes:
+  *  - `time_bucket` is epoch-aligned floor, expressed in DuckDB as integer
+  *    µs arithmetic (`make_timestamp((epoch_us(ts)//W)*W)`), NOT DuckDB's
+  *    own `time_bucket` (whose origin is 2000-01-03);
+  *  - `at_time_zone` is oracled with a fixed-offset zone (Asia/Kolkata,
+  *    +05:30, no DST) so the oracle never depends on DuckDB's session TZ;
+  *  - `json_build_array` output is compact, matching DuckDB `json_array`.
+  */
+object TimeSeries {
+
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- F1: time_bucket ------------------------------------------------
+    "q14_time_bucket" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("ts") < lit("2024-01-08").cast("timestamp_ntz"))
+        .groupBy(F.time_bucket("6 hours", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("bucket")
+    },
+
+    // ---- F2: to_char PG tokens ------------------------------------------
+    "q15_to_char" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(F.to_char(col("ts"), "YYYY-MM-DD").as("day"),
+          F.to_char(col("ts"), "Dy").as("dow"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("day")
+    },
+
+    // ---- F4: extract_epoch ----------------------------------------------
+    "q16_extract_epoch" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_id") < 100)
+        .select(col("event_id"), F.extract_epoch(col("ts")).as("epoch_s"))
+        .orderBy("event_id")
+    },
+
+    // ---- F10: JSON-string access (get_json_object path) ------------------
+    "q17_json_get" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy("k_mod")
+    },
+
+    // ---- F8: Variant ingestion + typed variant_get -----------------------
+    "q18_variant_get" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("v", parse_json(col("props")))
+        .withColumn("k", variant_get(col("v"), "$.k", "long"))
+        .filter(F.jsonb_path_exists(col("v"), "k"))
+        .groupBy((col("k") % 7).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy("k_mod")
+    },
+
+    // ---- F3: at_time_zone composed with to_char --------------------------
+    "q19_at_time_zone" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(F.to_char(F.at_time_zone(col("ts"), "Asia/Kolkata"),
+          "YYYY-MM-DD HH24").as("kolkata_hour"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("kolkata_hour")
+        .limit(48)
+    },
+
+    // ---- F5/F6: PG JSON builders -----------------------------------------
+    "q20_json_build" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_id") < 50)
+        .select(col("event_id"),
+          F.json_build_array(col("event_type"), col("user_id"), col("props"))
+            .as("arr"),
+          F.to_jsonb(col("props")).as("obj"))
+        .orderBy("event_id")
+    },
+
+    // ---- F12: text_match full-text fallback ------------------------------
+    "q21_text_match" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .filter(F.text_match(col("text"), "spark merge window"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q14_time_bucket" ->
+      """SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000) * 21600000000) AS bucket,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q15_to_char" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        | strftime(CAST(ts AS TIMESTAMP), '%a') AS dow,
+        | count(*) AS n
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "q16_extract_epoch" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0 AS epoch_s
+        |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin,
+
+    "q17_json_get" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        | count(*) AS n,
+        | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q18_variant_get" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod,
+        | count(*) AS n,
+        | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |FROM events
+        |WHERE json_extract(props, '$.k') IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q19_at_time_zone" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP) + INTERVAL 330 MINUTE, '%Y-%m-%d %H') AS kolkata_hour,
+        | count(*) AS n
+        |FROM events
+        |GROUP BY 1 ORDER BY 1 LIMIT 48""".stripMargin,
+
+    "q20_json_build" ->
+      """SELECT event_id,
+        | CAST(json_array(event_type, user_id, json(props)) AS VARCHAR) AS arr,
+        | CAST(json(props) AS VARCHAR) AS obj
+        |FROM events WHERE event_id < 50 ORDER BY event_id""".stripMargin,
+
+    "q21_text_match" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE contains(lower(text), 'spark')
+        |  AND contains(lower(text), 'merge')
+        |  AND contains(lower(text), 'window')
+        |ORDER BY doc_id""".stripMargin
+  )
+}

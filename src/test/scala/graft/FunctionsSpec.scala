@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{F, Intervals}
+
+/** Pins the PG-parity function library against the reference engine's own
+  * test vectors (captured from real Postgres 16 —
+  * /root/reference/src/functions.rs:1557-1596) plus the JSON sniff-rule
+  * vectors (:1606-1680).
+  */
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def oneString(c: org.apache.spark.sql.Column): String =
+    spark.range(1).select(c.as("s")).collect()(0).getString(0)
+
+  private val ts = lit("2026-06-10 08:10:52.422355").cast("timestamp_ntz")
+
+  test("to_char matches Postgres 16 vectors") {
+    val cases = Seq(
+      "YYYY-MM-DD" -> "2026-06-10",
+      "YYYY-MM-DD HH24:MI:SS" -> "2026-06-10 08:10:52",
+      "YYYY-MM-DD\"T\"HH24:MI:SS.US\"Z\"" -> "2026-06-10T08:10:52.422355Z",
+      "YYYY-MM-DD\"T\"HH24:MI:SS.MS\"Z\"" -> "2026-06-10T08:10:52.422Z",
+      "DD/MM/YYYY" -> "10/06/2026",
+      "Mon DD, YYYY" -> "Jun 10, 2026",
+      "Day, Mon DD YYYY" -> "Wednesday, Jun 10 2026",
+      "HH12:MI" -> "08:10",
+      "YY" -> "26",
+      "\"YYYY=\" YYYY" -> "YYYY= 2026",
+      "\"· \"YYYY" -> "· 2026",
+      "HH12:MI AM" -> "08:10 AM",
+      "HH:MI:SS" -> "08:10:52", // bare HH aliases HH12
+      "HH12:MI am" -> "08:10 am",
+      "Dy" -> "Wed",
+      "D" -> "4", // 2026-06-10 is a Wednesday; PG D is Sun=1
+      "DY" -> "WED",
+      "DY-D" -> "WED-4"
+    )
+    cases.foreach { case (fmt, expected) =>
+      assert(oneString(F.to_char(ts, fmt)) == expected, s"format `$fmt`")
+    }
+    val pm = lit("2026-06-10 20:10:52").cast("timestamp_ntz")
+    assert(oneString(F.to_char(pm, "HH12:MI PM")) == "08:10 PM")
+  }
+
+  test("interval parsing accepts both '5 minutes' and '5m' forms") {
+    assert(Intervals.parseToMicros("5 minutes") == 300000000L)
+    assert(Intervals.parseToMicros("5m") == 300000000L)
+    assert(Intervals.parseToMicros("2 hours") == 7200000000L)
+    assert(Intervals.parseToMicros("1 week") == 604800000000L)
+    assert(Intervals.parseToMicros("30s") == 30000000L)
+    intercept[IllegalArgumentException](Intervals.parseToMicros("five minutes"))
+    intercept[IllegalArgumentException](Intervals.parseToMicros("5 fortnights"))
+  }
+
+  test("time_bucket floors to epoch-aligned boundaries") {
+    val got = oneString(F.time_bucket("5 minutes", ts).cast("string"))
+    assert(got == "2026-06-10 08:10:00")
+    val got2 = oneString(F.time_bucket("1 hour",
+      lit("2024-01-01 00:59:59.999999").cast("timestamp_ntz")).cast("string"))
+    assert(got2 == "2024-01-01 00:00:00")
+  }
+
+  test("json_build_array: sniff at top level, never inside lists") {
+    // reference functions.rs:1609-1630 (to_jsonb list/scalar vectors)
+    assert(oneString(F.to_jsonb(
+      array(lit("{\"a\":1}"), lit("[1,2]"), lit("plain"), lit("123")))) ==
+      """["{\"a\":1}","[1,2]","plain","123"]""")
+    assert(oneString(F.to_jsonb(lit("{\"a\":1}"))) == """{"a":1}""")
+    // reference functions.rs:1676-1679 (mixed scalar broadcast)
+    assert(oneString(F.json_build_array(lit("tag"), lit("id-7"), lit(7))) ==
+      """["tag","id-7",7]""")
+    // malformed sniff candidates fall back to JSON strings
+    assert(oneString(F.json_build_array(lit("{not json}"))) ==
+      """["{not json}"]""")
+    // null renders as JSON null
+    assert(oneString(F.json_build_array(lit(null).cast("string"), lit(1))) ==
+      "[null,1]")
+  }
+
+  test("variant_text implements PG ->> semantics") {
+    val v = parse_json(lit("""{"s":"Alice","n":42,"f":1.5,"b":true,"z":null,"o":{"k":1},"a":[1,2]}"""))
+    def leaf(path: String) = F.jsonb_path_text(v, path)
+    val row = spark.range(1).select(
+      leaf("s").as("s"), leaf("n").as("n"), leaf("f").as("f"),
+      leaf("b").as("b"), leaf("z").as("z"), leaf("o").as("o"),
+      leaf("a").as("a"), leaf("missing").as("m")).collect()(0)
+    assert(row.getString(0) == "Alice")
+    assert(row.getString(1) == "42")
+    assert(row.getString(2) == "1.5")
+    assert(row.getString(3) == "true")
+    assert(row.isNullAt(4), "JSON null must surface as SQL NULL")
+    assert(row.getString(5) == """{"k":1}""")
+    assert(row.getString(6) == "[1,2]")
+    assert(row.isNullAt(7), "missing path must be SQL NULL")
+  }
+
+  test("jsonb_path_exists: JSON-null key exists, missing key does not") {
+    val v = parse_json(lit("""{"z":null,"k":1}"""))
+    val row = spark.range(1).select(
+      F.jsonb_path_exists(v, "z").as("z"),
+      F.jsonb_path_exists(v, "k").as("k"),
+      F.jsonb_path_exists(v, "nope").as("n")).collect()(0)
+    assert(row.getBoolean(0), "key with JSON null value exists")
+    assert(row.getBoolean(1))
+    assert(!row.getBoolean(2))
+  }
+
+  test("SQL registration exposes reference names") {
+    F.registerAll(spark)
+    val df = spark.sql(
+      """SELECT time_bucket('15 minutes', TIMESTAMP_NTZ '2024-03-01 10:37:11') AS b,
+        |       to_char(TIMESTAMP_NTZ '2024-03-01 10:37:11', 'Mon DD, YYYY') AS c,
+        |       extract_epoch(TIMESTAMP_NTZ '2024-03-01 10:37:11') AS e,
+        |       text_match('Hello Spark World', 'spark hello') AS m,
+        |       json_build_array('a', 1) AS j
+        |""".stripMargin)
+    val r = df.collect()(0)
+    assert(r.getAs[java.time.LocalDateTime]("b").toString == "2024-03-01T10:30")
+    assert(r.getAs[String]("c") == "Mar 01, 2024")
+    assert(r.getAs[Double]("e") == 1.709289431e9)
+    assert(r.getAs[Boolean]("m"))
+    assert(r.getAs[String]("j") == """["a",1]""")
+  }
+
+  test("at_time_zone shifts instant to wall-clock") {
+    val got = oneString(F.at_time_zone(
+      lit("2024-01-01 00:00:00").cast("timestamp_ntz"), "Asia/Kolkata")
+      .cast("string"))
+    assert(got == "2024-01-01 05:30:00")
+  }
+}
