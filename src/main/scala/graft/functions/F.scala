@@ -152,6 +152,16 @@ object F {
     reg("json_build_array") { args => JsonBuildArray(args) }
     reg("jsonb_build_array") { args => JsonBuildArray(args) }
     reg("to_jsonb") { args => ToJsonb(args.head) }
+    reg("percentile_agg") { args =>
+      PercentileAggSketch(org.apache.spark.sql.catalyst.expressions.Cast(
+        args.head, org.apache.spark.sql.types.DoubleType))
+    }
+    // reference shape: approx_percentile(p, percentile_agg(x)); Spark's
+    // built-in stays available as percentile_approx
+    reg("approx_percentile") { args =>
+      ApproxPercentileFromDigest(org.apache.spark.sql.catalyst.expressions.Cast(
+        args(0), org.apache.spark.sql.types.DoubleType), args(1))
+    }
 
     def variantTextSql(v: String): String =
       s"""CASE WHEN $v IS NULL OR is_variant_null($v) THEN CAST(NULL AS STRING)

@@ -98,6 +98,20 @@ object TimeSeries {
         .filter(F.text_match(col("text"), "spark merge window"))
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")
+    },
+
+    // ---- A2/A3: t-digest percentile sketch (README p95 query shape) -------
+    // No DuckDB oracle: sketch estimates are approximate and merge-order
+    // dependent; PercentileAggSpec pins accuracy against exact percentiles.
+    "q22_percentile_tdigest" -> { (s, dir) =>
+      import graft.functions.PercentileAgg._
+      Tables.events(s, dir)
+        .groupBy(F.time_bucket("1 day", col("ts")).as("day"), col("event_type"))
+        .agg(percentile_agg(col("value")).as("digest"), count(lit(1)).as("n"))
+        .select(col("day"), col("event_type"),
+          approx_percentile(0.5, col("digest")).as("p50"),
+          approx_percentile(0.95, col("digest")).as("p95"), col("n"))
+        .orderBy("day", "event_type")
     }
   )
 

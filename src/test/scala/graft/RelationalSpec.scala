@@ -28,7 +28,9 @@ class RelationalSpec extends AnyFunSuite {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only entries are allowed but should be deliberate; keep the
     // list visible here so additions are reviewed.
-    val allowedRowsOnly = Set.empty[String]
+    val allowedRowsOnly = Set(
+      "q22_percentile_tdigest" // sketch estimates are approximate + merge-order dependent
+    )
     assert((missing -- allowedRowsOnly).isEmpty || missing == allowedRowsOnly,
       s"queries without oracle: $missing")
   }
