@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Relational, TimeSeries}
+import graft.queries.{MergeOnRead, Relational, TimeSeries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,8 @@ object SparkEntry {
   private val packs: Seq[(Map[String, (SparkSession, String) => DataFrame],
     Map[String, String])] = Seq(
     (Relational.queries, Relational.oracle),
-    (TimeSeries.queries, TimeSeries.oracle)
+    (TimeSeries.queries, TimeSeries.oracle),
+    (MergeOnRead.queries, MergeOnRead.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.tables.Tables
+
+/** Merge-on-read read-path semantics (SURVEY.md §2.9 X1, §1.3), oracle-checked:
+  * a version-append table is synthesized from `events` (base inserts, an
+  * UPDATE wave, a DELETE wave), then resolved with the keep-greatest dedup
+  * window + tombstone filter — the exact contract of the reference's
+  * DedupExec (`/root/reference/src/read_dedup.rs`) and
+  * `tests/slt/merge_on_read.slt`.
+  */
+object MergeOnRead {
+
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  private def versioned(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(
+      (col("user_id") % 5).cast("string").as("project_id"),
+      col("ts").as("timestamp"),
+      col("event_id").cast("string").as("id"),
+      col("event_id").as("eid"),
+      col("event_type").as("name"),
+      col("value"),
+      col("ts").as("updated_at"),
+      lit(false).as("deleted"))
+    val updates = base.filter(col("eid") % 10 === 0)
+      .withColumn("value", col("value") * 2.0)
+      .withColumn("updated_at", col("timestamp") + expr("INTERVAL 1 HOUR"))
+    val tombstones = base.filter(col("eid") % 17 === 0)
+      .withColumn("deleted", lit(true))
+      .withColumn("updated_at", col("timestamp") + expr("INTERVAL 2 HOUR"))
+    base.unionByName(updates).unionByName(tombstones)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_mor_dedup" -> { (s, dir) =>
+      val all = versioned(s, dir)
+      val w = Window.partitionBy(col("timestamp"), col("id"))
+        .orderBy(col("updated_at").desc_nulls_last)
+      all.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && !coalesce(col("deleted"), lit(false)))
+        .groupBy("project_id", "name")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("project_id", "name")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q23_mor_dedup" ->
+      """WITH base AS (
+        | SELECT CAST(user_id % 5 AS VARCHAR) AS project_id,
+        |        CAST(ts AS TIMESTAMP) AS timestamp,
+        |        CAST(event_id AS VARCHAR) AS id,
+        |        event_id AS eid,
+        |        event_type AS name,
+        |        value,
+        |        CAST(ts AS TIMESTAMP) AS updated_at,
+        |        false AS deleted
+        | FROM events),
+        |versions AS (
+        | SELECT * FROM base
+        | UNION ALL
+        | SELECT project_id, timestamp, id, eid, name, value * 2.0,
+        |        timestamp + INTERVAL 1 HOUR, false
+        | FROM base WHERE eid % 10 = 0
+        | UNION ALL
+        | SELECT project_id, timestamp, id, eid, name, value,
+        |        timestamp + INTERVAL 2 HOUR, true
+        | FROM base WHERE eid % 17 = 0),
+        |resolved AS (
+        | SELECT *, row_number() OVER (PARTITION BY timestamp, id
+        |   ORDER BY updated_at DESC NULLS LAST) AS rn
+        | FROM versions)
+        |SELECT project_id, name, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM resolved
+        |WHERE rn = 1 AND NOT coalesce(deleted, false)
+        |GROUP BY project_id, name
+        |ORDER BY project_id, name""".stripMargin
+  )
+}

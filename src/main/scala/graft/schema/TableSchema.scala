@@ -1,0 +1,88 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+
+/** Sort key declaration for flush-time file ordering
+  * (reference `schemas/otel_logs_and_spans.yaml:52-67`). */
+case class SortKey(column: String, descending: Boolean = false,
+    nullsFirst: Boolean = false)
+
+/** Table-level metadata driving the merge-on-read contract — the Spark
+  * rendering of the reference's `TableSchema`
+  * (`/root/reference/src/schema_loader.rs:15-113`):
+  *
+  *  - `partitions`: tenant key + day ([project_id, date]); maps to parquet
+  *    directory partitioning so multi-tenant scans prune to one tenant's
+  *    files before any IO;
+  *  - `dedupKeys` + `dedupTiebreak`: last-write-wins row identity — readers
+  *    resolve versions with keep-greatest-by-tiebreak;
+  *  - `tombstoneColumn`: merge-on-read delete marker;
+  *  - `versionAppend`: UPDATE/DELETE append new row versions instead of
+  *    rewriting files (`otel_logs_and_spans.yaml:27-41`);
+  *  - `sortingColumns`: flush-time sort so files advertise a useful order
+  *    (`timestamp DESC` lead key → recent-page top-k reads stop early).
+  */
+case class TableSchema(
+    name: String,
+    schema: StructType,
+    partitions: Seq[String] = Seq("project_id", "date"),
+    timeColumn: String = "timestamp",
+    dedupKeys: Seq[String] = Seq("timestamp", "id"),
+    dedupTiebreak: String = "updated_at",
+    tombstoneColumn: Option[String] = Some("deleted"),
+    versionAppend: Boolean = true,
+    sortingColumns: Seq[SortKey] = Seq(
+      SortKey("timestamp", descending = true, nullsFirst = true),
+      SortKey("id"))) {
+  require(partitions.forall(c => schema.fieldNames.contains(c) || c == "date"),
+    s"partition columns must exist in schema (or be the derived 'date'): $partitions")
+}
+
+object TableSchemas {
+  /** The reference's primary table, reduced to the columns its test corpus
+    * touches (`schemas/otel_logs_and_spans.yaml`; full table is 89 columns —
+    * the extra flattened-semconv strings add nothing structurally).
+    * Variant columns are Spark 4 `VariantType`.
+    */
+  val otelLogsAndSpans: TableSchema = TableSchema(
+    name = "otel_logs_and_spans",
+    schema = StructType(Seq(
+      StructField("project_id", StringType, nullable = true),
+      StructField("date", DateType, nullable = true),
+      StructField("timestamp", TimestampNTZType, nullable = false),
+      StructField("id", StringType, nullable = false),
+      StructField("parent_id", StringType),
+      StructField("name", StringType),
+      StructField("kind", StringType),
+      StructField("status_code", StringType),
+      StructField("status_message", StringType),
+      StructField("level", StringType),
+      StructField("duration", LongType),
+      StructField("start_time", TimestampNTZType),
+      StructField("end_time", TimestampNTZType),
+      StructField("hashes", ArrayType(StringType)),
+      StructField("summary", ArrayType(StringType)),
+      StructField("body", VariantType),
+      StructField("attributes", VariantType),
+      StructField("resource", VariantType),
+      StructField("context", VariantType),
+      StructField("updated_at", TimestampNTZType),
+      StructField("deleted", BooleanType)
+    )),
+    sortingColumns = Seq(
+      SortKey("timestamp", descending = true, nullsFirst = true),
+      SortKey("id"), SortKey("level"), SortKey("status_code")))
+
+  /** Minimal merge-on-read fixture (`schemas/mor_versioned.yaml`). */
+  val morVersioned: TableSchema = TableSchema(
+    name = "mor_versioned",
+    schema = StructType(Seq(
+      StructField("project_id", StringType),
+      StructField("date", DateType),
+      StructField("timestamp", TimestampNTZType, nullable = false),
+      StructField("id", StringType, nullable = false),
+      StructField("name", StringType),
+      StructField("updated_at", TimestampNTZType),
+      StructField("deleted", BooleanType)
+    )))
+}
