@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{MergeOnRead, Relational, TimeSeries}
+import graft.queries.{MergeOnRead, Relational, TimeSeries, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,8 @@ object SparkEntry {
     Map[String, String])] = Seq(
     (Relational.queries, Relational.oracle),
     (TimeSeries.queries, TimeSeries.oracle),
-    (MergeOnRead.queries, MergeOnRead.oracle)
+    (MergeOnRead.queries, MergeOnRead.oracle),
+    (TrainingData.queries, TrainingData.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

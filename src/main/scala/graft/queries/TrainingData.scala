@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{TextAnalysis, TextDedup, VectorSearch}
+import graft.tables.Tables
+
+/** Training-data pipeline operators over `documents` / `embeddings`
+  * (builder-prompt first-class requirements): exact + near dedup (Jaccard,
+  * MinHash+LSH, SimHash), similarity search (brute-force + LSH), language
+  * ID, quality scoring, token counting, fingerprinting.
+  *
+  * Oracle policy: exact/deterministic ops replay in DuckDB (md5, word
+  * Jaccard, stopword argmax, ratios, explicit-fold cosine); hash-seeded ops
+  * (MinHash, SimHash, LSH, xxhash fingerprints) are rows-only here and
+  * validated against their exact counterparts in TrainingDataSpec.
+  */
+object TrainingData {
+
+  private val Dim = 64 // embeddings.embedding is fixed 64-dim (TESTDATA.md)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- exact dedup (hash-groupBy) --------------------------------------
+    "q24_dedup_exact" -> { (s, dir) =>
+      TextDedup.exactDuplicates(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("content_hash")
+    },
+
+    // ---- exact word-set Jaccard near-dup pairs ---------------------------
+    "q25_near_dup_jaccard" -> { (s, dir) =>
+      TextDedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          Seq("lang"), 0.9)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- MinHash+LSH near-dup (verified candidates; recall spec-checked) --
+    "q26_minhash_lsh" -> { (s, dir) =>
+      TextDedup.verifiedMinhashPairs(Tables.documents(s, dir), "doc_id",
+          "text", bands = 32, rowsPerBand = 3, threshold = 0.9)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- SimHash near-dup -------------------------------------------------
+    "q27_simhash" -> { (s, dir) =>
+      TextDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+          maxDist = 3)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- brute-force cosine top-k (exact ANN baseline) --------------------
+    "q28_cosine_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      VectorSearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, dim = Dim)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- LSH-bucketed approximate top-k (recall spec-checked) -------------
+    "q29_ann_lsh" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      VectorSearch.lshTopK(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, dim = Dim)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- language ID (stopword-hit argmax) ---------------------------------
+    "q30_lang_id" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")
+    },
+
+    // ---- quality scoring ----------------------------------------------------
+    "q31_text_quality" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+          round(TextAnalysis.meanWordLen(col("text")), 6).as("mean_word_len"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // ---- token counting ------------------------------------------------------
+    "q32_token_count" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_ws"),
+          TextAnalysis.tokenCountBpe(col("text")).as("n_bpe"))
+        .orderBy("doc_id")
+    },
+
+    // ---- fingerprinting (min-sketch of char 8-gram hashes) -------------------
+    "q33_fingerprint" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy("fp").agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+        .filter(col("n") >= 1)
+        .orderBy("keeper")
+    }
+  )
+
+  /** DuckDB replay of the deterministic ops. */
+  val oracle: Map[String, String] = {
+    // explicit left-fold arithmetic, identical to VectorSearch.dot/norm2
+    def dotSql(a: String, b: String) = (0 until Dim)
+      .map(i => s"$a[${i + 1}]::DOUBLE * $b[${i + 1}]::DOUBLE").mkString(" + ")
+    def normSql(a: String) = (0 until Dim)
+      .map(i => s"$a[${i + 1}]::DOUBLE * $a[${i + 1}]::DOUBLE").mkString(" + ")
+    val enStops = TextAnalysis.stopwords.toMap.apply("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    // argmax with first-language-wins ties, mirroring TextAnalysis.langId
+    val langScore = TextAnalysis.stopwords.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_intersect(list_distinct(string_split(lower(text), ' ')), $arr)) AS s_$l"
+    }.mkString(", ")
+    val langCase = {
+      val names = TextAnalysis.stopwords.map(_._1)
+      val best = s"greatest(${names.map(l => s"s_$l").mkString(", ")})"
+      names.map(l => s"WHEN s_$l = $best AND $best > 0 THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'und' END")
+    }
+
+    Map(
+      "q24_dedup_exact" ->
+        """SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
+          | count(*) AS n_copies
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q25_near_dup_jaccard" ->
+        """WITH toks AS (
+          | SELECT doc_id, lang,
+          |   list_distinct(string_split(lower(text), ' ')) AS ts
+          | FROM documents)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          | round(len(list_intersect(a.ts, b.ts))::DOUBLE /
+          |   (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 6) AS jaccard
+          |FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          |WHERE len(list_intersect(a.ts, b.ts))::DOUBLE /
+          |   (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.9
+          |ORDER BY id_a, id_b""".stripMargin,
+
+      "q28_cosine_topk" -> {
+        val dotAB = dotSql("q.embedding", "c.embedding")
+        val nA = normSql("q.embedding")
+        val nB = normSql("c.embedding")
+        s"""WITH scored AS (
+           | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |   ($dotAB) / (sqrt($nA) * sqrt($nB)) AS cos_raw
+           | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           | WHERE q.vec_id < 20),
+           |ranked AS (
+           | SELECT query_id, neighbor_id, cos_raw,
+           |   row_number() OVER (PARTITION BY query_id
+           |     ORDER BY cos_raw DESC, neighbor_id) AS rank
+           | FROM scored)
+           |SELECT query_id, neighbor_id, rank, round(cos_raw, 6) AS cosine
+           |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      },
+
+      "q30_lang_id" ->
+        s"""WITH scores AS (SELECT lang, $langScore FROM documents),
+           |preds AS (SELECT lang, $langCase AS lang_pred FROM scores)
+           |SELECT lang, lang_pred, count(*) AS n FROM preds
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q31_text_quality" ->
+        s"""WITH m AS (
+           | SELECT doc_id, text,
+           |  length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE /
+           |    greatest(length(text), 1) AS punct_ratio,
+           |  len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+           |    $enStops))::DOUBLE /
+           |    greatest(len(list_distinct(string_split(lower(text), ' '))), 1)
+           |    AS stopword_ratio,
+           |  length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE /
+           |    greatest(len(string_split_regex(trim(text), '\\s+')), 1)
+           |    AS mean_word_len
+           | FROM documents WHERE doc_id < 100)
+           |SELECT doc_id, round(punct_ratio, 6) AS punct_ratio,
+           | round(stopword_ratio, 6) AS stopword_ratio,
+           | round(mean_word_len, 6) AS mean_word_len,
+           | round(least(length(text)::DOUBLE / 500.0, 1.0) * 0.25
+           |   + least(stopword_ratio * 5.0, 1.0) * 0.25
+           |   + greatest(0.0, 1.0 - punct_ratio * 10.0) * 0.25
+           |   + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
+           |        THEN 1.0 ELSE 0.5 END) * 0.25, 6) AS quality
+           |FROM m ORDER BY doc_id""".stripMargin,
+
+      "q32_token_count" ->
+        s"""SELECT doc_id,
+           | len(string_split_regex(trim(text), '\\s+')) AS n_ws,
+           | len(regexp_extract_all(text, '${TextAnalysis.BpeTokenPattern}')) AS n_bpe
+           |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{TextAnalysis, TextDedup, VectorSearch}
+import graft.tables.Tables
+
+/** Validates the hash-seeded similarity ops against their exact
+  * counterparts — the checks the DuckDB oracle can't express.
+  */
+class TrainingDataSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = Tables.documents(spark, sf)
+  private def embs = Tables.embeddings(spark, sf)
+
+  test("minhash LSH finds ≥95% of exact jaccard≥0.9 pairs, 100% precision") {
+    val exact = TextDedup.jaccardPairs(docs, "doc_id", "text", Seq.empty, 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextDedup.verifiedMinhashPairs(docs, "doc_id", "text",
+        bands = 32, rowsPerBand = 3, threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "verified LSH pairs must all be exact pairs")
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.95, s"LSH recall $recall (found ${lsh.size}/${exact.size})")
+  }
+
+  test("simhash pairs at distance ≤3 have high token overlap") {
+    val pairs = TextDedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+    val toks = docs.select(col("doc_id"),
+      TextDedup.tokenSet(col("text")).as("ts"))
+    val joined = pairs
+      .join(toks.withColumnRenamed("doc_id", "id_a").withColumnRenamed("ts", "ts_a"), "id_a")
+      .join(toks.withColumnRenamed("doc_id", "id_b").withColumnRenamed("ts", "ts_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("ts_a"), col("ts_b"))).cast("double"))
+      .withColumn("j", col("inter") /
+        (size(col("ts_a")) + size(col("ts_b")) - col("inter")))
+    val rows = joined.select("j").collect().map(_.getDouble(0))
+    assert(rows.nonEmpty, "simhash should find candidates in this near-dup corpus")
+    val meanJ = rows.sum / rows.length
+    assert(meanJ > 0.5, s"simhash-close pairs should overlap heavily, mean=$meanJ")
+  }
+
+  test("LSH ANN achieves ≥60% top-5 recall vs brute force") {
+    val queries = embs.filter(col("vec_id") < 30)
+    val exact = VectorSearch.bruteForceTopK(embs, queries, "vec_id", "embedding", 5, 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = VectorSearch.lshTopK(embs, queries, "vec_id", "embedding", 5, 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"ANN recall $recall")
+  }
+
+  test("brute-force top-k self-consistency: rank 1 has max cosine") {
+    val res = VectorSearch.bruteForceTopK(embs, embs.filter(col("vec_id") === 7),
+      "vec_id", "embedding", 5, 64).orderBy("rank").collect()
+    assert(res.length == 5)
+    val cosines = res.map(_.getAs[Double]("cosine"))
+    assert(cosines.sameElements(cosines.sorted.reverse), "ranks ordered by cosine")
+    assert(cosines.forall(c => c >= -1.0001 && c <= 1.0001))
+  }
+
+  test("fingerprint is deterministic and shared by near-identical docs") {
+    val fp1 = docs.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(_.getSeq[Long](0))
+    val fp2 = docs.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(_.getSeq[Long](0))
+    assert(fp1.zip(fp2).forall { case (a, b) => a == b })
+    assert(fp1.forall(_.length <= 4))
+  }
+
+  test("langId prefers the language whose stopwords dominate") {
+    val r = spark.range(1).select(
+      TextAnalysis.langId(lit("the cat and the dog of a house")).as("en"),
+      TextAnalysis.langId(lit("der hund und die katze ist nicht da")).as("de"),
+      TextAnalysis.langId(lit("qwer zxcv asdf")).as("und")).collect()(0)
+    assert(r.getString(0) == "en")
+    assert(r.getString(1) == "de")
+    assert(r.getString(2) == "und")
+  }
+}
