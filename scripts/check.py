@@ -24,7 +24,7 @@ def main():
                     if os.path.isdir(p)])
     n_ok = 0
     for name in names:
-        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
         if not files:
             print(f"{name:35s} NO-OUTPUT"); continue
         got = con.execute(

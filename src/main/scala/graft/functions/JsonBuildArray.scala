@@ -49,8 +49,11 @@ object PgJson {
   private def rfc3339(micros: Long): String = {
     val secs = Math.floorDiv(micros, 1000000L)
     val us = Math.floorMod(micros, 1000000L).toInt
+    // explicit pattern, NOT ISO_LOCAL_DATE_TIME: the ISO formatter omits
+    // ":ss" when seconds==0, while the reference (chrono to_rfc3339,
+    // functions.rs:1018) always emits seconds
     val base = java.time.LocalDateTime.ofEpochSecond(secs, 0, java.time.ZoneOffset.UTC)
-      .format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss"))
     val frac =
       if (us == 0) ""
       else if (us % 1000 == 0) f".${us / 1000}%03d"

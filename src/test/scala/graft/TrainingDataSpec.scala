@@ -28,6 +28,23 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"LSH recall $recall (found ${lsh.size}/${exact.size})")
   }
 
+  test("minhash LSH survives a 1k-identical-doc skew cluster") {
+    // an m-doc duplicate cluster lands in ONE bucket per band; without the
+    // exact-dup prefilter this is m² join rows per band key. With it, LSH
+    // sees one representative and the cluster pairs come straight from the
+    // content-hash groups.
+    import spark.implicits._
+    val skew = (0L until 1000L)
+      .map(i => (i, "mass duplicated boilerplate text row"))
+      .toDF("doc_id", "text")
+      .union(Seq((2000L, "one unrelated document entirely different words"))
+        .toDF("doc_id", "text"))
+    val pairs = TextDedup.verifiedMinhashPairs(skew, "doc_id", "text",
+      bands = 16, rowsPerBand = 2, threshold = 0.9)
+    assert(pairs.count() == 1000L * 999 / 2)
+    assert(pairs.filter(col("jaccard") =!= 1.0).count() == 0)
+  }
+
   test("simhash pairs at distance ≤3 have high token overlap") {
     val pairs = TextDedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
     val toks = docs.select(col("doc_id"),
