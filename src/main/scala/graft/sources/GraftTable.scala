@@ -1,37 +1,57 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.schema.TableSchema
 
-/** Merge-on-read table over partitioned parquet — the Spark-native rendering
-  * of the reference's write/flush/read pipeline (SURVEY.md §2.1 S1/S6, §2.9
-  * X1/X2, §2.10 W3):
+/** Merge-on-read table over partitioned parquet with a commit-marker log —
+  * the Spark-native rendering of the reference's write/flush/read pipeline
+  * (SURVEY.md §2.1 S1/S6, §2.9 X1/X2, §2.10 W3/W6) and, since no Delta jar
+  * exists in this environment, an emulation of its commit-log visibility
+  * semantics (`/root/reference/src/database.rs` flush/commit path):
   *
-  *  - **append** stamps the version column, derives the `date` partition from
-  *    the event-time column, dedups within the batch (keep-greatest), sorts
-  *    within partitions by the declared sort keys (files advertise the order;
-  *    parquet min/max stats become tight so time-range scans prune), and
-  *    writes `partitionBy(project_id, date)`;
+  *  - every write lands in a fresh `vNNNNN/` data directory and becomes
+  *    visible only when its zero-byte marker under `_commits/` is created —
+  *    marker creation is a single atomic filesystem operation, so readers
+  *    can never observe a half-written data directory;
+  *  - **append** stamps the version column, derives the `date` partition
+  *    from the event-time column, conforms to the declared schema, sorts
+  *    within partitions by the declared sort keys (files advertise the
+  *    order; parquet min/max stats become tight so time-range scans prune),
+  *    and writes `partitionBy(project_id, date)`;
+  *  - **readRaw** unions the latest compaction base with every append
+  *    committed after the base's cut-off — concurrent appends during a
+  *    compaction are never lost and never double-counted;
   *  - **readResolved** is the read-side dedup view: one `row_number` window
   *    over the dedup keys ordered by tiebreak DESC NULLS LAST, then the
   *    tombstone filter — exactly DedupExec's keep-greatest semantics
   *    (`/root/reference/src/read_dedup.rs`), expressed so Catalyst handles
-  *    filter placement (predicates on version-mutable columns stay above the
-  *    window; partition/time predicates push through to the scan);
-  *  - **update/delete** are version-append DML (reference `src/dml.rs` X2):
-  *    they append new row versions / tombstones with a fresh tiebreak instead
-  *    of rewriting files — O(changed rows), not O(table);
-  *  - **compact** is the background dedup sweep (reference
-  *    `dedup_partition`, `src/database.rs:6737`): collapse versions and
-  *    rewrite, preserving the resolved view.
+  *    filter placement (predicates on version-mutable columns stay above
+  *    the window; partition/time predicates push through to the scan);
+  *  - **update/delete/updateFrom/merge** are version-append DML (reference
+  *    `src/dml.rs` X2): they append new row versions / tombstones with a
+  *    fresh tiebreak instead of rewriting files — O(changed rows), not
+  *    O(table);
+  *  - **compact** (the background dedup sweep, reference `dedup_partition`,
+  *    `src/database.rs:6737`) writes the resolved view to a new base
+  *    version whose marker records the cut-off it subsumes; the swap is the
+  *    marker creation, so a racing reader sees either the old file set or
+  *    the new one, never neither/both. Old versions stay on disk until
+  *    **vacuum** removes them (reference VACUUM, S10), so in-flight readers
+  *    on the previous snapshot finish cleanly.
+  *
+  * Concurrency contract (same as the reference's single-writer flock,
+  * `src/wal.rs`): writes (append/DML/compact) are serialized by the caller;
+  * readers are fully concurrent with everything.
   *
   * Scale notes: every operation is partition-parallel; nothing collects to
-  * the driver. The dedup window shuffles by dedupKeys only when a scan spans
-  * file boundaries with the same key — at 100 TB the (project_id, date)
-  * partitioning bounds each window partition to one tenant-day.
+  * the driver except the marker listing (one RPC per read). The dedup
+  * window shuffles by dedupKeys only when a scan spans file boundaries with
+  * the same key — at 100 TB the (project_id, date) partitioning bounds each
+  * window partition to one tenant-day.
   */
 class GraftTable(
     val spark: SparkSession,
@@ -39,6 +59,61 @@ class GraftTable(
     val meta: TableSchema) {
 
   private val path = s"$root/${meta.name}"
+  private val commitsDir = s"$path/_commits"
+
+  private def fs: FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ------------------------------------------------------------ commits --
+
+  /** One committed version: `baseOf = Some(k)` marks a compaction base that
+    * subsumes every version ≤ k. Encoded entirely in the marker NAME
+    * (`_v00007` / `_v00007.base.00005`) so listing needs no file reads. */
+  private case class Commit(v: Int, baseOf: Option[Int])
+
+  private def commits(): Seq[Commit] = {
+    val dir = new Path(commitsDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName).toSeq
+      .filter(_.startsWith("_v"))
+      .map { n =>
+        n.drop(2).split("\\.base\\.") match {
+          case Array(v) => Commit(v.toInt, None)
+          case Array(v, b) => Commit(v.toInt, Some(b.toInt))
+        }
+      }
+      .sortBy(_.v)
+  }
+
+  private def markerName(v: Int, baseOf: Option[Int]): String =
+    baseOf match {
+      case None => f"_v$v%05d"
+      case Some(b) => f"_v$v%05d.base.$b%05d"
+    }
+
+  private def commit(v: Int, baseOf: Option[Int] = None): Unit = {
+    fs.mkdirs(new Path(commitsDir))
+    // atomic create (fails if present) IS the commit
+    fs.create(new Path(commitsDir, markerName(v, baseOf)), false).close()
+  }
+
+  private def versionDir(v: Int): String = f"$path/v$v%05d"
+
+  /** Highest committed version; 0 when the table is empty. */
+  def currentVersion(): Int = commits().lastOption.map(_.v).getOrElse(0)
+
+  /** Data directories visible to a reader: the newest compaction base plus
+    * every append committed after that base's cut-off. */
+  private def visibleDirs(cs: Seq[Commit]): Seq[String] =
+    cs.filter(_.baseOf.isDefined).lastOption match {
+      case None => cs.map(c => versionDir(c.v))
+      case Some(base) =>
+        versionDir(base.v) +:
+          cs.filter(c => c.baseOf.isEmpty && c.v > base.baseOf.get)
+            .map(c => versionDir(c.v))
+    }
+
+  // ------------------------------------------------------------- schema --
 
   private def sortCols: Seq[Column] = meta.sortingColumns.map { k =>
     (k.descending, k.nullsFirst) match {
@@ -67,35 +142,69 @@ class GraftTable(
       case None => df
     }
 
-  /** Stamp the version column and derive the date partition, then append.
-    * `versionTime` is injectable for deterministic tests (the reference's
-    * virtual-clock trick, `src/functions.rs:465-474`).
-    */
-  def append(df: DataFrame, versionTime: Option[java.time.LocalDateTime] = None): Unit = {
+  /** Stamp version + date, default the tombstone, and conform to the
+    * declared schema (order + types, missing columns null) so every file in
+    * every version directory carries an identical parquet schema. */
+  private def conform(df: DataFrame,
+      versionTime: Option[java.time.LocalDateTime]): DataFrame = {
     val stamp: Column = versionTime
       .map(t => lit(t.toString).cast("timestamp_ntz"))
       .getOrElse(now().cast("timestamp_ntz"))
-    val withVersion = df
+    val stamped = df
       .withColumn(meta.dedupTiebreak, stamp)
       .withColumn("date", to_date(col(meta.timeColumn)))
-    val withTombstone = meta.tombstoneColumn match {
-      case Some(t) if !df.columns.contains(t) =>
-        withVersion.withColumn(t, lit(false))
-      case _ => withVersion
+    val projected = meta.schema.fields.map { f =>
+      if (stamped.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else if (meta.tombstoneColumn.contains(f.name)) lit(false).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
     }
-    withTombstone
-      .sortWithinPartitions(sortCols: _*)
-      .write
-      .mode(SaveMode.Append)
-      .partitionBy(meta.partitions: _*)
-      .parquet(path)
+    stamped.select(projected.toIndexedSeq: _*)
   }
 
-  /** Raw physical rows — all versions, tombstones included. */
-  def readRaw(): DataFrame = spark.read.parquet(path)
+  // -------------------------------------------------------------- write --
+
+  /** Append a batch as a new committed version. `versionTime` is injectable
+    * for deterministic tests and idempotent streaming replays (the
+    * reference's virtual-clock trick, `src/functions.rs:465-474`). */
+  def append(df: DataFrame,
+      versionTime: Option[java.time.LocalDateTime] = None): Unit = {
+    val v = currentVersion() + 1
+    conform(df, versionTime)
+      .sortWithinPartitions(sortCols: _*)
+      .write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(meta.partitions: _*)
+      .parquet(versionDir(v))
+    commit(v)
+  }
+
+  // --------------------------------------------------------------- read --
+
+  /** Raw physical rows of the current snapshot — all versions, tombstones
+    * included. Empty table → empty DataFrame with the declared schema.
+    *
+    * Each version directory becomes its own scan leg (one union, the
+    * reference's UnionExec over mem∪hot∪delta legs, S1): partition
+    * discovery runs per leg, so `project_id`/`date` predicates prune
+    * directories inside every leg, and compaction keeps the leg count
+    * bounded. */
+  def readRaw(): DataFrame = {
+    val dirs = visibleDirs(commits())
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        meta.schema)
+    else dirs.map(d => spark.read.schema(meta.schema).parquet(d))
+      .reduce(_ unionByName _)
+  }
 
   /** The merge-on-read view: latest version per identity, tombstones out. */
   def readResolved(): DataFrame = tombstoneFilter(dedup(readRaw()))
+
+  // ---------------------------------------------------------------- DML --
+
+  private def targetCols: Seq[String] =
+    meta.schema.fieldNames.toSeq.filterNot(c =>
+      c == meta.dedupTiebreak || c == "date")
 
   /** Version-append UPDATE (X2): append fresh versions of the matching
     * resolved rows with `assignments` applied. */
@@ -105,7 +214,55 @@ class GraftTable(
     val updated = assignments.foldLeft(matched) { case (d, (c, v)) =>
       d.withColumn(c, v)
     }
-    append(updated.drop(meta.dedupTiebreak).drop("date"), versionTime)
+    append(updated.selectExpr(targetCols: _*), versionTime)
+  }
+
+  /** `UPDATE … FROM source` (reference `src/dml.rs:86-115,158-240`): the
+    * resolved view (alias `t`) hash-joins `source` (alias `s`) on `on`;
+    * assignments may reference both sides (`col("s.x")`). Only matched
+    * identities get new versions. Unlike the reference there is no
+    * MAX_UPDATE_SOURCE_ROWS cap — the join is distributed, and Catalyst
+    * broadcasts the source side when it is small. */
+  def updateFrom(source: DataFrame, on: Column,
+      assignments: Map[String, Column],
+      versionTime: Option[java.time.LocalDateTime] = None): Unit = {
+    val joined = readResolved().alias("t").join(source.alias("s"), on, "inner")
+    val projected = targetCols.map { c =>
+      assignments.get(c).map(_.as(c)).getOrElse(col(s"t.$c").as(c))
+    }
+    append(joined.select(projected: _*), versionTime)
+  }
+
+  /** MERGE (reference `perform_delta_merge_update`, `src/dml.rs:1272+`),
+    * version-append flavor: matched target identities get updated versions,
+    * unmatched source rows are inserted. `keys` are the equi-join columns;
+    * both legs land in one appended version. */
+  def merge(source: DataFrame, keys: Seq[String],
+      whenMatched: Map[String, Column],
+      insertUnmatched: Boolean = true,
+      versionTime: Option[java.time.LocalDateTime] = None): Unit = {
+    val resolved = readResolved()
+    val matched = resolved.alias("t")
+      .join(source.alias("s"), keys, "inner")
+    val updated = targetCols.map { c =>
+      whenMatched.get(c).map(_.as(c)).getOrElse(
+        if (keys.contains(c)) col(c) else col(s"t.$c").as(c))
+    }
+    val updates = matched.select(updated: _*)
+    val batch =
+      if (!insertUnmatched) updates
+      else {
+        val srcCols = source.columns.toSet
+        val inserts = source.join(resolved.select(keys.map(col): _*),
+            keys, "left_anti")
+          .select(targetCols.filter(srcCols.contains).map(col): _*)
+        val conformedInserts = targetCols.foldLeft(inserts) { (d, c) =>
+          if (srcCols.contains(c)) d
+          else d.withColumn(c, lit(null))
+        }.selectExpr(targetCols: _*)
+        updates.unionByName(conformedInserts)
+      }
+    append(batch, versionTime)
   }
 
   /** Version-append DELETE: append tombstone versions. */
@@ -114,28 +271,44 @@ class GraftTable(
     val t = meta.tombstoneColumn.getOrElse(
       throw new IllegalStateException(s"${meta.name} has no tombstone column"))
     val matched = readResolved().filter(predicate).withColumn(t, lit(true))
-    append(matched.drop(meta.dedupTiebreak).drop("date"), versionTime)
+    append(matched.selectExpr(targetCols: _*), versionTime)
   }
 
-  /** Background dedup sweep: collapse versions, drop tombstoned identities,
-    * rewrite sorted. Equivalent to the reference's `dedup_partition` /
-    * OPTIMIZE pass; the resolved view is invariant under it.
-    *
-    * Writes to a sibling temp dir then swaps via filesystem rename — never
-    * reads and overwrites the same files (a task retry mid-overwrite would
-    * otherwise lose data).
-    */
+  // -------------------------------------------------------- maintenance --
+
+  /** Background dedup sweep: write the resolved view (versions collapsed,
+    * tombstoned identities dropped, re-sorted) as a new base version whose
+    * marker records the cut-off. Readers racing the swap see the old
+    * snapshot until the single atomic marker create, then the new one;
+    * appends committed while the compaction ran stay visible (their
+    * version exceeds the recorded cut-off). */
   def compact(): Unit = {
-    val tmp = s"$path.__compact_tmp"
-    readResolved()
+    val cs = commits()
+    if (cs.isEmpty) return
+    val upTo = cs.last.v
+    val snapshot = visibleDirs(cs)
+      .map(d => spark.read.schema(meta.schema).parquet(d))
+      .reduce(_ unionByName _)
+    tombstoneFilter(dedup(snapshot))
       .sortWithinPartitions(sortCols: _*)
       .write
       .mode(SaveMode.Overwrite)
       .partitionBy(meta.partitions: _*)
-      .parquet(tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+      .parquet(versionDir(upTo + 1))
+    commit(upTo + 1, baseOf = Some(upTo))
+  }
+
+  /** Remove version directories subsumed by the newest compaction base.
+    * Separate from [[compact]] so snapshots read before the swap stay
+    * scannable until the operator chooses to reclaim them. */
+  def vacuum(): Unit = {
+    val cs = commits()
+    cs.filter(_.baseOf.isDefined).lastOption.foreach { base =>
+      cs.filter(c => c.v <= base.baseOf.get ||
+          (c.baseOf.isDefined && c.v < base.v)).foreach { c =>
+        fs.delete(new Path(versionDir(c.v)), true)
+        fs.delete(new Path(commitsDir, markerName(c.v, c.baseOf)), false)
+      }
+    }
   }
 }

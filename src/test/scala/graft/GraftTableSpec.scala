@@ -10,8 +10,9 @@ import graft.schema.TableSchemas
 import graft.sources.GraftTable
 
 /** Storage-engine semantics: version-append writes, keep-greatest resolution,
-  * tombstones, compaction invariance, and the multi-tenant scan guard —
-  * mirrors the reference's merge_on_read.slt + integration suite behaviors.
+  * tombstones, join-source DML, commit-marker atomicity, compaction
+  * invariance, and the multi-tenant scan guard — mirrors the reference's
+  * merge_on_read.slt + integration suite behaviors.
   */
 class GraftTableSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -55,6 +56,19 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.readRaw().count() == 51)
   }
 
+  test("filters on version-mutable columns evaluate above the dedup window") {
+    // reference war story src/database.rs:11960-11982 / SURVEY §7.4.5: after
+    // an UPDATE, a predicate matching the row's OLD value must not resurrect
+    // the superseded version.
+    val t = freshTable()
+    t.append(sampleRows(20), t0(0))
+    t.update(col("id") === "row-7", Map("name" -> lit("renamed")), t0(5))
+    val resolved = t.readResolved()
+    assert(resolved.filter(col("name") === "name-3" && col("id") === "row-7")
+      .count() == 0, "old value must not match after update")
+    assert(resolved.filter(col("name") === "renamed").count() == 1)
+  }
+
   test("delete appends a tombstone; identity disappears from resolved view") {
     val t = freshTable()
     t.append(sampleRows(50), t0(0))
@@ -62,6 +76,43 @@ class GraftTableSpec extends AnyFunSuite {
     val resolved = t.readResolved()
     assert(resolved.filter(col("name") === "name-2").count() == 0)
     assert(resolved.count() == 50 - 12) // name-2 ⇔ id%4==2 ⇔ ids 2,6,…,46 (12 rows)
+  }
+
+  test("updateFrom joins a source and applies source-side assignments") {
+    // mirrors reference integration::test_update_operations / dml.rs UPDATE…FROM
+    import spark.implicits._
+    val t = freshTable()
+    t.append(sampleRows(30), t0(0))
+    val src = Seq(("row-3", "from-src-3"), ("row-11", "from-src-11"),
+      ("row-999", "no-match")).toDF("src_id", "new_name")
+    t.updateFrom(src, col("t.id") === col("s.src_id"),
+      Map("name" -> col("s.new_name")), t0(5))
+    val resolved = t.readResolved()
+    assert(resolved.count() == 30)
+    assert(resolved.filter(col("id") === "row-3").head().getAs[String]("name")
+      == "from-src-3")
+    assert(resolved.filter(col("id") === "row-11").head().getAs[String]("name")
+      == "from-src-11")
+    // only the 2 matched identities appended new versions
+    assert(t.readRaw().count() == 32)
+  }
+
+  test("merge updates matched identities and inserts unmatched rows") {
+    import spark.implicits._
+    val t = freshTable()
+    t.append(sampleRows(10), t0(0))
+    val src = sampleRows(12) // rows 0-9 match, 10-11 are new
+      .withColumn("name", concat(lit("merged-"), col("id")))
+      .filter(col("id").isin("row-4", "row-5", "row-10", "row-11"))
+    t.merge(src, Seq("timestamp", "id"),
+      whenMatched = Map("name" -> col("s.name")), versionTime = t0(5))
+    val resolved = t.readResolved()
+    assert(resolved.count() == 12)
+    assert(resolved.filter(col("name").startsWith("merged-")).count() == 4)
+    assert(resolved.filter(col("id") === "row-4").head().getAs[String]("name")
+      == "merged-row-4")
+    assert(resolved.filter(col("id") === "row-1").head().getAs[String]("name")
+      == "name-1", "unmatched target rows unchanged")
   }
 
   test("compaction preserves the resolved view and collapses versions") {
@@ -83,10 +134,55 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.readRaw().count() == after.length)
   }
 
-  test("partition layout is (project_id, date)") {
+  test("appends committed during/after compaction stay visible; vacuum reclaims") {
+    import spark.implicits._
+    val t = freshTable()
+    t.append(sampleRows(40), t0(0))
+    t.update(col("id") === "row-1", Map("name" -> lit("u")), t0(1))
+    t.compact()
+    // an append AFTER the base cut-off must remain visible alongside the base
+    t.append(sampleRows(45).filter(col("id") === "row-44"), t0(2))
+    assert(t.readResolved().count() == 41)
+    val dirsBefore = new java.io.File(s"${t.root}/${t.meta.name}").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("v"))
+    t.vacuum()
+    val dirsAfter = new java.io.File(s"${t.root}/${t.meta.name}").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("v"))
+    assert(dirsAfter < dirsBefore, "vacuum must drop subsumed version dirs")
+    assert(t.readResolved().count() == 41, "vacuum must not change the view")
+  }
+
+  test("concurrent readers never see an empty or doubled table during compaction") {
+    val t = freshTable()
+    t.append(sampleRows(100), t0(0))
+    t.append(sampleRows(100), t0(1)) // duplicate versions to give compact work
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop) {
+        val n = t.readResolved().count()
+        if (n != 100) failures.add(n)
+      }
+    })
+    reader.start()
+    try {
+      (0 until 3).foreach { i =>
+        t.compact()
+        t.append(sampleRows(100), t0(2 + i))
+        t.vacuum()
+      }
+    } finally { stop = true; reader.join() }
+    assert(failures.isEmpty,
+      s"reader observed wrong counts: ${failures.toArray.mkString(",")}")
+  }
+
+  test("partition layout is (project_id, date) inside each version dir") {
     val t = freshTable()
     t.append(sampleRows(30), t0(0))
-    val dirs = new java.io.File(s"${t.root}/${t.meta.name}").listFiles()
+    val base = new java.io.File(s"${t.root}/${t.meta.name}")
+    val vdirs = base.listFiles().filter(f => f.isDirectory && f.getName.startsWith("v"))
+    assert(vdirs.length == 1)
+    val dirs = vdirs.head.listFiles()
       .filter(_.isDirectory).map(_.getName).sorted
     assert(dirs.sameElements(Array("project_id=0", "project_id=1", "project_id=2")),
       dirs.mkString(","))
@@ -98,14 +194,14 @@ class GraftTableSpec extends AnyFunSuite {
     val path = s"${t.root}/${t.meta.name}"
     GuardedTables.guard(path)
     try {
-      val unfiltered = spark.read.parquet(path).groupBy("name").count()
+      val unfiltered = t.readRaw().groupBy("name").count()
       intercept[MissingProjectIdException] {
         ProjectIdGuard(unfiltered.queryExecution.analyzed)
       }
-      val filtered = spark.read.parquet(path)
+      val filtered = t.readRaw()
         .filter(col("project_id") === "1").groupBy("name").count()
       ProjectIdGuard(filtered.queryExecution.analyzed) // must not throw
-      val inList = spark.read.parquet(path)
+      val inList = t.readRaw()
         .filter(col("project_id").isin("1", "2")).select("id")
       ProjectIdGuard(inList.queryExecution.analyzed) // must not throw
     } finally GuardedTables.unguard(path)
