@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{MergeOnRead, Relational, TimeSeries, TrainingData}
+import graft.queries.{MergeOnRead, Relational, TimeSeries, TrainingData, VariantTable}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,8 @@ object SparkEntry {
     (Relational.queries, Relational.oracle),
     (TimeSeries.queries, TimeSeries.oracle),
     (MergeOnRead.queries, MergeOnRead.oracle),
-    (TrainingData.queries, TrainingData.oracle)
+    (TrainingData.queries, TrainingData.oracle),
+    (VariantTable.queries, VariantTable.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

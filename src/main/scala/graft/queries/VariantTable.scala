@@ -1,0 +1,113 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.F
+import graft.schema.TableSchemas
+import graft.sources.GraftTable
+import graft.tables.Tables
+
+/** Variant-typed tables END-TO-END (SURVEY.md §1.2/§1.4, F8/F9): an
+  * `otel_logs_and_spans` fixture is written THROUGH [[GraftTable]] with real
+  * Spark 4 `VariantType` columns (parquet Variant metadata+value pairs, the
+  * same physical encoding the reference stores via delta-kernel's
+  * unshredded variant — `/root/reference/src/schema_loader.rs:311-317`),
+  * merge-on-read updated, then queried with `variant_get`, `jsonb_path_*`
+  * and the PG `->>` text semantics — the shapes of
+  * `/root/reference/tests/slt/variant_column.slt` and
+  * `distinct_on_variant.slt`.
+  *
+  * The DuckDB oracle replays the same logic from the raw `events` JSON
+  * strings — so these rows verify that JSON survives the full
+  * string → variant → parquet → variant → access round trip unchanged.
+  */
+object VariantTable {
+
+  /** Build the fixture table in a fresh temp dir: events mapped onto the
+    * otel schema (body/attributes as parse_json variants), appended through
+    * the commit-marker log, then one MOR UPDATE wave (level of 'error' rows
+    * escalated) so the read exercises version resolution over variant
+    * columns too. */
+  private def fixture(s: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_variant_").toString
+    val t = new GraftTable(s, root, TableSchemas.otelLogsAndSpans)
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    val rows = Tables.events(s, dir).select(
+      (col("user_id") % 5).cast("string").as("project_id"),
+      col("ts").as("timestamp"),
+      col("event_id").cast("string").as("id"),
+      col("event_type").as("name"),
+      lit("SERVER").as("kind"),
+      lit("OK").as("status_code"),
+      when(col("event_type") === "error", "ERROR").otherwise("INFO").as("level"),
+      (col("value") * 1000).cast("long").as("duration"),
+      col("ts").as("start_time"),
+      array(col("event_type")).as("hashes"),
+      parse_json(format_string("""{"message":"%s","nested":{"k":%s}}""",
+        col("event_type"), k)).as("body"),
+      parse_json(col("props")).as("attributes"))
+    t.append(rows, Some(java.time.LocalDateTime.of(2024, 6, 1, 0, 0)))
+    t.update(col("name") === "error", Map("level" -> lit("FATAL")),
+      Some(java.time.LocalDateTime.of(2024, 6, 1, 1, 0)))
+    t.readResolved()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // variant_column.slt shapes: typed get, path-exists, ->> in a predicate,
+    // aggregation over variant-extracted values, post-update resolution
+    "q34_variant_table" -> { (s, dir) =>
+      fixture(s, dir)
+        .filter(F.jsonb_path_exists(col("attributes"), "k"))
+        .filter(F.jsonb_path_text(col("body"), "message") === col("name"))
+        .withColumn("k", variant_get(col("attributes"), "$.k", "long"))
+        .groupBy("level", "name")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          max(F.jsonb_path_text(col("body"), "nested.k").cast("long")).as("max_k"))
+        .orderBy("level", "name")
+    },
+
+    // distinct_on_variant.slt shape: DISTINCT ON (project_id) latest row,
+    // outer projection reading variant columns from the deduped subquery
+    "q35_variant_distinct_on" -> { (s, dir) =>
+      val w = Window.partitionBy(col("project_id"))
+        .orderBy(col("timestamp").desc, col("id"))
+      fixture(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("project_id"), col("id"),
+          F.jsonb_path_text(col("body"), "message").as("message"),
+          variant_get(col("attributes"), "$.k", "long").as("k"),
+          (!is_variant_null(try_variant_get(col("body"), "$.nested", "variant")))
+            .as("has_nested"))
+        .orderBy("project_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q34_variant_table" ->
+      """SELECT CASE WHEN event_type = 'error' THEN 'FATAL' ELSE 'INFO' END AS level,
+        | event_type AS name,
+        | count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events
+        |WHERE json_extract(props, '$.k') IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q35_variant_distinct_on" ->
+      """WITH ranked AS (
+        | SELECT CAST(user_id % 5 AS VARCHAR) AS project_id,
+        |        CAST(event_id AS VARCHAR) AS id,
+        |        event_type AS message,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |        row_number() OVER (PARTITION BY user_id % 5
+        |          ORDER BY CAST(ts AS TIMESTAMP) DESC, CAST(event_id AS VARCHAR)) AS rn
+        | FROM events)
+        |SELECT project_id, id, message, k, true AS has_nested
+        |FROM ranked WHERE rn = 1 ORDER BY project_id""".stripMargin
+  )
+}
