@@ -146,12 +146,18 @@ object F {
         .toLowerCase.split("\\s+").filter(_.nonEmpty)
       if (toks.isEmpty) Literal(true)
       else template(
-        toks.map(t => s"contains(lower(__a0), '${sq(t)}')").mkString(" AND "),
+        // cast: Variant input decodes to its JSON text (reference fix for
+        // text_match over Variant columns, variant_column.slt)
+        toks.map(t => s"contains(lower(cast(__a0 as string)), '${sq(t)}')")
+          .mkString(" AND "),
         args)
     }
     reg("json_build_array") { args => JsonBuildArray(args) }
     reg("jsonb_build_array") { args => JsonBuildArray(args) }
     reg("to_jsonb") { args => ToJsonb(args.head) }
+    // PG to_json (scalar/array, sniff rules) shadows Spark's struct-centric
+    // built-in under this name — reference F6 semantics win in SQL
+    reg("to_json") { args => ToJsonb(args.head) }
     reg("percentile_agg") { args =>
       PercentileAggSketch(org.apache.spark.sql.catalyst.expressions.Cast(
         args.head, org.apache.spark.sql.types.DoubleType))
@@ -161,6 +167,39 @@ object F {
     reg("approx_percentile") { args =>
       ApproxPercentileFromDigest(org.apache.spark.sql.catalyst.expressions.Cast(
         args(0), org.apache.spark.sql.types.DoubleType), args(1))
+    }
+
+    // datafusion-functions-json parity (F10/F11, reference
+    // tests/slt/json_functions.slt): length/containment over JSON text and
+    // the array-elements generator the reference only stubs
+    // (src/functions.rs:820-827) — Spark's explode makes it a real function.
+    reg("json_length") { args =>
+      if (args.length == 1)
+        template(
+          "coalesce(json_array_length(__a0), size(json_object_keys(__a0)))",
+          args)
+      else {
+        val p = litString(args(1), "json_length", "path")
+        val path = if (p.startsWith("$")) p else "$." + p
+        template(
+          s"""coalesce(json_array_length(get_json_object(__a0, '${sq(path)}')),
+             |  size(json_object_keys(get_json_object(__a0, '${sq(path)}'))))""".stripMargin,
+          args)
+      }
+    }
+    reg("json_contains") { args =>
+      template("array_contains(json_object_keys(__a0), __a1)", args)
+    }
+    reg("json_get_str") { args =>
+      val p = litString(args(1), "json_get_str", "path")
+      val path = if (p.startsWith("$")) p else "$." + p
+      template(s"get_json_object(__a0, '${sq(path)}')", args)
+    }
+    reg("json_array_elements") { args =>
+      template("explode(from_json(__a0, 'array<string>'))", args)
+    }
+    reg("jsonb_array_elements") { args =>
+      template("explode(from_json(__a0, 'array<string>'))", args)
     }
 
     def variantTextSql(v: String): String =
@@ -173,9 +212,87 @@ object F {
       template(
         variantTextSql(s"try_variant_get(__a0, '${sq(p)}', 'variant')"), args)
     }
+    // Accepts Variant OR json-text input (reference jsonb_path_exists does
+    // both, src/functions.rs:1273-1502): variant→string cast yields JSON
+    // text, re-parsed to variant — a no-op semantically, and it makes one
+    // template serve both types. One `[*]` wildcard level is supported (the
+    // lax-path shapes the slt corpus exercises).
     reg("jsonb_path_exists") { args =>
       val p = normalizePath(litString(args(1), "jsonb_path_exists", "path"))
-      template(s"try_variant_get(__a0, '${sq(p)}', 'variant') IS NOT NULL", args)
+      val v = "try_parse_json(cast(__a0 as string))"
+      if (p.contains("[*]")) {
+        val Array(pre, post) = p.split("\\[\\*\\]", 2)
+        val arr = s"try_variant_get($v, '${sq(if (pre.isEmpty) "$" else pre)}', 'array<variant>')"
+        if (post.isEmpty)
+          template(s"coalesce(size($arr) > 0, false)", args)
+        else
+          template(
+            s"coalesce(exists($arr, x -> try_variant_get(x, '$$${sq(post)}', 'variant') IS NOT NULL), false)",
+            args)
+      } else
+        template(s"try_variant_get($v, '${sq(p)}', 'variant') IS NOT NULL", args)
     }
+
+    // --- reference variant UDF family (F8) under its SQL names -----------
+    reg("json_to_variant") { args => template("parse_json(__a0)", args) }
+    reg("variant_to_json") { args => VariantToJson(args.head) }
+    reg("variant_pretty") { args =>
+      // arrow-rust debug rendering; integers narrow to the smallest width,
+      // matching datafusion-variant's parser (only shape the corpus pins)
+      val v = "variant_get(__a0, '$', 'bigint')"
+      template(
+        s"""CASE WHEN schema_of_variant(__a0) = 'BIGINT' THEN
+           |  CASE WHEN $v BETWEEN -128 AND 127 THEN concat('Int8(', cast($v as string), ')')
+           |       WHEN $v BETWEEN -32768 AND 32767 THEN concat('Int16(', cast($v as string), ')')
+           |       WHEN $v BETWEEN -2147483648 AND 2147483647 THEN concat('Int32(', cast($v as string), ')')
+           |       ELSE concat('Int64(', cast($v as string), ')') END
+           |ELSE to_json(__a0) END""".stripMargin, args)
+    }
+    // reference variant_get takes bare paths ('a.b[0]') and returns Variant;
+    // the 3-arg typed form keeps Spark-builtin behavior. Built as the
+    // Catalyst expression directly — a SQL template would resolve back into
+    // this very registration.
+    reg("variant_get") { args =>
+      import org.apache.spark.sql.catalyst.expressions.Cast
+      import org.apache.spark.sql.catalyst.expressions.variant.{ParseJson, VariantGet}
+      val p = normalizePath(litString(args(1), "variant_get", "path"))
+      val target =
+        if (args.length >= 3)
+          org.apache.spark.sql.types.DataType.fromDDL(
+            litString(args(2), "variant_get", "type"))
+        else org.apache.spark.sql.types.VariantType
+      // accept json-text input too (arrow-chain slices): variant→string→
+      // parse is a semantic no-op, string input parses to variant
+      val v =
+        if (args(0).resolved &&
+          args(0).dataType == org.apache.spark.sql.types.VariantType) args(0)
+        else ParseJson(Cast(args(0),
+          org.apache.spark.sql.types.StringType), failOnError = false)
+      VariantGet(v,
+        Literal(UTF8String.fromString(p),
+          org.apache.spark.sql.types.StringType),
+        target, failOnError = false)
+    }
+
+    // --- gateway operator targets (SltRunner dialect rewrites) -----------
+    // a -> 'k'  /  a ->> 0   (datafusion-functions-json slice semantics)
+    reg("pg_arrow") { args =>
+      JsonArrow(args(0), args(1), isIndex = isIndexKey(args(1)), text = false)
+    }
+    reg("pg_arrow_text") { args =>
+      JsonArrow(args(0), args(1), isIndex = isIndexKey(args(1)), text = true)
+    }
+    // PG a @> b array containment. NB: no lambda here — `__aN`
+    // placeholders inside a lambda body are captured by lambda-variable
+    // resolution before the template splice can reach them.
+    reg("pg_array_contains") { args =>
+      template("size(array_except(__a1, __a0)) = 0", args)
+    }
+    reg("array_length") { args => template("size(__a0)", args) }
+  }
+
+  private def isIndexKey(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.StringType => false
+    case _ => true
   }
 }

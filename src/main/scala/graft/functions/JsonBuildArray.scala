@@ -80,6 +80,10 @@ object PgJson {
       case _: DecimalType => sb.append(value.toString)
       case TimestampType | TimestampNTZType =>
         escapeString(rfc3339(value.asInstanceOf[Long]), sb)
+      case VariantType =>
+        // a variant IS json — append its canonical rendering verbatim
+        sb.append(value.asInstanceOf[org.apache.spark.unsafe.types.VariantVal]
+          .toJson(java.time.ZoneOffset.UTC))
       case ArrayType(elem, _) =>
         val arr = value.asInstanceOf[ArrayData]
         sb.append('[')

@@ -78,6 +78,9 @@ case class ApproxPercentileFromDigest(left: Expression, right: Expression)
         case d: org.apache.spark.sql.types.Decimal => d.toDouble
         case n: Number => n.doubleValue()
       }
+      if (pd < 0.0 || pd > 1.0)
+        throw new IllegalArgumentException(
+          s"approx_percentile: percentile must be between 0 and 1, got $pd")
       val q = TDigest.fromBytes(bytes.asInstanceOf[Array[Byte]]).quantile(pd)
       if (q.isNaN) null else q
     }

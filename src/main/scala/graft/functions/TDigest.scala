@@ -111,12 +111,19 @@ final class TDigest(val compression: Double) extends Serializable {
     bufN = 0
   }
 
-  /** Interpolated quantile estimate; NaN when empty. */
+  /** Interpolated quantile estimate; NaN when empty.
+    *
+    * Rank convention: the target position is `q·(N−1) + 0.5` in cumulative
+    * weight space, interpolated linearly between centroid midpoints — the
+    * convention of the reference's tdigests crate (`estimate_quantile`;
+    * pinned by the reference's own percentile fixtures: the median of two
+    * singletons {25,35} is 30, quartiles of small singleton sets land ON
+    * the sample values, and p95 of {100,150,200} is 195). */
   def quantile(q: Double): Double = {
     compress()
     if (n == 0) return Double.NaN
     if (n == 1) return means(0)
-    val target = q * totalWeight
+    val target = q * (totalWeight - 1.0) + 0.5
     if (target <= weights(0) / 2) {
       // interpolate between min and first centroid center
       val c0 = weights(0) / 2

@@ -32,7 +32,15 @@ object VariantTable {
     * the commit-marker log, then one MOR UPDATE wave (level of 'error' rows
     * escalated) so the read exercises version resolution over variant
     * columns too. */
-  private def fixture(s: SparkSession, dir: String): DataFrame = {
+  /** One build per scale dir per JVM: the fixture is deterministic (fixed
+    * version stamps), so q34/q35 share the written table. */
+  private val built = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def fixture(s: SparkSession, dir: String): DataFrame =
+    new GraftTable(s, built.getOrElseUpdate(dir, build(s, dir)),
+      TableSchemas.otelLogsAndSpans).readResolved()
+
+  private def build(s: SparkSession, dir: String): String = {
     val root = Files.createTempDirectory("graft_variant_").toString
     val t = new GraftTable(s, root, TableSchemas.otelLogsAndSpans)
     val k = get_json_object(col("props"), "$.k").cast("long")
@@ -53,7 +61,7 @@ object VariantTable {
     t.append(rows, Some(java.time.LocalDateTime.of(2024, 6, 1, 0, 0)))
     t.update(col("name") === "error", Map("level" -> lit("FATAL")),
       Some(java.time.LocalDateTime.of(2024, 6, 1, 1, 0)))
-    t.readResolved()
+    root
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

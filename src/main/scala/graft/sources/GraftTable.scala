@@ -144,7 +144,13 @@ class GraftTable(
 
   /** Stamp version + date, default the tombstone, and conform to the
     * declared schema (order + types, missing columns null) so every file in
-    * every version directory carries an identical parquet schema. */
+    * every version directory carries an identical parquet schema.
+    *
+    * Two reference behaviors live here: JSON-text values arriving in a
+    * Variant column position are parsed to real variants (the
+    * VariantInsertRewriter ergonomics, SURVEY §1.4), and a missing
+    * non-nullable column rejects the batch at plan time (the reference's
+    * insert schema check). */
   private def conform(df: DataFrame,
       versionTime: Option[java.time.LocalDateTime]): DataFrame = {
     val stamp: Column = versionTime
@@ -153,10 +159,19 @@ class GraftTable(
     val stamped = df
       .withColumn(meta.dedupTiebreak, stamp)
       .withColumn("date", to_date(col(meta.timeColumn)))
+    val inTypes = stamped.schema.fields.map(f => f.name -> f.dataType).toMap
     val projected = meta.schema.fields.map { f =>
-      if (stamped.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else if (meta.tombstoneColumn.contains(f.name)) lit(false).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      inTypes.get(f.name) match {
+        case Some(org.apache.spark.sql.types.StringType)
+            if f.dataType == org.apache.spark.sql.types.VariantType =>
+          try_parse_json(col(f.name)).as(f.name)
+        case Some(_) => col(f.name).cast(f.dataType).as(f.name)
+        case None if meta.tombstoneColumn.contains(f.name) => lit(false).as(f.name)
+        case None if !f.nullable =>
+          throw new IllegalArgumentException(
+            s"${meta.name}: missing required non-nullable column '${f.name}'")
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
     }
     stamped.select(projected.toIndexedSeq: _*)
   }
