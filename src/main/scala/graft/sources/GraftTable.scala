@@ -185,6 +185,12 @@ class GraftTable(
       versionTime: Option[java.time.LocalDateTime] = None): Unit = {
     val v = currentVersion() + 1
     conform(df, versionTime)
+      // co-locate each (project_id, date) before writing: without this,
+      // every task writes a file into every partition directory (tasks ×
+      // dirs small files); with it, files per dir ≈ 1 and the
+      // sortWithinPartitions below makes parquet min/max stats tight for
+      // the whole tenant-day
+      .repartition(meta.partitions.map(col): _*)
       .sortWithinPartitions(sortCols: _*)
       .write
       .mode(SaveMode.Overwrite)
@@ -305,6 +311,7 @@ class GraftTable(
       .map(d => spark.read.schema(meta.schema).parquet(d))
       .reduce(_ unionByName _)
     tombstoneFilter(dedup(snapshot))
+      .repartition(meta.partitions.map(col): _*)
       .sortWithinPartitions(sortCols: _*)
       .write
       .mode(SaveMode.Overwrite)
