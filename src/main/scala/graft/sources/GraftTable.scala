@@ -221,6 +221,18 @@ class GraftTable(
   /** The merge-on-read view: latest version per identity, tombstones out. */
   def readResolved(): DataFrame = tombstoneFilter(dedup(readRaw()))
 
+  /** The single base directory when the current snapshot is exactly one
+    * compacted version — the gate for metadata-only counts
+    * ([[graft.plans.CountFastPath]]): a compacted snapshot IS the resolved
+    * view, so physical row counts are logical row counts. */
+  def compactBaseDir(): Option[String] = {
+    val cs = commits()
+    cs.lastOption
+      .filter(_.baseOf.isDefined)
+      .filter(last => visibleDirs(cs) == Seq(versionDir(last.v)))
+      .map(last => versionDir(last.v))
+  }
+
   // ---------------------------------------------------------------- DML --
 
   private def targetCols: Seq[String] =
