@@ -66,7 +66,7 @@ object TableSchemas {
       StructField("resource___service___name", StringType),
       StructField("context___trace_id", StringType),
       StructField("context___span_id", StringType),
-      StructField("events", StringType),
+      StructField("events", VariantType),
       StructField("errors", VariantType),
       StructField("body", VariantType),
       StructField("attributes", VariantType),
@@ -79,15 +79,17 @@ object TableSchemas {
       SortKey("timestamp", descending = true, nullsFirst = true),
       SortKey("id"), SortKey("level"), SortKey("status_code")))
 
-  /** Minimal merge-on-read fixture (`schemas/mor_versioned.yaml`). */
+  /** Minimal merge-on-read fixture — field order, types, and nullability
+    * mirror `schemas/mor_versioned.yaml` exactly (SchemaYamlSpec pins the
+    * equivalence against the loaded file). */
   val morVersioned: TableSchema = TableSchema(
     name = "mor_versioned",
     schema = StructType(Seq(
-      StructField("project_id", StringType),
-      StructField("date", DateType),
+      StructField("date", DateType, nullable = false),
       StructField("timestamp", TimestampNTZType, nullable = false),
       StructField("id", StringType, nullable = false),
       StructField("name", StringType),
+      StructField("project_id", StringType),
       StructField("updated_at", TimestampNTZType),
       StructField("deleted", BooleanType)
     )))
