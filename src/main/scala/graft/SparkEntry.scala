@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CountPushdown, MergeOnRead, Relational, TimeSeries, TrainingData, VariantTable}
+import graft.queries.{CountPushdown, MergeOnRead, MultimodalQueries, Relational, TimeSeries, TrainingData, VariantTable}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,8 @@ object SparkEntry {
     (MergeOnRead.queries, MergeOnRead.oracle),
     (TrainingData.queries, TrainingData.oracle),
     (VariantTable.queries, VariantTable.oracle),
-    (CountPushdown.queries, CountPushdown.oracle)
+    (CountPushdown.queries, CountPushdown.oracle),
+    (MultimodalQueries.queries, MultimodalQueries.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
