@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, In}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Multi-tenant scan guard — the Spark rendering of the reference's
@@ -22,6 +22,7 @@ object GuardedTables {
   private val roots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   def guard(pathPrefix: String): Unit = roots.add(normalize(pathPrefix))
   def unguard(pathPrefix: String): Unit = roots.remove(normalize(pathPrefix))
+  def count: Int = roots.size()
   def isGuarded(paths: Seq[String]): Boolean = {
     val it = roots.iterator()
     while (it.hasNext) {
@@ -57,6 +58,11 @@ object ProjectIdGuard extends (LogicalPlan => Unit) {
     def walk(p: LogicalPlan, hasFilter: Boolean): Unit = p match {
       case Filter(cond, child) =>
         walk(child, hasFilter || referencesProjectId(cond))
+      // a tenant predicate carried in a JOIN condition guards both sides
+      // (MERGE/UPDATE…FROM plans put it there, reference src/dml.rs)
+      case j: Join =>
+        val viaJoin = j.condition.exists(referencesProjectId)
+        j.children.foreach(walk(_, hasFilter || viaJoin))
       case rel @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         val paths = fs.location.rootPaths.map(_.toString)
         if (GuardedTables.isGuarded(paths) && !hasFilter)

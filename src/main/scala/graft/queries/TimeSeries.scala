@@ -100,6 +100,37 @@ object TimeSeries {
         .orderBy("doc_id")
     },
 
+    // ---- P6/P7: PG array operators (`&&` overlap / `@>` containment /
+    // `= ANY`) over token arrays ------------------------------------------
+    "q39_array_ops" -> { (s, dir) =>
+      import graft.operators.TextDedup
+      Tables.documents(s, dir)
+        .withColumn("toks", TextDedup.tokenSet(col("text")))
+        .select(
+          arrays_overlap(col("toks"), array(lit("spark"), lit("merge")))
+            .as("has_any"),
+          (size(array_except(array(lit("the"), lit("of")), col("toks"))) === 0)
+            .as("has_all"),
+          array_contains(col("toks"), "window").as("eq_any"))
+        .groupBy("has_any", "has_all", "eq_any")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("has_any", "has_all", "eq_any")
+    },
+
+    // ---- F11: jsonb_array_elements (the reference stubs it; Spark's
+    // explode makes it real) ----------------------------------------------
+    "q40_json_elements" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_id") < 100)
+        .withColumn("arr", format_string("""["%s","%s"]""", col("event_type"),
+          get_json_object(col("props"), "$.k")))
+        .select(col("event_id"),
+          explode(from_json(col("arr"),
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType))).as("elem"))
+        .orderBy("event_id", "elem")
+    },
+
     // ---- A2/A3: t-digest percentile sketch (README p95 query shape) -------
     // No DuckDB oracle: sketch estimates are approximate and merge-order
     // dependent; PercentileAggSpec pins accuracy against exact percentiles.
@@ -163,6 +194,23 @@ object TimeSeries {
         | CAST(json_array(event_type, user_id, json(props)) AS VARCHAR) AS arr,
         | CAST(json(props) AS VARCHAR) AS obj
         |FROM events WHERE event_id < 50 ORDER BY event_id""".stripMargin,
+
+    "q39_array_ops" ->
+      """WITH toks AS (
+        | SELECT list_distinct(string_split_regex(lower(text), '\s+')) AS ts
+        | FROM documents)
+        |SELECT list_has_any(ts, ['spark', 'merge']) AS has_any,
+        | list_has_all(ts, ['the', 'of']) AS has_all,
+        | list_contains(ts, 'window') AS eq_any,
+        | count(*) AS n
+        |FROM toks GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q40_json_elements" ->
+      """SELECT event_id, elem FROM (
+        | SELECT event_id,
+        |   unnest([event_type, json_extract_string(props, '$.k')]) AS elem
+        | FROM events WHERE event_id < 100)
+        |ORDER BY event_id, elem""".stripMargin,
 
     "q21_text_match" ->
       """SELECT doc_id, lang, n_chars FROM documents

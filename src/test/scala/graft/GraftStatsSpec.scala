@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{GuardedTables, ProjectIdGuard}
+import graft.schema.TableSchemas
+import graft.sources.{GraftStats, GraftTable}
+
+/** S8 introspection table + the join-condition tenant-guard extension. */
+class GraftStatsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("graft_stats view exposes session and table state") {
+    val t = new GraftTable(spark,
+      Files.createTempDirectory("graft_stats_").toString, TableSchemas.morVersioned)
+    import spark.implicits._
+    t.append(spark.range(3).select(
+      lit("1").as("project_id"),
+      lit("2024-03-01 00:00:00").cast("timestamp_ntz").as("timestamp"),
+      concat(lit("r"), col("id")).as("id"),
+      lit("n").as("name")),
+      Some(java.time.LocalDateTime.of(2024, 3, 2, 0, 0)))
+    GraftStats.register(spark, Seq(t))
+    val rows = spark.sql(
+      "SELECT key, value FROM graft_stats WHERE component = 'mor_versioned'")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("current_version") == "1")
+    assert(rows("compact_snapshot") == "false")
+    assert(rows("dedup_keys") == "timestamp,id")
+    val session = spark.sql(
+      "SELECT value FROM graft_stats WHERE component='session' AND key='spark_version'")
+      .collect()
+    assert(session.nonEmpty && session(0).getString(0).nonEmpty)
+  }
+
+  test("tenant guard accepts project_id carried in a join condition") {
+    val t = new GraftTable(spark,
+      Files.createTempDirectory("graft_guard_join_").toString,
+      TableSchemas.morVersioned)
+    import spark.implicits._
+    t.append(spark.range(5).select(
+      (col("id") % 2).cast("string").as("project_id"),
+      lit("2024-03-01 00:00:00").cast("timestamp_ntz").as("timestamp"),
+      concat(lit("r"), col("id")).as("id"),
+      lit("n").as("name")),
+      Some(java.time.LocalDateTime.of(2024, 3, 2, 0, 0)))
+    val path = s"${t.root}/${t.meta.name}"
+    GuardedTables.guard(path)
+    try {
+      val src = Seq(("r1", "x")).toDF("sid", "v")
+      val joined = t.readRaw().alias("t").join(src.alias("s"),
+        col("t.id") === col("s.sid") && col("t.project_id") === "1")
+      ProjectIdGuard(joined.queryExecution.analyzed) // must not throw
+    } finally GuardedTables.unguard(path)
+  }
+}
