@@ -25,6 +25,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.DeferExpensiveProjection.install(spark)
 
     def run(name: String): Double = {
       val t0 = System.nanoTime()

@@ -83,5 +83,6 @@ object ProjectIdGuard extends (LogicalPlan => Unit) {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectCheckRule(_ => ProjectIdGuard)
+    e.injectOptimizerRule(_ => DeferExpensiveProjection)
   }
 }

@@ -40,11 +40,12 @@ object TrainingData {
     // ≥99.9%, but 8-row bands admit j≈0.5 pairs at ~5% instead of ~100% —
     // on a near-dup-heavy corpus that is the difference between verifying
     // ~100k candidates and ~4M.
+    // rows-only check (no oracle) — no ORDER BY: sorting ~1M output pairs
+    // would be pure bench overhead
     "q26_minhash_lsh" -> { (s, dir) =>
       TextDedup.verifiedMinhashPairs(Tables.documents(s, dir), "doc_id",
           "text", bands = 12, rowsPerBand = 8, threshold = 0.9)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy("id_a", "id_b")
     },
 
     // ---- SimHash near-dup -------------------------------------------------

@@ -221,6 +221,21 @@ class GraftTable(
   /** The merge-on-read view: latest version per identity, tombstones out. */
   def readResolved(): DataFrame = tombstoneFilter(dedup(readRaw()))
 
+  /** The mem∪storage union read (reference S1's mem leg,
+    * `ProjectRoutingTable::scan` unioning MemBuffer ahead of flushed data):
+    * `pending` is an in-flight, not-yet-committed batch (the mem buffer of
+    * a streaming ingester between micro-batch commits). It is conformed
+    * with a version stamp STRICTLY NEWER than any committed write, so the
+    * dedup window resolves mem-vs-storage version conflicts exactly like
+    * the reference's keep-greatest DedupExec — no anti-range exclusion
+    * predicates needed (J3): a row present in both legs keeps the pending
+    * version, and after the batch commits with the same stamp the view is
+    * unchanged (read-your-writes without double counting). */
+  def readResolvedWith(pending: DataFrame,
+      pendingTime: java.time.LocalDateTime): DataFrame =
+    tombstoneFilter(dedup(
+      readRaw().unionByName(conform(pending, Some(pendingTime)))))
+
   /** The single base directory when the current snapshot is exactly one
     * compacted version — the gate for metadata-only counts
     * ([[graft.plans.CountFastPath]]): a compacted snapshot IS the resolved

@@ -176,6 +176,28 @@ class GraftTableSpec extends AnyFunSuite {
       s"reader observed wrong counts: ${failures.toArray.mkString(",")}")
   }
 
+  test("mem-leg union: pending rows visible, version conflicts resolve, commit is idempotent") {
+    val t = freshTable()
+    t.append(sampleRows(20), t0(0))
+    // pending batch: 5 fresh rows + 1 rewrite of an existing identity
+    val pending = sampleRows(25).filter(col("id") >= "row-2")
+      .filter(col("id").isin("row-20", "row-21", "row-22", "row-23", "row-24", "row-7"))
+      .withColumn("name", concat(lit("mem-"), col("id")))
+    val memTime = java.time.LocalDateTime.of(2024, 3, 2, 1, 0)
+    val view = t.readResolvedWith(pending, memTime)
+    assert(view.count() == 25, "mem rows visible before commit")
+    assert(view.filter(col("id") === "row-7").head().getAs[String]("name")
+      == "mem-row-7", "mem version must win over the stored version")
+    assert(view.filter(col("id") === "row-3").head().getAs[String]("name")
+      == "name-3", "untouched stored rows unchanged")
+    // after the batch commits with the same stamp, the plain view agrees
+    t.append(pending, Some(memTime))
+    val committed = t.readResolved()
+    assert(committed.count() == 25)
+    assert(committed.filter(col("id") === "row-7").head().getAs[String]("name")
+      == "mem-row-7")
+  }
+
   test("partition layout is (project_id, date) inside each version dir") {
     val t = freshTable()
     t.append(sampleRows(30), t0(0))
