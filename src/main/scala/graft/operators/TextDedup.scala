@@ -19,12 +19,15 @@ object TextDedup {
   def tokenSet(text: Column): Column =
     array_distinct(split(lower(text), "\\s+"))
 
-  /** Token set as distinct 64-bit hashes. Set sizes (and therefore Jaccard
-    * scores) are identical to [[tokenSet]] barring 64-bit collisions
-    * (~n²/2⁶⁵ per doc — vanishing), and intersecting long arrays is several
-    * times cheaper than string arrays, with a smaller shuffle payload. */
+  /** Token set as SORTED distinct 64-bit hashes. Set sizes (and therefore
+    * Jaccard scores) are identical to [[tokenSet]] barring 64-bit collisions
+    * (~n²/2⁶⁵ per doc — vanishing); long arrays shuffle smaller than string
+    * arrays, and the sort — paid once per document — lets candidate scoring
+    * use the allocation-free merge intersect
+    * ([[graft.functions.SortedIntersectCount]]) instead of a per-pair hash
+    * set. */
   def hashedTokenSet(text: Column): Column =
-    array_distinct(transform(split(lower(text), "\\s+"), t => xxhash64(t)))
+    array_sort(array_distinct(transform(split(lower(text), "\\s+"), t => xxhash64(t))))
 
   /** Exact duplicate groups: one row per distinct content hash with the
     * keeper (min id) and the duplicate count. Hash-groupBy — one shuffle of
@@ -61,7 +64,8 @@ object TextDedup {
       .foldLeft(col("a.__id") < col("b.__id") && col("a.__kb") === col("b.__kb"))(_ && _)
     a.join(b, blockCond)
       .withColumn("__inter",
-        size(array_intersect(col("a.__ts"), col("b.__ts"))).cast("double"))
+        graft.functions.SortedIntersectCount(col("a.__ts"), col("b.__ts"))
+          .cast("double"))
       .withColumn("jaccard", col("__inter") /
         (size(col("a.__ts")) + size(col("b.__ts")) - col("__inter")))
       .filter(col("jaccard") >= threshold)
@@ -152,7 +156,8 @@ object TextDedup {
     val repPairs = cands
       .join(toks.withColumnRenamed("__tid", "id_a").withColumnRenamed("__ts", "ts_a"), "id_a")
       .join(toks.withColumnRenamed("__tid", "id_b").withColumnRenamed("__ts", "ts_b"), "id_b")
-      .withColumn("__inter", size(array_intersect(col("ts_a"), col("ts_b"))).cast("double"))
+      .withColumn("__inter",
+        graft.functions.SortedIntersectCount(col("ts_a"), col("ts_b")).cast("double"))
       .withColumn("jaccard", col("__inter") /
         (size(col("ts_a")) + size(col("ts_b")) - col("__inter")))
       .filter(col("jaccard") >= threshold)

@@ -28,6 +28,20 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"LSH recall $recall (found ${lsh.size}/${exact.size})")
   }
 
+  test("sorted_intersect_count equals array_intersect size on random sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((
+      Seq.fill(rnd.nextInt(60))(rnd.nextInt(40).toLong).distinct.sorted,
+      Seq.fill(rnd.nextInt(60))(rnd.nextInt(40).toLong).distinct.sorted))
+    val df = rows.toDF("a", "b")
+    val mism = df.select(
+        graft.functions.SortedIntersectCount(col("a"), col("b")).as("fast"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(mism == 0)
+  }
+
   test("minhash LSH survives a 1k-identical-doc skew cluster") {
     // an m-doc duplicate cluster lands in ONE bucket per band; without the
     // exact-dup prefilter this is m² join rows per band key. With it, LSH
