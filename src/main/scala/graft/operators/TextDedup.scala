@@ -175,6 +175,36 @@ object TextDedup {
     cross.unionByName(intra)
   }
 
+  /** Connected components over a verified near-dup pair graph: every doc
+    * labeled with the smallest id reachable through the edges — the
+    * keep-one-per-cluster PRODUCTION dedup (pair lists are evidence;
+    * training pipelines drop whole clusters). Iterative min-label
+    * propagation: each round is one equi-join + one groupBy-min, converging
+    * in O(log diameter) rounds with `localCheckpoint` cutting lineage — the
+    * standard Spark iterative-graph pattern, shuffle volume O(edges) per
+    * round and never any payload columns. */
+  def connectedComponents(ids: DataFrame, edges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("id_a").as("__src"), col("id_b").as("__dst"))
+      .unionByName(edges.select(col("id_b").as("__src"), col("id_a").as("__dst")))
+    var labels = ids.select(col("__id"), col("__id").as("__lbl"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = sym.join(labels, sym("__src") === labels("__id"))
+        .select(col("__dst").as("__id"), col("__lbl"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy("__id").agg(min("__lbl").as("__lbl"))
+        .localCheckpoint()
+      converged = next.alias("n").join(labels.alias("o"), "__id")
+        .filter(col("n.__lbl") =!= col("o.__lbl")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** 64-bit SimHash over the token set: per bit, sum +1/−1 weighted by token
     * hash bits, take the sign. Expressed as one aggregate over exploded
     * tokens (64 conditional sums → bit reassembly). */

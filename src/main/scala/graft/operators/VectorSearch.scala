@@ -71,6 +71,66 @@ object VectorSearch {
       shiftleft(when(proj >= 0, 1L).otherwise(0L), j)
     }.reduce((x, y) => x.bitwiseOR(y))
 
+  /** IVF (inverted-file) approximate top-k — the brief's "IVF variant as
+    * the scale path": a coarse k-means quantizer (MLlib, trained on a
+    * sample) partitions the corpus into `nLists` cells; each query probes
+    * its `nProbe` nearest centroids and exact-reranks only those cells.
+    *
+    * Scale design: centroids broadcast (nLists × dim floats); corpus cell
+    * assignment is one narrow pass; the probe join is an equi-join on
+    * cell id, so a query touches ~nProbe/nLists of the corpus. Recall is
+    * set by nProbe (validated against brute force in the spec). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, nLists: Int = 16,
+      nProbe: Int = 5, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    // cosine neighbors live on the unit sphere: cluster and assign
+    // L2-NORMALIZED vectors so euclidean cells approximate cosine cells
+    // (spherical k-means)
+    def normalized(vec: Column): Column = {
+      val nrm = sqrt(aggregate(vec,
+        lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+      transform(vec, x => x.cast("double") / nrm)
+    }
+    val train = corpus.select(array_to_vector(
+      normalized(col(vecCol))).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+      .fit(train)
+    val centroids = model.clusterCenters.map(_.toArray).zipWithIndex
+    // distance to each centroid via one literal per centroid (nLists small)
+    def cellDistances(vec: Column): Column =
+      array(centroids.map { case (c, i) =>
+        struct(
+          aggregate(zip_with(vec, typedLit(c.toSeq),
+            (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
+            lit(0.0), (acc, v) => acc + v).as("d"),
+          lit(i).as("cell"))
+      }.toIndexedSeq: _*)
+    def withCells(df: DataFrame, n: Int): DataFrame =
+      df.withColumn("__cells",
+        slice(array_sort(cellDistances(normalized(col("__v")))), 1, n))
+        .withColumn("__cell", explode(col("__cells.cell")))
+        .drop("__cells")
+    val c = withCells(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")), 1)
+      .withColumnRenamed("__v", "__cv")
+    val q = withCells(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__v")), nProbe)
+      .withColumnRenamed("__v", "__qv")
+    val scored = q.join(c, Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv"), dim).as("cosine"))
+      .groupBy("query_id", "neighbor_id") // a pair may meet in ≤nProbe cells
+      .agg(max("cosine").as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** Approximate top-k: candidates share an LSH bucket in ≥1 of
     * `numTables` independent sign-signature tables; exact cosine rerank on
     * the candidate set. The candidate dedup runs on (query_id, neighbor_id)

@@ -131,6 +131,20 @@ object TimeSeries {
         .orderBy("event_id", "elem")
     },
 
+    // ---- W7+: session windows (beyond the reference, which has none —
+    // Spark's session_window comes free). Oracle replays the same
+    // gap-merge semantics as gaps-and-islands SQL. --------------------------
+    "q41_session_window" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("user_id") < 30)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start")
+    },
+
     // ---- A2/A3: t-digest percentile sketch (README p95 query shape) -------
     // No DuckDB oracle: sketch estimates are approximate and merge-order
     // dependent; PercentileAggSpec pins accuracy against exact percentiles.
@@ -194,6 +208,23 @@ object TimeSeries {
         | CAST(json_array(event_type, user_id, json(props)) AS VARCHAR) AS arr,
         | CAST(json(props) AS VARCHAR) AS obj
         |FROM events WHERE event_id < 50 ORDER BY event_id""".stripMargin,
+
+    "q41_session_window" ->
+      """WITH ev AS (
+        | SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        | FROM events WHERE user_id < 30),
+        |marked AS (
+        | SELECT *, CASE WHEN ts - lag(ts) OVER w < INTERVAL 30 MINUTE
+        |   THEN 0 ELSE 1 END AS new_session
+        | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        | SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |   ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM marked)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q39_array_ops" ->
       """WITH toks AS (

@@ -75,6 +75,29 @@ object TrainingData {
         .orderBy("query_id", "rank")
     },
 
+    // ---- near-dup CLUSTERS: connected components over the exact pair
+    // graph — the keep-one-per-cluster production dedup -------------------
+    "q43_dedup_clusters" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val edges = TextDedup.jaccardPairs(docs, "doc_id", "text",
+        Seq("lang"), 0.9).select("id_a", "id_b")
+      TextDedup.connectedComponents(
+          docs.select(col("doc_id").as("__id")), edges)
+        .groupBy(col("__lbl").as("cluster"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("cluster")
+    },
+
+    // ---- IVF-bucketed approximate top-k (recall spec-checked) -------------
+    "q42_ann_ivf" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      VectorSearch.ivfTopK(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, dim = Dim)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+
     // ---- language ID (stopword-hit argmax) ---------------------------------
     "q30_lang_id" -> { (s, dir) =>
       Tables.documents(s, dir)
@@ -157,6 +180,24 @@ object TrainingData {
           |WHERE len(list_intersect(a.ts, b.ts))::DOUBLE /
           |   (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.9
           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q43_dedup_clusters" ->
+        """WITH RECURSIVE toks AS (
+          | SELECT doc_id, lang,
+          |   list_distinct(string_split_regex(lower(text), '\s+')) AS ts
+          | FROM documents),
+          |edges AS (
+          | SELECT a.doc_id AS src, b.doc_id AS dst
+          | FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+          | WHERE len(list_intersect(a.ts, b.ts))::DOUBLE /
+          |   (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.9),
+          |reach(id, lbl) AS (
+          | SELECT doc_id, doc_id FROM documents
+          | UNION
+          | SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+          |labels AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)
+          |SELECT cluster, count(*) AS n_docs
+          |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin,
 
       "q28_cosine_topk" -> {
         val dotAB = dotSql("q.embedding", "c.embedding")

@@ -28,6 +28,19 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"LSH recall $recall (found ${lsh.size}/${exact.size})")
   }
 
+  test("connected components label chains, stars, and singletons") {
+    import spark.implicits._
+    // chain 1-2-3-4, star 10-{11,12}, singleton 20
+    val ids = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("__id")
+    val edges = Seq((1L, 2L), (3L, 2L), (3L, 4L), (10L, 11L), (12L, 10L))
+      .toDF("id_a", "id_b")
+    val labels = TextDedup.connectedComponents(ids, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L))
+    assert(labels(20L) == 20L)
+  }
+
   test("sorted_intersect_count equals array_intersect size on random sets") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
@@ -73,6 +86,18 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(rows.nonEmpty, "simhash should find candidates in this near-dup corpus")
     val meanJ = rows.sum / rows.length
     assert(meanJ > 0.5, s"simhash-close pairs should overlap heavily, mean=$meanJ")
+  }
+
+  test("IVF ANN achieves ≥60% top-5 recall vs brute force") {
+    val queries = embs.filter(col("vec_id") < 30)
+    val exact = VectorSearch.bruteForceTopK(embs, queries, "vec_id", "embedding", 5, 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = VectorSearch.ivfTopK(embs, queries, "vec_id", "embedding", 5, 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall")
   }
 
   test("LSH ANN achieves ≥60% top-5 recall vs brute force") {
