@@ -50,6 +50,46 @@ object VectorSearch {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Plain Lloyd k-means on the driver over a bounded sample (IVF coarse
+    * quantizer training). Deterministic: seeded init from sample points. */
+  private def kmeans(points: Array[Array[Double]], k: Int, iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val dim = points.head.length
+    val centers = rnd.shuffle(points.indices.toVector).take(k)
+      .map(i => points(i).clone).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      points.foreach { p =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0
+          var i = 0
+          while (i < dim) { val x = p(i) - centers(c)(i); d += x * x; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { centers(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
   /** Deterministic random hyperplanes (seeded), as literal arrays. */
   private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
@@ -83,8 +123,6 @@ object VectorSearch {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, nLists: Int = 16,
       nProbe: Int = 5, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     // cosine neighbors live on the unit sphere: cluster and assign
     // L2-NORMALIZED vectors so euclidean cells approximate cosine cells
     // (spherical k-means)
@@ -93,11 +131,13 @@ object VectorSearch {
         lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
       transform(vec, x => x.cast("double") / nrm)
     }
-    val train = corpus.select(array_to_vector(
-      normalized(col(vecCol))).as("features"))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
-      .fit(train)
-    val centroids = model.clusterCenters.map(_.toArray).zipWithIndex
+    // coarse quantizer trained driver-side on a BOUNDED sample — the
+    // standard IVF pattern at corpus scale (train on ≤~100k sampled
+    // vectors, assign distributed); also avoids a distributed-KMeans
+    // job-scheduling tax that dwarfs the math at any sample size
+    val sample = corpus.select(normalized(col(vecCol)).as("__v"))
+      .limit(20000).collect().map(_.getSeq[Double](0).toArray)
+    val centroids = kmeans(sample, nLists, iters = 10, seed).zipWithIndex
     // distance to each centroid via one literal per centroid (nLists small)
     def cellDistances(vec: Column): Column =
       array(centroids.map { case (c, i) =>

@@ -116,7 +116,8 @@ object SchemaYaml {
         dedupTiebreak = scalars.getOrElse("dedup_tiebreak", "updated_at"),
         tombstoneColumn = scalars.get("tombstone_column"),
         versionAppend = scalars.get("version_append").contains("true"),
-        sortingColumns = sortKeys),
+        sortingColumns = sortKeys,
+        zOrderColumns = lists.getOrElse("z_order_columns", Vector.empty)),
       options,
       lists.getOrElse("z_order_columns", Vector.empty))
   }

@@ -33,7 +33,8 @@ case class TableSchema(
     versionAppend: Boolean = true,
     sortingColumns: Seq[SortKey] = Seq(
       SortKey("timestamp", descending = true, nullsFirst = true),
-      SortKey("id"))) {
+      SortKey("id")),
+    zOrderColumns: Seq[String] = Seq.empty) {
   require(partitions.forall(c => schema.fieldNames.contains(c) || c == "date"),
     s"partition columns must exist in schema (or be the derived 'date'): $partitions")
 }
@@ -92,5 +93,6 @@ object TableSchemas {
       StructField("project_id", StringType),
       StructField("updated_at", TimestampNTZType),
       StructField("deleted", BooleanType)
-    )))
+    )),
+    zOrderColumns = Seq("timestamp", "id"))
 }

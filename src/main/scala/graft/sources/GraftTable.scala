@@ -337,9 +337,16 @@ class GraftTable(
     val snapshot = visibleDirs(cs)
       .map(d => spark.read.schema(meta.schema).parquet(d))
       .reduce(_ unionByName _)
+    // z-order sort when the schema declares z_order_columns: compacted
+    // files get tight min/max on EVERY participating column (reference
+    // compaction / Delta OPTIMIZE ZORDER); otherwise the declared sort keys
+    val compactOrder: Seq[Column] =
+      if (meta.zOrderColumns.nonEmpty)
+        Seq(graft.functions.ZOrderKey(meta.zOrderColumns.map(col)))
+      else sortCols
     tombstoneFilter(dedup(snapshot))
       .repartition(meta.partitions.map(col): _*)
-      .sortWithinPartitions(sortCols: _*)
+      .sortWithinPartitions(compactOrder: _*)
       .write
       .mode(SaveMode.Overwrite)
       .partitionBy(meta.partitions: _*)

@@ -61,6 +61,33 @@ class PruningSpec extends AnyFunSuite {
       s"PushedFilters: $pushed")
   }
 
+  test("zorder_key is order-preserving on a single column and null-first") {
+    import spark.implicits._
+    val vals = Seq(-50L, -1L, 0L, 3L, 1000L, Long.MaxValue / 2)
+    val keyed = vals.toDF("x")
+      .select(col("x"), graft.functions.ZOrderKey(Seq(col("x"))).as("k"))
+      .orderBy("k").collect().map(_.getLong(0))
+    assert(keyed.toSeq == vals.sorted, s"got ${keyed.mkString(",")}")
+    val nullKey = Seq[Option[Long]](None).toDF("x")
+      .select(graft.functions.ZOrderKey(Seq(col("x"))).as("k"))
+      .head().getLong(0)
+    val minKey = Seq(Long.MinValue).toDF("x")
+      .select(graft.functions.ZOrderKey(Seq(col("x"))).as("k"))
+      .head().getLong(0)
+    assert(nullKey <= minKey, "nulls sort first")
+  }
+
+  test("z-order compaction preserves the resolved view") {
+    val t = freshTable() // morVersioned declares z_order_columns
+    t.append(rows(96), Some(java.time.LocalDateTime.of(2024, 4, 1, 0, 0)))
+    t.append(rows(96), Some(java.time.LocalDateTime.of(2024, 4, 1, 1, 0)))
+    val before = t.readResolved().orderBy("id").collect()
+    t.compact()
+    val after = t.readResolved().orderBy("id").collect()
+    assert(before.map(_.toString).toSeq == after.map(_.toString).toSeq)
+    assert(t.readRaw().count() == 96)
+  }
+
   test("late data lands in its event-time date partition") {
     val t = freshTable()
     t.append(rows(24), Some(java.time.LocalDateTime.of(2024, 4, 1, 0, 0)))

@@ -30,6 +30,7 @@ class SchemaYamlSpec extends AnyFunSuite {
     assert(loaded.table.schema == hard.schema,
       s"\nloaded: ${loaded.table.schema.treeString}\nhard: ${hard.schema.treeString}")
     assert(loaded.zOrderColumns == Seq("timestamp", "id"))
+    assert(loaded.table.zOrderColumns == hard.zOrderColumns)
   }
 
   test("otel_logs_and_spans.yaml: metadata + full field list load; the " +
