@@ -289,6 +289,36 @@ object F {
       template("size(array_except(__a1, __a0)) = 0", args)
     }
     reg("array_length") { args => template("size(__a0)", args) }
+
+    // --- PG-client compat shims (S9/F14, reference src/database.rs:3283-3347):
+    // set_config returns its value (engine-side no-op, like the reference);
+    // current_setting reads the session conf; pg_settings is a view.
+    reg("set_config") { args => args(1) }
+    reg("current_setting") { args =>
+      val name = litString(args(0), "current_setting", "name")
+      Literal(UTF8String.fromString(
+        spark.conf.getOption(name).getOrElse("")),
+        org.apache.spark.sql.types.StringType)
+    }
+    // --- test clock (F15, reference src/functions.rs:498-535): frozen
+    // virtual time for deterministic fixtures. Values resolve at analysis
+    // time — the reference's UDFs are likewise test-harness-only.
+    reg("timefusion_set_clock") { args =>
+      val v = args.head.eval(null).asInstanceOf[Number].longValue()
+      GraftClock.set(v)
+      Literal(v, org.apache.spark.sql.types.LongType)
+    }
+    reg("timefusion_advance_clock") { args =>
+      val v = args.head.eval(null).asInstanceOf[Number].longValue()
+      Literal(GraftClock.advance(v), org.apache.spark.sql.types.LongType)
+    }
+    reg("timefusion_now_micros") { _ =>
+      Literal(GraftClock.nowMicros, org.apache.spark.sql.types.LongType)
+    }
+
+    import spark.implicits._
+    spark.conf.getAll.toSeq.sortBy(_._1).toDF("name", "setting")
+      .createOrReplaceTempView("pg_settings")
   }
 
   private def isIndexKey(e: Expression): Boolean = e.dataType match {

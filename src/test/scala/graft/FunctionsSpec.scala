@@ -136,6 +136,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getAs[String]("j") == """["a",1]""")
   }
 
+  test("pg_settings view, set_config no-op, and the frozen test clock") {
+    F.registerAll(spark)
+    assert(spark.sql("SELECT count(*) FROM pg_settings").head().getLong(0) > 0)
+    assert(spark.sql("SELECT set_config('a.b', 'v', false)").head().getString(0) == "v")
+    assert(spark.sql("SELECT current_setting('spark.sql.session.timeZone')")
+      .head().getString(0) == "UTC")
+    try {
+      spark.sql("SELECT timefusion_set_clock(1000000)").collect()
+      assert(spark.sql("SELECT timefusion_now_micros()").head().getLong(0) == 1000000L)
+      spark.sql("SELECT timefusion_advance_clock(500)").collect()
+      assert(spark.sql("SELECT timefusion_now_micros()").head().getLong(0) == 1000500L)
+    } finally graft.functions.GraftClock.reset()
+  }
+
   test("at_time_zone shifts instant to wall-clock") {
     val got = oneString(F.at_time_zone(
       lit("2024-01-01 00:00:00").cast("timestamp_ntz"), "Asia/Kolkata")
