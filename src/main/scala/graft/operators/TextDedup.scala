@@ -185,8 +185,12 @@ object TextDedup {
     * round and never any payload columns. */
   def connectedComponents(ids: DataFrame, edges: DataFrame,
       maxIter: Int = 20): DataFrame = {
+    // materialize the edge list once — it is typically an EXPENSIVE plan
+    // (a verified similarity join) that would otherwise recompute every
+    // propagation round
     val sym = edges.select(col("id_a").as("__src"), col("id_b").as("__dst"))
       .unionByName(edges.select(col("id_b").as("__src"), col("id_a").as("__dst")))
+      .localCheckpoint()
     var labels = ids.select(col("__id"), col("__id").as("__lbl"))
       .localCheckpoint()
     var converged = false
