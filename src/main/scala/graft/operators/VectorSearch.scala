@@ -138,20 +138,24 @@ object VectorSearch {
     val sample = corpus.select(normalized(col(vecCol)).as("__v"))
       .limit(20000).collect().map(_.getSeq[Double](0).toArray)
     val centroids = kmeans(sample, nLists, iters = 10, seed).zipWithIndex
-    // distance to each centroid via one literal per centroid (nLists small)
-    def cellDistances(vec: Column): Column =
+    // assignment is codegen'd, not interpreted: per centroid,
+    // |v̂−c|² = |v̂|² − 2·v̂·c + |c|² with |v̂|²=1 constant, so the argmin
+    // needs only |c|² − 2·(v·c)/|v| — an explicit dot fold whose centroid
+    // element_at(literal) terms constant-fold away; the row norm computes
+    // ONCE per row, not once per centroid.
+    def cellDistances(vec: Column, nrm: Column): Column =
       array(centroids.map { case (c, i) =>
+        val c2 = c.map(x => x * x).sum
         struct(
-          aggregate(zip_with(vec, typedLit(c.toSeq),
-            (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
-            lit(0.0), (acc, v) => acc + v).as("d"),
+          (lit(c2) - lit(2.0) * dot(vec, typedLit(c.toSeq), dim) / nrm).as("d"),
           lit(i).as("cell"))
       }.toIndexedSeq: _*)
     def withCells(df: DataFrame, n: Int): DataFrame =
-      df.withColumn("__cells",
-        slice(array_sort(cellDistances(normalized(col("__v")))), 1, n))
+      df.withColumn("__nrm", sqrt(norm2(col("__v"), dim)))
+        .withColumn("__cells",
+          slice(array_sort(cellDistances(col("__v"), col("__nrm"))), 1, n))
         .withColumn("__cell", explode(col("__cells.cell")))
-        .drop("__cells")
+        .drop("__cells", "__nrm")
     val c = withCells(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")), 1)
       .withColumnRenamed("__v", "__cv")
