@@ -13,10 +13,10 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * scale an unfiltered scan is a full-table read across every tenant — the
   * guard turns that bug into an immediate error instead of a 100 TB scan.
   *
-  * Roots are registered per-path via [[GuardedTables.guard]]; timestamp→date
-  * partition-filter derivation is unnecessary here because `date` is written
-  * as a real partition column derived from the time column at append time
-  * (SURVEY.md §4.1 — generated-column strategy).
+  * Roots are registered per-path via [[GuardedTables.guard]]; `date` bounds
+  * for timestamp-only predicates are derived separately by
+  * [[TimeToDatePruning]] (SURVEY.md §4.1 — generated-column strategy plus
+  * the reference's ts→date derivation rule).
   */
 object GuardedTables {
   private val roots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -84,5 +84,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectCheckRule(_ => ProjectIdGuard)
     e.injectOptimizerRule(_ => DeferExpensiveProjection)
+    e.injectOptimizerRule(_ => TimeToDatePruning)
   }
 }

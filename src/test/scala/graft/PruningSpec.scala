@@ -61,6 +61,61 @@ class PruningSpec extends AnyFunSuite {
       s"PushedFilters: $pushed")
   }
 
+  test("a timestamp-only range filter prunes date partitions") {
+    val t = freshTable()
+    t.append(rows(96), Some(java.time.LocalDateTime.of(2024, 4, 1, 0, 0)))
+    // rows span 2024-03-01 .. 2024-03-04 (96 hourly rows, 3 tenants); the
+    // reference's monoscope-OOM shape: tenant + raw timestamp window only
+    val q = t.readRaw().filter(col("project_id") === "1" &&
+      col("timestamp") >= lit("2024-03-02 06:00:00").cast("timestamp_ntz") &&
+      col("timestamp") < lit("2024-03-03 06:00:00").cast("timestamp_ntz"))
+    val scan = scans(q).head
+    val pf = scan.partitionFilters.map(_.sql).mkString(";")
+    assert(pf.contains("date"), s"derived date bounds missing: $pf")
+    // 2 of the tenant's 4 date dirs survive (4×3 total dirs in the table)
+    assert(scan.selectedPartitions.totalNumberOfFiles <
+      scan.relation.location.inputFiles.length / 3,
+      s"selected ${scan.selectedPartitions.totalNumberOfFiles} of " +
+        s"${scan.relation.location.inputFiles.length}")
+    // the derived bounds are necessary conditions: no matching row lost
+    assert(q.count() == 8) // hours 30..53 with id%3==1
+  }
+
+  test("ts→date derivation: swapped operands, equality, and BETWEEN") {
+    val t = freshTable()
+    t.append(rows(96), Some(java.time.LocalDateTime.of(2024, 4, 1, 0, 0)))
+    def datePf(q: org.apache.spark.sql.DataFrame): String =
+      scans(q).head.partitionFilters.map(_.sql).mkString(";")
+    // lit <= ts (reversed) → date >= bound
+    val rev = t.readRaw().filter(
+      lit("2024-03-03 00:00:00").cast("timestamp_ntz") <= col("timestamp"))
+    assert(datePf(rev).contains("date"), datePf(rev))
+    assert(rev.count() == 48)
+    // equality → date = bound, one dir per tenant
+    val eq = t.readRaw().filter(
+      col("timestamp") === lit("2024-03-02 05:00:00").cast("timestamp_ntz"))
+    assert(datePf(eq).contains("date"), datePf(eq))
+    assert(eq.count() == 1)
+    // BETWEEN desugars to >= AND <= → two inclusive date bounds
+    val between = t.readRaw().where(
+      "timestamp BETWEEN TIMESTAMP_NTZ'2024-03-02 00:00:00' AND TIMESTAMP_NTZ'2024-03-02 23:00:00'")
+    val bpf = datePf(between)
+    assert(bpf.contains(">=") && bpf.contains("<="), bpf)
+    assert(between.count() == 24)
+  }
+
+  test("ts→date derivation: cast-wrapped string literal still derives bounds") {
+    val t = freshTable()
+    t.append(rows(96), Some(java.time.LocalDateTime.of(2024, 4, 1, 0, 0)))
+    // string comparand: coercion wraps the literal in Cast(Literal) — the
+    // reference's extended-protocol param-binding regression
+    val q = t.readRaw().where("timestamp >= '2024-03-03 00:00:00'")
+    val scan = scans(q).head
+    val pf = scan.partitionFilters.map(_.sql).mkString(";")
+    assert(pf.contains("date"), s"cast-wrapped literal not unwrapped: $pf")
+    assert(q.count() == 48)
+  }
+
   test("zorder_key is order-preserving on a single column and null-first") {
     import spark.implicits._
     val vals = Seq(-50L, -1L, 0L, 3L, 1000L, Long.MaxValue / 2)
