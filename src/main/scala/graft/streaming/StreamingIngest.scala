@@ -1,5 +1,8 @@
 package graft.streaming
 
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -18,12 +21,21 @@ import graft.sources.GraftTable
   *    (reference `dedup_batches`, `src/mem_buffer.rs:637`), then appended
   *    through [[GraftTable.append]], which sorts by the declared sort keys —
   *    the flush-time sort of W3;
-  *  - **replay idempotency**: the version stamp is a deterministic function
-  *    of the batch id, so a replayed batch appends byte-identical row
-  *    versions and the merge-on-read view collapses them — at-least-once
-  *    delivery converges to exactly-once READS without a transactional
-  *    sink. This is how the WAL+dedup pair gives the reference its
-  *    exactly-once story, re-expressed on Spark's checkpoint.
+  *  - **version stamps are wall-clock, recorded per batch in the
+  *    checkpoint** (`<checkpoint>/graft_stamps/bNNN`, one atomic
+  *    create-exclusive per micro-batch): the first processing of a batch
+  *    mints `now()` and persists it; a crash replay of the same batch reads
+  *    the recorded stamp back and appends byte-identical row versions,
+  *    which the merge-on-read view collapses — at-least-once delivery
+  *    converges to exactly-once READS without a transactional sink. This is
+  *    the WAL's write-timestamp column re-expressed on Spark's checkpoint.
+  *
+  * Wall-clock stamps (rather than a synthetic per-batch epoch) are what
+  * make streamed and interactive writes COMMUTE: [[GraftTable]] stamps
+  * interactive DML with `now()`, so on a table fed by both paths the
+  * keep-greatest tiebreak resolves to the true last writer in either
+  * direction. A synthetic epoch would lose every streamed version to any
+  * historical interactive write — the round-2 ordering trap.
   *
   * Divergence from the reference, documented: in-batch dedup keeps the
   * lexicographically-greatest payload rather than the last arrival —
@@ -43,23 +55,52 @@ object StreamingIngest {
       .select(keys.map(col) ++ others.map(c => col(s"__p.$c").as(c)): _*)
   }
 
-  /** Deterministic per-batch version stamp. Monotone in batch id, so a
-    * later batch's rewrite of an identity wins the merge-on-read tiebreak;
-    * identical across replays of the same batch id, so replays collapse. */
-  def defaultStamp(batchId: Long): java.time.LocalDateTime =
-    java.time.LocalDateTime.of(2000, 1, 1, 0, 0).plusSeconds(batchId)
+  /** The batch's version stamp: minted from the (test-injectable) clock on
+    * first processing, persisted next to the offset log, read back on
+    * replay. The create-exclusive call is the atomic claim — a racing
+    * duplicate processing of the same batch id loses the create and adopts
+    * the winner's stamp. One driver-side RPC per micro-batch. */
+  private[graft] def persistedStamp(table: GraftTable, checkpoint: String,
+      batchId: Long): java.time.LocalDateTime = {
+    val dir = new Path(checkpoint, "graft_stamps")
+    val fs = dir.getFileSystem(table.spark.sparkContext.hadoopConfiguration)
+    val f = new Path(dir, f"b$batchId%010d")
+    def read(): java.time.LocalDateTime = {
+      val in = fs.open(f)
+      try java.time.LocalDateTime.parse(
+        new String(in.readAllBytes(), UTF_8).trim)
+      finally in.close()
+    }
+    if (fs.exists(f)) read()
+    else {
+      val m = graft.functions.GraftClock.nowMicros
+      val stamp = java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(m, 1000000L), (Math.floorMod(m, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+      fs.mkdirs(dir)
+      try {
+        val out = fs.create(f, false) // atomic create-exclusive
+        try out.write(stamp.toString.getBytes(UTF_8)) finally out.close()
+        stamp
+      } catch { case _: java.io.IOException => read() }
+    }
+  }
 
   /** Start the ingest stream. `source` is any streaming DataFrame conforming
     * to (a subset of) the table schema; `checkpoint` must be stable across
-    * restarts — it carries the offset log that makes recovery exact. */
+    * restarts — it carries the offset log that makes recovery exact plus
+    * the per-batch stamp log that makes replays idempotent. `stamp`
+    * overrides the stamp source for deterministic tests. */
   def start(table: GraftTable, source: DataFrame, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime(0L),
-      stamp: Long => java.time.LocalDateTime = defaultStamp): StreamingQuery =
+      stamp: Option[Long => java.time.LocalDateTime] = None): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        table.append(dedupBatch(batch, table.meta.dedupKeys), Some(stamp(batchId)))
+        val st = stamp.map(_(batchId))
+          .getOrElse(persistedStamp(table, checkpoint, batchId))
+        table.append(dedupBatch(batch, table.meta.dedupKeys), Some(st))
       }
       .start()
 }

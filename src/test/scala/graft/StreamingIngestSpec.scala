@@ -99,6 +99,58 @@ class StreamingIngestSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() == 0)
   }
 
+  test("streamed and interactive writes interleave last-writer-wins (both directions)") {
+    val tableDir = tmp("graft_mix_tbl_")
+    val srcDir = tmp("graft_mix_src_")
+    val ckpt = tmp("graft_mix_ckpt_")
+    val table = new GraftTable(spark, tableDir, TableSchemas.morVersioned)
+
+    // stream writes rows with wall-clock stamps…
+    writeSourceFile(srcDir, rows(0, 10))
+    val q1 = startStream(table, srcDir, ckpt)
+    q1.processAllAvailable()
+    q1.stop()
+    Thread.sleep(50)
+
+    // …a later interactive UPDATE must win over the earlier streamed version
+    table.update(col("id") === "ev-3", Map("name" -> lit("dml-wins")))
+    assert(table.readResolved().filter(col("id") === "ev-3")
+      .head().getAs[String]("name") == "dml-wins",
+      "interactive DML after the stream must win the tiebreak")
+    Thread.sleep(50)
+
+    // …and a still-later streamed rewrite of the same identity must win back
+    writeSourceFile(srcDir,
+      rows(3, 4).withColumn("name", lit("stream-wins")))
+    val q2 = startStream(table, srcDir, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(table.readResolved().filter(col("id") === "ev-3")
+      .head().getAs[String]("name") == "stream-wins",
+      "a streamed update after interactive DML must win the tiebreak")
+  }
+
+  test("crash replay of the same checkpoint reuses the persisted batch stamp") {
+    val tableDir = tmp("graft_stamp_tbl_")
+    val srcDir = tmp("graft_stamp_src_")
+    val ckpt = tmp("graft_stamp_ckpt_")
+    val table = new GraftTable(spark, tableDir, TableSchemas.morVersioned)
+    writeSourceFile(srcDir, rows(0, 5))
+    val q = startStream(table, srcDir, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    val first = StreamingIngest.persistedStamp(table, ckpt, 0L)
+    Thread.sleep(20)
+    // a replay of batch 0 reads the recorded stamp, not a fresh clock value
+    assert(StreamingIngest.persistedStamp(table, ckpt, 0L) == first,
+      "replayed batch must reuse its recorded stamp byte-for-byte")
+    // and the recorded stamp equals what the appended rows carry
+    val stamped = table.readRaw()
+      .select(col("updated_at").cast("string")).distinct().head().getString(0)
+    assert(stamped.replace(" ", "T").startsWith(
+      first.toString.take(19)), s"rows carry $stamped, stamp log says $first")
+  }
+
   test("in-batch dedup keeps one deterministic winner per identity") {
     import spark.implicits._
     val dup = rows(0, 10).union(rows(0, 10)
