@@ -48,7 +48,11 @@ object Bench {
     // as ingest throughput below.
     Seq("q01_pricing_summary", "q34_variant_table", "q36_count_fastpath")
       .foreach(run)
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n))
+    // SPARK_GRAFT_ONLY=q42_ann_ivf,q29_ann_lsh → time just those (iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+      .map(n => n -> run(n))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -57,7 +61,7 @@ object Bench {
     // ingest throughput: the full events table through the conforming
     // append path (stamp, date derivation, tenant-day repartition, sorted
     // write, commit marker) — comparable to BASELINE's flush ceiling
-    val ingest = try {
+    val ingest = if (only.isDefined) -1.0 else try {
       val root = java.nio.file.Files.createTempDirectory("bench_ingest_").toString
       val t = new graft.sources.GraftTable(spark, root,
         graft.schema.TableSchemas.morVersioned)

@@ -134,28 +134,45 @@ object VectorSearch {
     // coarse quantizer trained driver-side on a BOUNDED sample — the
     // standard IVF pattern at corpus scale (train on ≤~100k sampled
     // vectors, assign distributed); also avoids a distributed-KMeans
-    // job-scheduling tax that dwarfs the math at any sample size
+    // job-scheduling tax that dwarfs the math at any sample size. The
+    // sample is a seeded Bernoulli sample across ALL partitions: a bare
+    // `limit` would take whatever rows Spark reads first — one file ≈ one
+    // ingest batch ≈ one data distribution at fleet scale, and quantizer
+    // quality (hence recall) silently degrades on position-biased training.
+    val maxSample = 20000
+    val corpusRows = corpus.count()
+    val fraction = if (corpusRows == 0) 1.0
+      else math.min(1.0, 3.0 * maxSample / corpusRows)
     val sample = corpus.select(normalized(col(vecCol)).as("__v"))
-      .limit(20000).collect().map(_.getSeq[Double](0).toArray)
-    val centroids = kmeans(sample, nLists, iters = 10, seed).zipWithIndex
-    // assignment is codegen'd, not interpreted: per centroid,
+      .sample(withReplacement = false, fraction, seed)
+      .limit(maxSample).collect().map(_.getSeq[Double](0).toArray)
+    val centroids = kmeans(sample, nLists, iters = 10, seed)
+    // cell assignment carries the centroids as ONE literal matrix (the same
+    // trick signature() uses for LSH planes): per centroid,
     // |v̂−c|² = |v̂|² − 2·v̂·c + |c|² with |v̂|²=1 constant, so the argmin
-    // needs only |c|² − 2·(v·c)/|v| — an explicit dot fold whose centroid
-    // element_at(literal) terms constant-fold away; the row norm computes
-    // ONCE per row, not once per centroid.
-    def cellDistances(vec: Column, nrm: Column): Column =
-      array(centroids.map { case (c, i) =>
-        val c2 = c.map(x => x * x).sum
-        struct(
-          (lit(c2) - lit(2.0) * dot(vec, typedLit(c.toSeq), dim) / nrm).as("d"),
-          lit(i).as("cell"))
-      }.toIndexedSeq: _*)
-    def withCells(df: DataFrame, n: Int): DataFrame =
-      df.withColumn("__nrm", sqrt(norm2(col("__v"), dim)))
-        .withColumn("__cells",
-          slice(array_sort(cellDistances(col("__v"), col("__nrm"))), 1, n))
-        .withColumn("__cell", explode(col("__cells.cell")))
-        .drop("__cells", "__nrm")
+    // needs only |c|² − 2·(v·c)/|v|, computed by a `transform` lambda over
+    // the matrix literal. Plan size stays O(1) per table — the previous
+    // explicit per-centroid dot expansion inlined nLists×dim terms and
+    // shipped 12 MiB task binaries, which dominated the query cost.
+    val matrixLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val normsLit = typedLit(centroids.map(_.map(x => x * x).sum).toSeq)
+    def cellDistances(vec: Column): Column = {
+      val nrm = sqrt(aggregate(vec,
+        lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+      transform(matrixLit, (c, i) =>
+        element_at(normsLit, (i + 1).cast("int")) - lit(2.0) *
+          aggregate(zip_with(vec, c, (x, p) => x.cast("double") * p),
+            lit(0.0), (acc, v) => acc + v) / nrm)
+    }
+    def withCells(df: DataFrame, n: Int): DataFrame = {
+      val assigned = df.withColumn("__d", cellDistances(col("__v")))
+      val cells =
+        if (n == 1) array(array_position(col("__d"), array_min(col("__d")))
+          .cast("int") - 1)
+        else slice(array_sort(transform(col("__d"), (d, i) =>
+          struct(d.as("d"), i.as("cell")))), 1, n)("cell")
+      assigned.withColumn("__cell", explode(cells)).drop("__d")
+    }
     val c = withCells(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")), 1)
       .withColumnRenamed("__v", "__cv")
