@@ -22,11 +22,15 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (left.dataType == ArrayType(LongType, false) ||
-      left.dataType == ArrayType(LongType, true))
+    // both sides: a mistyped right operand would pass analysis and then
+    // read the wrong byte layout via getLong — silently wrong counts
+    def ok(dt: DataType): Boolean = dt == ArrayType(LongType, false) ||
+      dt == ArrayType(LongType, true)
+    if (ok(left.dataType) && ok(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"sorted_intersect_count expects array<bigint>, got ${left.dataType}")
+      s"sorted_intersect_count expects array<bigint> on both sides, " +
+        s"got (${left.dataType}, ${right.dataType})")
   }
   override def prettyName: String = "sorted_intersect_count"
 

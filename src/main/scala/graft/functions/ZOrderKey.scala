@@ -28,25 +28,34 @@ case class ZOrderKey(children: Seq[Expression])
   override def nullable: Boolean = false
   override def prettyName: String = "zorder_key"
 
+  /** Order-preserving unsigned 64-bit rank. The MSB-first interleave
+    * consumes each column's TOP 64/n bits, so narrow types must place their
+    * value bits at the TOP of the rank (shift left) — mapped into the low
+    * bits they would contribute near-constant zeros and the column would
+    * silently add no entropy to the key. */
   private def rank(value: Any, dt: DataType): Long = {
     if (value == null) return 0L // nulls first
-    val signed = dt match {
-      case LongType | TimestampType | TimestampNTZType => value.asInstanceOf[Long]
-      case IntegerType | DateType => value.asInstanceOf[Int].toLong
-      case ShortType => value.asInstanceOf[Short].toLong
-      case ByteType => value.asInstanceOf[Byte].toLong
+    dt match {
+      case LongType | TimestampType | TimestampNTZType =>
+        value.asInstanceOf[Long] ^ Long.MinValue
+      case IntegerType | DateType =>
+        (value.asInstanceOf[Int].toLong ^ 0x80000000L) << 32
+      case ShortType => (value.asInstanceOf[Short].toLong ^ 0x8000L) << 48
+      case ByteType => (value.asInstanceOf[Byte].toLong ^ 0x80L) << 56
       case DoubleType =>
+        // IEEE754 total order: negatives map (reversed) below, positives above
         val bits = java.lang.Double.doubleToLongBits(value.asInstanceOf[Double])
-        if (bits < 0) ~bits else bits // order-preserving double mapping
+        if (bits < 0) ~bits else bits ^ Long.MinValue
       case FloatType =>
-        val bits = java.lang.Float.floatToIntBits(value.asInstanceOf[Float]).toLong
-        if (bits < 0) (~bits) & 0xffffffffL else bits
+        val bits = java.lang.Float.floatToIntBits(value.asInstanceOf[Float])
+        val u = if (bits < 0) (~bits).toLong & 0xffffffffL
+          else bits.toLong | 0x80000000L
+        u << 32
       case StringType =>
-        prefix8(value.asInstanceOf[UTF8String].getBytes)
-      case BinaryType => prefix8(value.asInstanceOf[Array[Byte]])
-      case _ => value.hashCode().toLong
+        prefix8(value.asInstanceOf[UTF8String].getBytes) ^ Long.MinValue
+      case BinaryType => prefix8(value.asInstanceOf[Array[Byte]]) ^ Long.MinValue
+      case _ => value.hashCode().toLong ^ Long.MinValue
     }
-    signed ^ Long.MinValue // flip sign bit: unsigned order == signed order
   }
 
   private def prefix8(b: Array[Byte]): Long = {

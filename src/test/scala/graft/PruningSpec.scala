@@ -132,6 +132,28 @@ class PruningSpec extends AnyFunSuite {
     assert(nullKey <= minKey, "nulls sort first")
   }
 
+  test("narrow z-order columns contribute their real bits to the key") {
+    import spark.implicits._
+    // n=2 interleave consumes each column's TOP 32 bits; an Int rank left
+    // in the low half would make every small-int key identical (the
+    // silent-entropy-loss trap). Distinct ints with a constant sibling must
+    // yield distinct, order-preserving keys.
+    val ints = Seq(-50, -1, 0, 3, 1000)
+    val keys = ints.map(i => (i, 7L)).toDF("a", "b")
+      .select(col("a"),
+        graft.functions.ZOrderKey(Seq(col("a"), col("b"))).as("k"))
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(keys.map(_._2).distinct.length == ints.length,
+      "int column added no entropy to the z-order key")
+    assert(keys.map(_._1).toSeq == ints.sorted, "int order not preserved")
+    // doubles order across the sign boundary (IEEE754 total-order mapping)
+    val ds = Seq(-1.5, -0.1, 0.0, 0.2, 3.75)
+    val dKeys = ds.toDF("x")
+      .select(col("x"), graft.functions.ZOrderKey(Seq(col("x"))).as("k"))
+      .orderBy("k").collect().map(_.getDouble(0))
+    assert(dKeys.toSeq == ds.sorted, s"got ${dKeys.mkString(",")}")
+  }
+
   test("z-order compaction preserves the resolved view") {
     val t = freshTable() // morVersioned declares z_order_columns
     t.append(rows(96), Some(java.time.LocalDateTime.of(2024, 4, 1, 0, 0)))
