@@ -304,7 +304,16 @@ object F {
     // virtual time for deterministic fixtures. Values resolve at analysis
     // time — the reference's UDFs are likewise test-harness-only.
     reg("timefusion_set_clock") { args =>
-      val v = args.head.eval(null).asInstanceOf[Number].longValue()
+      // reference signature takes an rfc3339 Utf8 (src/functions.rs:498-516);
+      // numeric micros accepted too for harness convenience
+      val v = args.head.eval(null) match {
+        case s: UTF8String =>
+          val i = java.time.OffsetDateTime.parse(s.toString).toInstant
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        case n: Number => n.longValue()
+        case other => throw new IllegalArgumentException(
+          s"timefusion_set_clock: expected rfc3339 string or micros, got $other")
+      }
       GraftClock.set(v)
       Literal(v, org.apache.spark.sql.types.LongType)
     }
@@ -316,9 +325,22 @@ object F {
       Literal(GraftClock.nowMicros, org.apache.spark.sql.types.LongType)
     }
 
-    import spark.implicits._
-    spark.conf.getAll.toSeq.sortBy(_._1).toDF("name", "setting")
-      .createOrReplaceTempView("pg_settings")
+    // pg_settings reads LIVE session state (reference src/database.rs:
+    // 3283-3347 reads the catalog per query): the builder below runs at
+    // ANALYSIS time on the driver (like current_setting) and embeds the
+    // conf snapshot as a literal, and a SQL temp view stores its parsed
+    // plan and re-analyzes per query — so every SELECT against the view
+    // re-fires the builder and sees `SET`s issued after registerAll. The
+    // snapshot is driver-state-only and O(#settings); nothing executes on
+    // executors but a literal scan.
+    reg("pg_settings_rows") { _ =>
+      val rows = spark.conf.getAll.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"named_struct('name', '${sq(k)}', 'setting', '${sq(v)}')"
+      }
+      parser.parseExpression(s"array(${rows.mkString(",")})")
+    }
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW pg_settings AS
+      SELECT s.name, s.setting FROM (SELECT explode(pg_settings_rows()) AS s)""")
   }
 
   private def isIndexKey(e: Expression): Boolean = e.dataType match {

@@ -34,7 +34,7 @@ object CountFastPath {
   case class Result(count: Long, footerOnlyFiles: Int, scannedFiles: Int)
 
   private case class FileStat(path: String, rows: Long,
-    minTs: Option[Long], maxTs: Option[Long])
+    minTs: Option[Long], maxTs: Option[Long], nullCount: Option[Long])
 
   /** `Some(result)` when the fast path applies, `None` otherwise. */
   def countWindow(table: GraftTable, projectId: String,
@@ -48,13 +48,18 @@ object CountFastPath {
       // driver-side partition pruning: date dirs intersecting [lo, hi)
       val loDate = lo.toLocalDate
       val hiDate = hi.toLocalDate
+      // unparseable dir names (__HIVE_DEFAULT_PARTITION__ from a null event
+      // time, or anything unexpected) are NOT prunable: keep them, and let
+      // footer stats / the boundary scan classify their files — null-ts
+      // rows then drop out through the timestamp predicate, matching the
+      // reference's conservative (min?, max?, records?) gating
+      // (count_pushdown.rs)
       val dateDirs = fs.listStatus(projDir).filter(_.isDirectory)
         .filter { d =>
-          d.getPath.getName.stripPrefix("date=") match {
-            case ds if ds.nonEmpty =>
-              val dd = java.time.LocalDate.parse(ds)
-              !dd.isBefore(loDate) && !dd.isAfter(hiDate)
-            case _ => false
+          val ds = d.getPath.getName.stripPrefix("date=")
+          scala.util.Try(java.time.LocalDate.parse(ds)).toOption match {
+            case Some(dd) => !dd.isBefore(loDate) && !dd.isAfter(hiDate)
+            case None => true
           }
         }
       val files = dateDirs.flatMap(d => fs.listStatus(d.getPath))
@@ -65,14 +70,21 @@ object CountFastPath {
       val timeCol = table.meta.timeColumn
       val loMicros = micros(lo)
       val hiMicros = micros(hi)
-      // distributed footer reads; no row data touched
+      // distributed footer reads; no row data touched. The session's Hadoop
+      // conf rides along — a fresh Configuration() on the executor would
+      // lose credentials/endpoints on any non-local filesystem (S3A).
+      val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
       val stats = spark.sparkContext
         .parallelize(files.toSeq, math.max(1, files.length / 16))
-        .map(p => readFooterStat(p, timeCol))
+        .map(p => readFooterStat(p, timeCol, serConf.value))
         .collect()
 
+      // footer-only requires zero nulls in the time column: a null-ts row
+      // inside an otherwise-in-window file would be counted by the footer
+      // but excluded by the predicate (overcount)
       val (full, boundary) = stats.partition(s =>
-        s.minTs.exists(_ >= loMicros) && s.maxTs.exists(_ < hiMicros))
+        s.minTs.exists(_ >= loMicros) && s.maxTs.exists(_ < hiMicros) &&
+          s.nullCount.contains(0L))
       val inWindow = boundary.filter(s =>
         s.minTs.forall(_ < hiMicros) && s.maxTs.forall(_ >= loMicros))
       val footerCount = full.map(_.rows).sum
@@ -90,15 +102,19 @@ object CountFastPath {
   private def micros(t: java.time.LocalDateTime): Long =
     t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
 
-  /** Executor-side footer read: row count + time-column min/max. */
-  private def readFooterStat(path: String, timeCol: String): FileStat = {
-    val in = HadoopInputFile.fromPath(new Path(path), new Configuration())
+  /** Executor-side footer read: row count + time-column min/max/null count.
+    * `nullCount` is None when any block's statistics omit it — callers must
+    * then treat the file as not-footer-only. */
+  private def readFooterStat(path: String, timeCol: String,
+      conf: Configuration): FileStat = {
+    val in = HadoopInputFile.fromPath(new Path(path), conf)
     val reader = ParquetFileReader.open(in)
     try {
       val blocks = reader.getFooter.getBlocks
       var rows = 0L
       var minTs: Option[Long] = None
       var maxTs: Option[Long] = None
+      var nulls: Option[Long] = Some(0L)
       val it = blocks.iterator()
       while (it.hasNext) {
         val b = it.next()
@@ -114,10 +130,13 @@ object CountFastPath {
               minTs = Some(minTs.fold(mn)(math.min(_, mn)))
               maxTs = Some(maxTs.fold(mx)(math.max(_, mx)))
             }
+            nulls =
+              if (st == null || !st.isNumNullsSet) None
+              else nulls.map(_ + st.getNumNulls)
           }
         }
       }
-      FileStat(path, rows, minTs, maxTs)
+      FileStat(path, rows, minTs, maxTs, nulls)
     } finally reader.close()
   }
 }

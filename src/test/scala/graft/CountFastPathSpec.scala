@@ -68,6 +68,22 @@ class CountFastPathSpec extends AnyFunSuite {
     assert(r.scannedFiles <= 2, "only boundary files may be scanned")
   }
 
+  test("unexpected partition directories don't crash the count") {
+    val t = freshTable()
+    t.append(rows, t0(0))
+    t.compact()
+    // a Hive default-partition dir (null event time) or any stray dir must
+    // be tolerated, not crash LocalDate.parse
+    val base = t.compactBaseDir().get
+    val stray = new org.apache.hadoop.fs.Path(
+      s"$base/project_id=1/date=__HIVE_DEFAULT_PARTITION__")
+    stray.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(stray)
+    val lo = java.time.LocalDateTime.of(2024, 3, 1, 0, 0)
+    val hi = java.time.LocalDateTime.of(2024, 3, 9, 0, 0)
+    val r = CountFastPath.countWindow(t, "1", lo, hi).get
+    assert(r.count == 96, s"count with stray partition dir: ${r.count}")
+  }
+
   test("whole-table window is footer-only; missing tenant counts zero") {
     val t = freshTable()
     t.append(rows, t0(0))

@@ -142,11 +142,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT set_config('a.b', 'v', false)").head().getString(0) == "v")
     assert(spark.sql("SELECT current_setting('spark.sql.session.timeZone')")
       .head().getString(0) == "UTC")
+    // live view: a SET issued after registerAll shows up in pg_settings
+    spark.sql("SET graft.test.live = yes")
+    assert(spark.sql(
+      "SELECT setting FROM pg_settings WHERE name = 'graft.test.live'")
+      .head().getString(0) == "yes", "pg_settings must read live session state")
     try {
       spark.sql("SELECT timefusion_set_clock(1000000)").collect()
       assert(spark.sql("SELECT timefusion_now_micros()").head().getLong(0) == 1000000L)
       spark.sql("SELECT timefusion_advance_clock(500)").collect()
       assert(spark.sql("SELECT timefusion_now_micros()").head().getLong(0) == 1000500L)
+      // reference signature: rfc3339 Utf8 argument (src/functions.rs:498-516)
+      spark.sql("SELECT timefusion_set_clock('2024-01-01T00:00:10Z')").collect()
+      assert(spark.sql("SELECT timefusion_now_micros()").head().getLong(0)
+        == 1704067210000000L)
     } finally graft.functions.GraftClock.reset()
   }
 
