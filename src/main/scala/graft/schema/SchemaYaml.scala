@@ -117,7 +117,11 @@ object SchemaYaml {
         tombstoneColumn = scalars.get("tombstone_column"),
         versionAppend = scalars.get("version_append").contains("true"),
         sortingColumns = sortKeys,
-        zOrderColumns = lists.getOrElse("z_order_columns", Vector.empty)),
+        zOrderColumns = lists.getOrElse("z_order_columns", Vector.empty),
+        bloomFilterColumns = fields.filter(f =>
+          f.get("bloom_filter").contains("true")).map(_("name")),
+        dictionaryDisabledColumns = fields.filter(f =>
+          f.get("dictionary").contains("false")).map(_("name"))),
       options,
       lists.getOrElse("z_order_columns", Vector.empty))
   }

@@ -34,7 +34,13 @@ case class TableSchema(
     sortingColumns: Seq[SortKey] = Seq(
       SortKey("timestamp", descending = true, nullsFirst = true),
       SortKey("id")),
-    zOrderColumns: Seq[String] = Seq.empty) {
+    zOrderColumns: Seq[String] = Seq.empty,
+    // per-field writer options from the schema YAML (reference
+    // otel_logs_and_spans.yaml:85-101, writer at src/database.rs:11343+):
+    // bloom filters opt-IN on point-lookup columns, dictionary opt-OUT on
+    // high-entropy free-text
+    bloomFilterColumns: Seq[String] = Seq.empty,
+    dictionaryDisabledColumns: Seq[String] = Seq.empty) {
   require(partitions.forall(c => schema.fieldNames.contains(c) || c == "date"),
     s"partition columns must exist in schema (or be the derived 'date'): $partitions")
 }
@@ -78,7 +84,12 @@ object TableSchemas {
     )),
     sortingColumns = Seq(
       SortKey("timestamp", descending = true, nullsFirst = true),
-      SortKey("id"), SortKey("level"), SortKey("status_code")))
+      SortKey("id"), SortKey("level"), SortKey("status_code")),
+    // mirrors the YAML's bloom_filter: true fields present in this reduced
+    // schema (id/parent_id/name/context trace+span ids — the point-lookup
+    // columns behind BASELINE's trace_lookup shape)
+    bloomFilterColumns = Seq("id", "parent_id", "name",
+      "context___trace_id", "context___span_id"))
 
   /** Minimal merge-on-read fixture — field order, types, and nullability
     * mirror `schemas/mor_versioned.yaml` exactly (SchemaYamlSpec pins the

@@ -53,6 +53,14 @@ import graft.schema.TableSchema
   * the same key — at 100 TB the (project_id, date) partitioning bounds each
   * window partition to one tenant-day.
   */
+object GraftTable {
+  /** One cached raw-union plan per (session, table): key → (visible-dir
+    * fingerprint, plan). Bounded — only the CURRENT snapshot's plan is
+    * retained per table. */
+  private val snapshotCache =
+    scala.collection.concurrent.TrieMap[(Int, String), (String, org.apache.spark.sql.DataFrame)]()
+}
+
 class GraftTable(
     val spark: SparkSession,
     val root: String,
@@ -183,6 +191,22 @@ class GraftTable(
 
   // -------------------------------------------------------------- write --
 
+  /** Per-column parquet writer options from the schema's field opts
+    * (reference `build_writer_properties`, `src/database.rs:11343-11420`):
+    * bloom filters opt-IN per point-lookup column (NDV sized to a typical
+    * row group, matching the reference's 1M — a naive global enable would
+    * pay bloom buffers on every column), dictionary opt-OUT per high-
+    * entropy free-text column. DataFrameWriter options flow into the job's
+    * Hadoop conf, where parquet-mr applies the `#column` suffix per-column. */
+  private def writerOptions: Map[String, String] = {
+    val bloom = meta.bloomFilterColumns.flatMap(c => Seq(
+      s"parquet.bloom.filter.enabled#$c" -> "true",
+      s"parquet.bloom.filter.expected.ndv#$c" -> "1000000"))
+    val dict = meta.dictionaryDisabledColumns.map(c =>
+      s"parquet.enable.dictionary#$c" -> "false")
+    (bloom ++ dict).toMap
+  }
+
   /** Append a batch as a new committed version. `versionTime` is injectable
     * for deterministic tests and idempotent streaming replays (the
     * reference's virtual-clock trick, `src/functions.rs:465-474`). */
@@ -198,6 +222,7 @@ class GraftTable(
       .repartition(meta.partitions.map(col): _*)
       .sortWithinPartitions(sortCols: _*)
       .write
+      .options(writerOptions)
       .mode(SaveMode.Overwrite)
       .partitionBy(meta.partitions: _*)
       .parquet(versionDir(v))
@@ -219,8 +244,24 @@ class GraftTable(
     if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         meta.schema)
-    else dirs.map(d => spark.read.schema(meta.schema).parquet(d))
-      .reduce(_ unionByName _)
+    else {
+      // memoize the union plan per visible snapshot: building it performs
+      // driver-side partition discovery over every (tenant, day) dir of
+      // every leg — at fleet scale that listing dwarfs a point query. Any
+      // new commit changes the dir set and misses the cache; files inside
+      // a committed version dir are immutable, so a hit can never be
+      // stale (the reference's ListingTable/plan-cache role).
+      val key = (System.identityHashCode(spark), path)
+      val dirsKey = dirs.mkString(";")
+      GraftTable.snapshotCache.get(key) match {
+        case Some((k, df)) if k == dirsKey => df
+        case _ =>
+          val df = dirs.map(d => spark.read.schema(meta.schema).parquet(d))
+            .reduce(_ unionByName _)
+          GraftTable.snapshotCache.put(key, (dirsKey, df))
+          df
+      }
+    }
   }
 
   /** The merge-on-read view: latest version per identity, tombstones out. */
@@ -353,6 +394,7 @@ class GraftTable(
       .repartition(meta.partitions.map(col): _*)
       .sortWithinPartitions(compactOrder: _*)
       .write
+      .options(writerOptions)
       .mode(SaveMode.Overwrite)
       .partitionBy(meta.partitions: _*)
       .parquet(versionDir(upTo + 1))

@@ -210,6 +210,36 @@ class GraftTableSpec extends AnyFunSuite {
       dirs.mkString(","))
   }
 
+  test("schema field options reach the parquet writer: bloom in, dictionary out") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft_bloom_").toString
+    val schema = TableSchemas.morVersioned.copy(
+      bloomFilterColumns = Seq("id"),
+      dictionaryDisabledColumns = Seq("name"))
+    val t = new GraftTable(spark, dir, schema)
+    t.append(sampleRows(200), t0(0))
+    val file = Files.walk(java.nio.file.Paths.get(s"$dir/${schema.name}"))
+      .iterator().asScala.find(_.toString.endsWith(".parquet")).get
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new Path(file.toString), spark.sparkContext.hadoopConfiguration))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns.asScala
+        .map(c => c.getPath.toDotString -> c).toMap
+      assert(cols("id").getBloomFilterOffset >= 0,
+        "bloom_filter: true column must carry a bloom filter")
+      assert(cols("name").getBloomFilterOffset < 0,
+        "columns without the option must not pay for blooms")
+      assert(!cols("name").getEncodings.asScala.exists(_.usesDictionary),
+        s"dictionary: false column still dictionary-encoded: ${cols("name").getEncodings}")
+      assert(cols("id").getEncodings.asScala.exists(_.usesDictionary)
+        || cols("id").getEncodings.asScala.nonEmpty,
+        "sanity: id column encodings readable")
+    } finally reader.close()
+  }
+
   test("project-id guard rejects unfiltered scans of guarded roots") {
     val t = freshTable()
     t.append(sampleRows(10), t0(0))
