@@ -78,6 +78,32 @@ object VariantTable {
         .orderBy("level", "name")
     },
 
+    // BASELINE trace_lookup shape (the reference's worst pre-index number,
+    // 5.6-6.7 s): point lookup by id through the full MOR read path. The
+    // id columns carry parquet bloom filters (otelLogsAndSpans
+    // bloomFilterColumns), so row groups whose dictionary/bloom exclude the
+    // key are skipped without decoding — the Spark-native rendering of the
+    // reference's tantivy-sidecar prefilter (SURVEY §2.2 S3 replacement).
+    "q44_trace_lookup" -> { (s, dir) =>
+      fixture(s, dir)
+        .filter(col("project_id") === "2" && col("id") === "500")
+        .select(col("project_id"), col("id"), col("name"), col("level"),
+          col("timestamp"))
+    },
+
+    // q13 shape THROUGH the storage engine with a timestamp-only window:
+    // TimeToDatePruning must derive the date partition bounds (no explicit
+    // date predicate), and the result must match the oracle exactly
+    "q45_mor_time_window" -> { (s, dir) =>
+      fixture(s, dir)
+        .filter(col("timestamp") >= lit("2024-01-10 06:00:00").cast("timestamp_ntz") &&
+          col("timestamp") < lit("2024-01-12 06:00:00").cast("timestamp_ntz"))
+        .groupBy(date_trunc("hour", col("timestamp"))
+          .cast("timestamp_ntz").as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("hour")
+    },
+
     // distinct_on_variant.slt shape: DISTINCT ON (project_id) latest row,
     // outer projection reading variant columns from the deduped subquery
     "q35_variant_distinct_on" -> { (s, dir) =>
@@ -105,6 +131,22 @@ object VariantTable {
         |FROM events
         |WHERE json_extract(props, '$.k') IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q44_trace_lookup" ->
+      """SELECT CAST(user_id % 5 AS VARCHAR) AS project_id,
+        | CAST(event_id AS VARCHAR) AS id,
+        | event_type AS name,
+        | CASE WHEN event_type = 'error' THEN 'FATAL' ELSE 'INFO' END AS level,
+        | CAST(ts AS TIMESTAMP) AS timestamp
+        |FROM events
+        |WHERE user_id % 5 = 2 AND event_id = 500""".stripMargin,
+
+    "q45_mor_time_window" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, count(*) AS n
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 06:00:00'
+        |  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-12 06:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q35_variant_distinct_on" ->
       """WITH ranked AS (

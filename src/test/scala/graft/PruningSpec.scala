@@ -33,8 +33,16 @@ class PruningSpec extends AnyFunSuite {
       lit("n").as("name"))
   }
 
-  private def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] =
-    df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+  private def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] = {
+    val plan = df.queryExecution.executedPlan match {
+      // shuffling plans (the dedup window) plan adaptively; the scan lives
+      // under the AQE root's current physical plan
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    plan.collect { case s: FileSourceScanExec => s }
+  }
 
   test("project_id and date predicates become partition filters") {
     val t = freshTable()
@@ -114,6 +122,20 @@ class PruningSpec extends AnyFunSuite {
     val pf = scan.partitionFilters.map(_.sql).mkString(";")
     assert(pf.contains("date"), s"cast-wrapped literal not unwrapped: $pf")
     assert(q.count() == 48)
+  }
+
+  test("point-lookup id filter pushes below the dedup window to the reader") {
+    val t = freshTable()
+    t.append(rows(96), Some(java.time.LocalDateTime.of(2024, 4, 1, 0, 0)))
+    // id is a dedup key = a window partition column, so Catalyst may push
+    // the equality below the window into the scan (the trace_lookup shape:
+    // bloom filters + row-group stats then skip non-matching groups)
+    val q = t.readResolved().filter(col("project_id") === "1" &&
+      col("id") === "r7")
+    val scan = scans(q).head
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("EqualTo(id,r7)"), s"PushedFilters: $pushed")
+    assert(q.count() == 1)
   }
 
   test("zorder_key is order-preserving on a single column and null-first") {
