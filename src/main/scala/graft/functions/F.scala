@@ -218,8 +218,15 @@ object F {
     // template serve both types. One `[*]` wildcard level is supported (the
     // lax-path shapes the slt corpus exercises).
     reg("jsonb_path_exists") { args =>
-      val p = normalizePath(litString(args(1), "jsonb_path_exists", "path"))
+      val raw = litString(args(1), "jsonb_path_exists", "path")
+      val p = normalizePath(raw)
       val v = "try_parse_json(cast(__a0 as string))"
+      JsonPath.filterExistsSql(v, p) match {
+        case Some(sql) => template(sql, args)
+        case None => simplePathExists(p, v, args)
+      }
+    }
+    def simplePathExists(p: String, v: String, args: Seq[Expression]): Expression = {
       if (p.contains("[*]")) {
         val Array(pre, post) = p.split("\\[\\*\\]", 2)
         val arr = s"try_variant_get($v, '${sq(if (pre.isEmpty) "$" else pre)}', 'array<variant>')"

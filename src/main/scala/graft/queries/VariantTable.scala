@@ -104,6 +104,17 @@ object VariantTable {
         .orderBy("hour")
     },
 
+    // PG jsonpath FILTER predicates (reference src/functions.rs:1273-1502,
+    // lax mode): `base ? (@.field > n)` against the variant body column,
+    // replayed by the oracle from the raw JSON
+    "q46_jsonpath_filter" -> { (s, dir) =>
+      F.registerAll(s)
+      fixture(s, dir)
+        .filter(expr("jsonb_path_exists(body, '$.nested ? (@.k > 50)')"))
+        .groupBy("level").agg(count(lit(1)).as("n"))
+        .orderBy("level")
+    },
+
     // distinct_on_variant.slt shape: DISTINCT ON (project_id) latest row,
     // outer projection reading variant columns from the deduped subquery
     "q35_variant_distinct_on" -> { (s, dir) =>
@@ -146,6 +157,13 @@ object VariantTable {
         |FROM events
         |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 06:00:00'
         |  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-12 06:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q46_jsonpath_filter" ->
+      """SELECT CASE WHEN event_type = 'error' THEN 'FATAL' ELSE 'INFO' END AS level,
+        | count(*) AS n
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q35_variant_distinct_on" ->

@@ -119,6 +119,48 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!row.getBoolean(2))
   }
 
+  test("jsonb_path_exists filter predicates follow PG lax semantics") {
+    F.registerAll(spark)
+    def check(json: String, path: String, expect: Boolean): Unit = {
+      val got = spark.sql(
+        s"SELECT jsonb_path_exists(parse_json('${json.replace("'", "''")}'), '$path') AS r")
+        .head().getBoolean(0)
+      assert(got == expect, s"$path over $json: got $got, want $expect")
+    }
+    val items = """{"items":[{"price":3},{"price":7,"qty":1},{"price":9}]}"""
+    check(items, "$.items[*] ? (@.price > 5)", true)
+    check(items, "$.items[*] ? (@.price > 9)", false)
+    check(items, "$.items[*] ? (@.price >= 9)", true)
+    check(items, "$.items[*] ? (@.price == 7 && @.qty == 1)", true)
+    check(items, "$.items[*] ? (@.price == 7 && @.qty == 2)", false)
+    check(items, "$.items[*] ? (@.price == 3 || @.qty == 1)", true)
+    check(items, "$.items[*] ? (exists(@.qty))", true)
+    check(items, "$.items[*] ? (exists(@.missing))", false)
+    // trailing segment after the wildcard folds into the predicate
+    check(items, "$.items[*].price ? (@ > 8)", true)
+    // lax auto-wrap: non-array base treated as singleton
+    check("""{"items":{"price":7}}""", "$.items[*] ? (@.price > 5)", true)
+    // lax auto-unwrap: filter over an array base without [*]
+    check("""{"a":[3,6]}""", "$.a ? (@ > 5)", true)
+    check("""{"a":[3,4]}""", "$.a ? (@ > 5)", false)
+    // string compares only match strings (no "5" == 5 coercion)
+    check("""{"tags":["a","b"]}""", """$.tags[*] ? (@ == "a")""", true)
+    check("""{"tags":["a","b"]}""", """$.tags[*] ? (@ == "c")""", false)
+    check("""{"tags":[5]}""", """$.tags[*] ? (@ == "5")""", false)
+    check("""{"tags":["5"]}""", "$.tags[*] ? (@ == 5)", false)
+    check("""{"tags":[5]}""", "$.tags[*] ? (@ == 5)", true)
+    // null literal distinguishes JSON null from missing
+    check("""{"xs":[{"v":null}]}""", "$.xs[*] ? (@.v == null)", true)
+    check("""{"xs":[{"w":1}]}""", "$.xs[*] ? (@.v == null)", false)
+    check("""{"xs":[{"v":1}]}""", "$.xs[*] ? (@.v != null)", true)
+    // boolean literal + root-object predicate (the monoscope prod shape)
+    check("""{"ok":true}""", "$ ? (@.ok == true)", true)
+    check("""{"k":69}""", "$ ? (@.k > 50)", true)
+    check("""{"k":30}""", "$ ? (@.k > 50)", false)
+    // data-type mismatch is an empty match, not an error (lax)
+    check("""{"items":"not-an-object"}""", "$.items[*] ? (@.price > 5)", false)
+  }
+
   test("SQL registration exposes reference names") {
     F.registerAll(spark)
     val df = spark.sql(
