@@ -58,26 +58,60 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
 
-    // ingest throughput: the full events table through the conforming
-    // append path (stamp, date derivation, tenant-day repartition, sorted
-    // write, commit marker) — comparable to BASELINE's flush ceiling
-    val ingest = if (only.isDefined) -1.0 else try {
+    // Storage-engine legs share one table: the events table written through
+    // the full conforming append path (stamp, date derivation, tenant-day
+    // repartition, sorted write, commit marker).
+    //
+    //  - ingest_rows_per_sec: the initial bulk append — comparable to
+    //    BASELINE's flush ceiling;
+    //  - query_idle_ms / query_under_ingest_ms: the q13 hourly-count shape
+    //    through the MOR read path, first on a quiet table, then while
+    //    StreamingIngest commits micro-batches (reference
+    //    `bench/query_under_ingest.py`) — measures the read-latency cost of
+    //    concurrent commits (extra union legs + snapshot-cache misses).
+    val (ingest, idleMs, underMs) = if (only.isDefined) (-1.0, -1.0, -1.0)
+    else try {
+      import org.apache.spark.sql.functions._
       val root = java.nio.file.Files.createTempDirectory("bench_ingest_").toString
       val t = new graft.sources.GraftTable(spark, root,
         graft.schema.TableSchemas.morVersioned)
       val rows = graft.tables.Tables.events(spark, sfDir).select(
-        (org.apache.spark.sql.functions.col("user_id") % 5)
-          .cast("string").as("project_id"),
-        org.apache.spark.sql.functions.col("ts").as("timestamp"),
-        org.apache.spark.sql.functions.col("event_id").cast("string").as("id"),
-        org.apache.spark.sql.functions.col("event_type").as("name"))
+        (col("user_id") % 5).cast("string").as("project_id"),
+        col("ts").as("timestamp"),
+        col("event_id").cast("string").as("id"),
+        col("event_type").as("name"))
       val n = rows.count()
       val t0 = System.nanoTime()
       t.append(rows, Some(java.time.LocalDateTime.of(2024, 6, 1, 0, 0)))
-      n / ((System.nanoTime() - t0) / 1e9)
-    } catch { case e: Throwable => e.printStackTrace(); -1.0 }
+      val rps = n / ((System.nanoTime() - t0) / 1e9)
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"ingest_rows_per_sec":${ingest.round},"queries":$qs,"sf":"$sfDir"}""")
+      def q(): Double = {
+        val q0 = System.nanoTime()
+        t.readResolved()
+          .groupBy(date_trunc("hour", col("timestamp")).as("hour"))
+          .agg(count(lit(1)).as("n"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - q0) / 1e6
+      }
+      q() // warm the read path once, unrecorded
+      val idle = Seq.fill(3)(q()).sorted.apply(1)
+
+      val src = spark.readStream.format("rate")
+        .option("rowsPerSecond", "2000").load()
+        .select(lit("9").as("project_id"),
+          col("timestamp").cast("timestamp_ntz").as("timestamp"),
+          col("value").cast("string").as("id"),
+          lit("stream").as("name"))
+      val sq = graft.streaming.StreamingIngest.start(t, src, root + "/_chk",
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L))
+      val under = try {
+        Thread.sleep(1500) // let a few micro-batch commits land first
+        Seq.fill(5)(q()).sorted.apply(2)
+      } finally { sq.stop(); sq.awaitTermination() }
+      (rps, idle, under)
+    } catch { case e: Throwable => e.printStackTrace(); (-1.0, -1.0, -1.0) }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"ingest_rows_per_sec":${ingest.round},"query_idle_ms":${idleMs.round},"query_under_ingest_ms":${underMs.round},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

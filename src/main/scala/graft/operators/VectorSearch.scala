@@ -192,6 +192,45 @@ object VectorSearch {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Embedding-cosine near-duplicate PAIRS (the brief's fifth dedup family):
+    * all (id_a < id_b) with exact cosine ≥ `threshold`, candidates generated
+    * by sign-signature LSH self-join, verified with the exact explicit-fold
+    * cosine — precision is exactly 1 by construction; recall is set by the
+    * table/plane counts and is ≥1−numTables·miss^tables for a pair at the
+    * threshold (validated against brute force in TrainingDataSpec).
+    *
+    * Scale design mirrors [[lshTopK]]: the self-join is an equi-join on
+    * (table, signature) buckets — never all-pairs; the candidate distinct
+    * runs on id pairs ONLY (embedding payloads are re-joined afterwards); at
+    * near-dup thresholds (τ ≥ 0.9, angle ≤ 26°) per-table collision
+    * probability is high, so a handful of tables reaches ~1 recall. */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, planesPerTable: Int = 6,
+      numTables: Int = 8, seed: Long = 97L): DataFrame = {
+    val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val bucketed = {
+      val cols = (0 until numTables).map { t =>
+        val planesLit = typedLit(planes(planesPerTable, dim, seed + t).map(_.toSeq))
+        struct(lit(t).as("table"),
+          signature(col("__v"), planesLit, planesPerTable).as("key"))
+      }
+      c.withColumn("__b", explode(array(cols: _*)))
+        .select(col("__id"), col("__b.table").as("table"),
+          col("__b.key").as("key"))
+    }
+    val cands = bucketed.as("a").join(bucketed.as("b"),
+        col("a.table") === col("b.table") && col("a.key") === col("b.key") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    cands
+      .join(c.select(col("__id").as("id_a"), col("__v").as("__va")), "id_a")
+      .join(c.select(col("__id").as("id_b"), col("__v").as("__vb")), "id_b")
+      .withColumn("cosine", cosine(col("__va"), col("__vb"), dim))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Approximate top-k: candidates share an LSH bucket in ≥1 of
     * `numTables` independent sign-signature tables; exact cosine rerank on
     * the candidate set. The candidate dedup runs on (query_id, neighbor_id)

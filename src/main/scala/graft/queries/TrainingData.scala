@@ -20,6 +20,18 @@ object TrainingData {
 
   private val Dim = 64 // embeddings.embedding is fixed 64-dim (TESTDATA.md)
 
+  /** Embeddings (as double vectors) plus deterministic planted near-dups —
+    * shared by q47 and its recall spec; the DuckDB oracle replays the same
+    * arithmetic (float→double widening, *1.02+0.01) bit-identically. */
+  private[graft] def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val dups = base.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"), x => x * 1.02 + 0.01).as("v"))
+    base.unionByName(dups)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact dedup (hash-groupBy) --------------------------------------
     "q24_dedup_exact" -> { (s, dir) =>
@@ -96,6 +108,20 @@ object TrainingData {
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
+    },
+
+    // ---- embedding-cosine near-dup pairs (LSH candidates, exact verify) ----
+    // The embeddings table has no natural near-dups (max pair cosine ≈0.6),
+    // so the corpus plants deterministic perturbed copies (replayed verbatim
+    // by the oracle): every vec_id%20==0 vector gains a copy at
+    // x*1.02+0.01, cosine ≈0.997 to its source — far above τ=0.9 while all
+    // non-dup pairs stay ≤0.61, so LSH recall at this margin is exactly 1
+    // (pinned by TrainingDataSpec against brute force).
+    "q47_embedding_dedup" -> { (s, dir) =>
+      VectorSearch.cosineNearDupPairs(nearDupCorpus(s, dir), "vec_id", "v",
+          Dim, 0.9)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
     },
 
     // ---- language ID (stopword-hit argmax) ---------------------------------
@@ -215,6 +241,25 @@ object TrainingData {
            | FROM scored)
            |SELECT query_id, neighbor_id, rank, round(cos_raw, 6) AS cosine
            |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      },
+
+      "q47_embedding_dedup" -> {
+        val dotAB = dotSql("a.v", "b.v")
+        val nA = normSql("a.v")
+        val nB = normSql("b.v")
+        s"""WITH base AS (
+           | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |dups AS (
+           | SELECT vec_id + 1000000 AS vec_id,
+           |   list_transform(v, x -> x * 1.02 + 0.01) AS v
+           | FROM base WHERE vec_id % 20 = 0),
+           |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
+           |scored AS (
+           | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |   ($dotAB) / (sqrt($nA) * sqrt($nB)) AS cos_raw
+           | FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+           |SELECT id_a, id_b, round(cos_raw, 6) AS cosine
+           |FROM scored WHERE cos_raw >= 0.9 ORDER BY id_a, id_b""".stripMargin
       },
 
       "q30_lang_id" ->

@@ -91,6 +91,23 @@ object TableSchemas {
     bloomFilterColumns = Seq("id", "parent_id", "name",
       "context___trace_id", "context___span_id"))
 
+  /** Continuous-aggregate target (StreamingAnalytics.continuousAggregate):
+    * one row per (bucket_start, key) whose latest version carries the
+    * current count — late-data corrections arrive as new versions and the
+    * keep-greatest view resolves them, the MOR rendering of a TimescaleDB
+    * continuous aggregate refresh. */
+  val bucketCounts: TableSchema = TableSchema(
+    name = "bucket_counts",
+    schema = StructType(Seq(
+      StructField("project_id", StringType, nullable = true),
+      StructField("date", DateType, nullable = true),
+      StructField("timestamp", TimestampNTZType, nullable = false),
+      StructField("id", StringType, nullable = false),
+      StructField("n", LongType),
+      StructField("updated_at", TimestampNTZType),
+      StructField("deleted", BooleanType)
+    )))
+
   /** Minimal merge-on-read fixture — field order, types, and nullability
     * mirror `schemas/mor_versioned.yaml` exactly (SchemaYamlSpec pins the
     * equivalence against the loaded file). */

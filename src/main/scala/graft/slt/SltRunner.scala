@@ -97,13 +97,13 @@ class SltRunner(spark: SparkSession, root: String) {
     // to_json, not cast: casting a variant SCALAR STRING to string unquotes
     // it, while the reference compares the quoted JSON form.
     s = s.replaceAll(
-      "\\b(body|attributes|errors|resource|context)(\\s+NOT)?\\s+(LIKE|ILIKE)\\s+",
+      "\\b((?:\\w+\\.)?(?:body|attributes|errors|resource|context))(\\s+NOT)?\\s+(LIKE|ILIKE)\\s+",
       "to_json($1)$2 $3 ")
     s = s.replaceAll(
-      "\\b(body|attributes|errors|resource|context)\\s*=\\s*'",
+      "\\b((?:\\w+\\.)?(?:body|attributes|errors|resource|context))\\s*=\\s*'",
       "to_json($1) = '")
     s = s.replaceAll(
-      "\\b(body|attributes|errors|resource|context)\\s+IN\\s*\\(",
+      "\\b((?:\\w+\\.)?(?:body|attributes|errors|resource|context))\\s+IN\\s*\\(",
       "to_json($1) IN (")
     // DataFusion EXTRACT(SECOND) returns whole seconds; Spark a decimal
     s = s.replaceAll("(?i)EXTRACT\\s*\\(\\s*SECOND\\s+FROM\\s+([\\w.]+)\\s*\\)",
@@ -220,9 +220,16 @@ class SltRunner(spark: SparkSession, root: String) {
           val k = s.indexOf('\'', j + 1)
           (s.substring(j, k + 1), k + 1) // quoted string key
         } else {
+          // bare integer index, or an identifier operand emitted as a
+          // column argument; anything else fails fast with a clear message
+          // instead of producing pg_arrow(left, ) and a confusing parse error
           var k = j
-          while (k < s.length && s.charAt(k).isDigit) k += 1
-          (s.substring(j, k), k) // bare integer index
+          while (k < s.length && (s.charAt(k).isLetterOrDigit ||
+            s.charAt(k) == '_' || s.charAt(k) == '.')) k += 1
+          val tok = s.substring(j, k)
+          if (tok.isEmpty) throw new IllegalArgumentException(
+            s"unsupported -> right operand at: ${s.substring(idx).take(30)}")
+          (tok, k)
         }
       val fn = if (isText) "pg_arrow_text" else "pg_arrow"
       s = s.substring(0, start) +

@@ -239,8 +239,9 @@ class GraftTable(
     * discovery runs per leg, so `project_id`/`date` predicates prune
     * directories inside every leg, and compaction keeps the leg count
     * bounded. */
-  def readRaw(): DataFrame = {
-    val dirs = visibleDirs(commits())
+  def readRaw(): DataFrame = rawFrom(visibleDirs(commits()))
+
+  private def rawFrom(dirs: Seq[String]): DataFrame = {
     if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         meta.schema)
@@ -264,8 +265,27 @@ class GraftTable(
     }
   }
 
-  /** The merge-on-read view: latest version per identity, tombstones out. */
-  def readResolved(): DataFrame = tombstoneFilter(dedup(readRaw()))
+  /** The merge-on-read view: latest version per identity, tombstones out.
+    *
+    * Compaction gate: when the visible snapshot is exactly the newest
+    * compaction base (no appends since), that base was MATERIALIZED by
+    * dedup+tombstone-filter at [[compact]] time, so re-running the window
+    * over it is an identity that still costs a full-table shuffle — skip
+    * it. Post-compaction reads are then windowless: a recent-page top-k
+    * (`ORDER BY timestamp DESC LIMIT k`) plans as TakeOrderedAndProject
+    * straight over the pruned scan, which is why the reference's
+    * per-leg-local-limit rule (`optimizers/ordered_union_for_topk.rs`, T1)
+    * has no remaining work to do on a compacted snapshot. The commit list
+    * is read ONCE for both the gate and the scan so a racing append cannot
+    * split the decision from the snapshot it applies to. */
+  def readResolved(): DataFrame = {
+    val cs = commits()
+    val dirs = visibleDirs(cs)
+    val raw = rawFrom(dirs)
+    val compactedOnly = cs.lastOption.exists(c =>
+      c.baseOf.isDefined && dirs == Seq(versionDir(c.v)))
+    if (compactedOnly) raw else tombstoneFilter(dedup(raw))
+  }
 
   /** The mem∪storage union read (reference S1's mem leg,
     * `ProjectRoutingTable::scan` unioning MemBuffer ahead of flushed data):

@@ -1,0 +1,137 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.sources.GraftTable
+
+/** Structured-Streaming analytics over the ingest stream — the brief's
+  * "watermarks + windowed aggs; mapGroupsWithState for custom state"
+  * coverage. The reference is not a streaming SQL engine (SURVEY §2.10: its
+  * "streaming" is the durable ingest pipeline), so these are Spark-first
+  * additions: the same `time_bucket`/session-window semantics the batch
+  * queries q13/q14/q41 pin, run incrementally over an unbounded source.
+  */
+object StreamingAnalytics {
+
+  /** Watermarked per-bucket counts — the streaming q13/q14 shape.
+    * `withWatermark` bounds state: buckets older than the watermark are
+    * finalized and evicted, so state size is O(keys × buckets-in-flight)
+    * regardless of stream length. */
+  def bucketCounts(source: DataFrame, timeCol: String, bucket: String,
+      watermark: String, keys: Seq[String]): DataFrame =
+    source
+      .withWatermark(timeCol, watermark)
+      .groupBy(keys.map(col) :+ window(col(timeCol), bucket).as("__w"): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(keys.map(col) ++ Seq(
+        col("__w.start").cast("timestamp_ntz").as("bucket_start"),
+        col("n")): _*)
+
+  /** Continuous aggregate (the TimescaleDB continuous-aggregate shape the
+    * reference's `time_bucket` users downsample with): maintain the
+    * bucketed counts of [[bucketCounts]] in a [[GraftTable]] whose dedup
+    * keys are (bucket_start, key). Update-mode emission re-sends a bucket's
+    * row whenever late-but-inside-watermark data changes it; each emission
+    * is appended as a NEW VERSION, and the merge-on-read keep-greatest view
+    * resolves to the latest count — late data corrects buckets in place,
+    * with full version history until compaction.
+    *
+    * The table's dedup tiebreak is stamped per micro-batch from the
+    * checkpoint (same replay-idempotence contract as
+    * [[StreamingIngest.start]]). */
+  def continuousAggregate(source: DataFrame, table: GraftTable,
+      timeCol: String, bucket: String, watermark: String, key: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      stamp: Option[Long => java.time.LocalDateTime] = None): StreamingQuery =
+    bucketCounts(source, timeCol, bucket, watermark, Seq(key))
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val st = stamp.map(_(batchId))
+          .getOrElse(StreamingIngest.persistedStamp(table, checkpoint, batchId))
+        table.append(
+          batch.select(
+            col(key).as("project_id"),
+            col("bucket_start").as("timestamp"),
+            col(key).as("id"),
+            col("n")),
+          Some(st))
+      }
+      .start()
+
+  /** One closed session: [start, end] plus its event count. */
+  case class Session(key: String, session_start: Timestamp,
+      session_end: Timestamp, n: Long)
+
+  // encoder targets; public because Spark's generated (de)serializer code
+  // lives outside this object and cannot touch private classes
+  case class Ev(key: String, ts: Timestamp)
+  case class OpenSession(start: Long, end: Long, n: Long)
+
+  /** Event-time session windows via `flatMapGroupsWithState` — the
+    * streaming counterpart of q41 (batch `session_window`), and the brief's
+    * "custom state" requirement exercised for real: state per key is the
+    * set of OPEN sessions (merged under the gap rule as batches arrive;
+    * out-of-order arrivals inside the watermark merge/bridge sessions
+    * exactly like the batch operator), and a session is emitted only once
+    * its quiet period has passed the watermark — either on a later batch
+    * for the same key or on the event-time timeout for idle keys. State is
+    * O(open sessions per key); closed sessions leave state immediately. */
+  def sessionize(source: DataFrame, keyCol: String, timeCol: String,
+      gapMillis: Long, watermark: String): Dataset[Session] = {
+    val spark = source.sparkSession
+    import spark.implicits._
+
+    def fn(key: String, evs: Iterator[Ev],
+        state: GroupState[List[OpenSession]]): Iterator[Session] = {
+      val wm = state.getCurrentWatermarkMs()
+      val merged = {
+        val incoming = evs.map(e => OpenSession(e.ts.getTime, e.ts.getTime, 1L))
+        val all = (state.getOption.getOrElse(Nil) ++ incoming)
+          .sortBy(s => (s.start, s.end))
+        // fold sessions whose gap-extended ranges overlap; STRICT < matches
+        // Spark's session_window (an event at exactly end+gap opens a new
+        // session), which keeps q41 and this operator interchangeable
+        all.foldLeft(List.empty[OpenSession]) {
+          case (head :: tail, s) if s.start < head.end + gapMillis =>
+            OpenSession(head.start, math.max(head.end, s.end),
+              head.n + s.n) :: tail
+          case (acc, s) => s :: acc
+        }.reverse
+      }
+      // close once the watermark REACHES end+gap: no event before wm can
+      // arrive anymore, and an event at exactly end+gap would not merge —
+      // also guarantees every remaining open session satisfies
+      // end+gap > wm, which setTimeoutTimestamp requires
+      val (closed, open) = merged.partition(_.end + gapMillis <= wm)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(open)
+        // wake this key when its oldest open session's quiet period can
+        // next close (watermark-driven event-time timeout)
+        state.setTimeoutTimestamp(open.map(_.end).min + gapMillis)
+      }
+      closed.iterator.map(s =>
+        Session(key, new Timestamp(s.start), new Timestamp(s.end), s.n))
+    }
+
+    source
+      // project/cast BEFORE the watermark: a cast after withWatermark mints
+      // a fresh attribute without the watermark tag, and event-time timeout
+      // then rejects the plan
+      .select(col(keyCol).cast("string").as("key"),
+        col(timeCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+      .as[Ev]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

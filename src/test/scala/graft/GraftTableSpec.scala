@@ -134,6 +134,29 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.readRaw().count() == after.length)
   }
 
+  test("compacted-only snapshot reads windowless; a fresh append re-arms dedup") {
+    val t = freshTable()
+    t.append(sampleRows(80), t0(0))
+    t.update(col("id") === "row-3", Map("name" -> lit("u1")), t0(1))
+    t.delete(col("id") === "row-9", t0(2))
+    t.compact()
+    // the base was materialized by dedup+tombstone-filter, so the resolved
+    // read must skip the window shuffle: ORDER BY ts DESC LIMIT k over a
+    // compacted snapshot then plans as TakeOrderedAndProject over the scan
+    val plan = t.readResolved().queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"),
+      s"compacted-only read must carry no dedup window:\n$plan")
+    val topk = t.readResolved().orderBy(col("timestamp").desc).limit(5)
+      .queryExecution.executedPlan.toString
+    assert(topk.contains("TakeOrderedAndProject"), topk)
+    // a post-compaction append brings version conflicts back into scope
+    t.append(sampleRows(81).filter(col("id") === "row-80"), t0(3))
+    val plan2 = t.readResolved().queryExecution.optimizedPlan.toString
+    assert(plan2.contains("Window"),
+      "append after compaction must re-arm the dedup window")
+    assert(t.readResolved().count() == 80) // 80 live + 1 new - 1 tombstoned
+  }
+
   test("appends committed during/after compaction stay visible; vacuum reclaims") {
     import spark.implicits._
     val t = freshTable()

@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.schema.TableSchemas
+import graft.sources.GraftTable
+import graft.streaming.StreamingAnalytics
+
+/** Streaming analytics: watermarked windowed aggregation, the MOR-backed
+  * continuous aggregate (late data corrects buckets through keep-greatest
+  * versions), and flatMapGroupsWithState sessionization closing sessions on
+  * both the new-batch and the event-time-timeout path.
+  */
+class StreamingAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def evs(rows: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("key", "t")
+      .select(col("key"), col("t").cast("timestamp").as("ts"))
+  }
+
+  private def appendFile(dir: String, df: DataFrame): Unit =
+    df.coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+
+  private def fileStream(dir: String): DataFrame =
+    spark.readStream
+      .schema(evs(Seq(("k", "2024-03-01 00:00:00"))).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+  test("streaming bucket counts equal the batch groupBy on the same data") {
+    val src = tmp("graft_bkt_src_")
+    val data = Seq(
+      ("a", "2024-03-01 10:00:05"), ("a", "2024-03-01 10:00:55"),
+      ("a", "2024-03-01 10:01:10"), ("b", "2024-03-01 10:00:30"),
+      ("b", "2024-03-01 10:02:59"))
+    appendFile(src, evs(data))
+    val q = StreamingAnalytics.bucketCounts(fileStream(src), "ts", "1 minute",
+        "10 seconds", Seq("key"))
+      .writeStream.format("memory").queryName("bkt")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("bkt").orderBy("key", "bucket_start")
+      .collect().map(r => (r.getString(0), r.get(1).toString, r.getLong(2)))
+    val want = evs(data)
+      .groupBy(col("key"),
+        date_trunc("minute", col("ts")).cast("timestamp_ntz").as("bucket_start"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("key", "bucket_start")
+      .collect().map(r => (r.getString(0), r.get(1).toString, r.getLong(2)))
+    assert(got.sameElements(want), s"${got.toSeq} vs ${want.toSeq}")
+  }
+
+  test("continuous aggregate: late in-watermark data corrects buckets as new versions") {
+    val src = tmp("graft_cagg_src_")
+    val ckpt = tmp("graft_cagg_ckpt_")
+    val table = new GraftTable(spark, tmp("graft_cagg_tbl_"),
+      TableSchemas.bucketCounts)
+    val stamp = (bid: Long) =>
+      java.time.LocalDateTime.of(2024, 3, 2, 0, 0).plusMinutes(bid)
+    val q = StreamingAnalytics.continuousAggregate(fileStream(src), table,
+      "ts", "1 minute", "1 hour", "key", ckpt, stamp = Some(stamp))
+    try {
+      appendFile(src, evs(Seq(
+        ("a", "2024-03-01 10:00:05"), ("a", "2024-03-01 10:00:20"),
+        ("b", "2024-03-01 10:00:40"))))
+      q.processAllAvailable()
+      val r1 = table.readResolved().select("id", "n").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(r1 == Map("a" -> 2L, "b" -> 1L))
+
+      // a LATE event for a's 10:00 bucket (inside the 1h watermark): update
+      // mode re-emits the bucket, the append makes it a new version, and
+      // keep-greatest resolves to the corrected count
+      appendFile(src, evs(Seq(("a", "2024-03-01 10:00:50"))))
+      q.processAllAvailable()
+      val r2 = table.readResolved().select("id", "n").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(r2 == Map("a" -> 3L, "b" -> 1L),
+        s"late data must correct the bucket in place: $r2")
+      assert(table.readRaw().filter(col("id") === "a").count() == 2,
+        "the correction must be a second VERSION of the bucket row")
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions via later batches and event-time timeout") {
+    val src = tmp("graft_sess_src_")
+    val q = StreamingAnalytics.sessionize(fileStream(src), "key", "ts",
+        gapMillis = 60000L, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // b1: u1 has two events inside one gap; u2 one event
+      appendFile(src, evs(Seq(
+        ("u1", "2024-03-01 10:00:00"), ("u1", "2024-03-01 10:00:30"),
+        ("u2", "2024-03-01 10:00:00"))))
+      q.processAllAvailable()
+      // b2: u1 starts a second session much later -> advances the watermark
+      appendFile(src, evs(Seq(("u1", "2024-03-01 10:30:00"))))
+      q.processAllAvailable()
+      // b3: one more u1 event; during this batch the watermark (10:29:50)
+      // closes u1's first session on the new-batch path and u2's only
+      // session on the TIMEOUT path (u2 receives no events here)
+      appendFile(src, evs(Seq(("u1", "2024-03-01 10:31:00"))))
+      q.processAllAvailable()
+
+      val got = spark.table("sess")
+        .select("key", "session_start", "session_end", "n").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3))).toSet
+      assert(got.contains(
+        ("u1", "2024-03-01 10:00:00.0", "2024-03-01 10:00:30.0", 2L)),
+        s"u1's first session must close via the later-batch path: $got")
+      assert(got.contains(
+        ("u2", "2024-03-01 10:00:00.0", "2024-03-01 10:00:00.0", 1L)),
+        s"u2's session must close via the event-time timeout: $got")
+      assert(!got.exists(s => s._1 == "u1" && s._2.startsWith("2024-03-01 10:3")),
+        "u1's second session is still open and must not be emitted")
+    } finally q.stop()
+  }
+}

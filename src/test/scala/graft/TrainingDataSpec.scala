@@ -112,6 +112,24 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"ANN recall $recall")
   }
 
+  test("cosine near-dup pairs match brute force exactly on the planted corpus") {
+    val corpus = graft.queries.TrainingData.nearDupCorpus(spark, sf)
+    val exact = corpus.as("a").join(corpus.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", VectorSearch.cosine(col("a.v"), col("b.v"), 64))
+      .filter(col("cos") >= 0.9)
+      .select(col("a.vec_id"), col("b.vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorSearch.cosineNearDupPairs(corpus, "vec_id", "v", 64, 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "planted corpus must contain near-dup pairs")
+    // at the planted margin (pair cosine ≈0.997 → per-table collision ≈0.86,
+    // 8 independent tables → miss ≈1e-7) LSH recall is exactly 1, and the
+    // exact-cosine verify step makes precision exactly 1 by construction
+    assert(lsh == exact, s"expected ${exact.size} pairs, got ${lsh.size}")
+  }
+
   test("brute-force top-k self-consistency: rank 1 has max cosine") {
     val res = VectorSearch.bruteForceTopK(embs, embs.filter(col("vec_id") === 7),
       "vec_id", "embedding", 5, 64).orderBy("rank").collect()
