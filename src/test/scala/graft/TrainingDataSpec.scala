@@ -112,6 +112,31 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"ANN recall $recall")
   }
 
+  test("sign_signature matches the zip_with/aggregate fold bit for bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val planes = Seq.fill(12)(Array.fill(64)(rnd.nextGaussian()))
+    val vecs = Seq.fill(200)(Seq.fill(64)(rnd.nextFloat() * 2 - 1)).toDF("v")
+    val planesLit = typedLit(planes.map(_.toSeq))
+    val lambda = (0 until 12).map { j =>
+      val proj = aggregate(zip_with(col("v"), element_at(planesLit, j + 1),
+        (x, p) => x.cast("double") * p), lit(0.0), (acc, x) => acc + x)
+      shiftleft(when(proj >= 0, 1L).otherwise(0L), j)
+    }.reduce(_ bitwiseOR _)
+    val mism = vecs.select(
+        graft.functions.SignSignature(col("v"), planes).as("fast"),
+        lambda.as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(mism == 0)
+    // a null element poisons every plane's dot -> all bits 0, like the
+    // lambda fold's null propagation
+    val sig = spark.sql(
+      "SELECT array(cast(1.0 as float), cast(null as float)) AS v")
+      .select(graft.functions.SignSignature(col("v"),
+        Seq(Array(1.0, 1.0))).as("s")).head().getLong(0)
+    assert(sig == 0L)
+  }
+
   test("cosine near-dup pairs match brute force exactly on the planted corpus") {
     val corpus = graft.queries.TrainingData.nearDupCorpus(spark, sf)
     val exact = corpus.as("a").join(corpus.as("b"),
