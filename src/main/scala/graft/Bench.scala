@@ -107,11 +107,29 @@ object Bench {
       val under = try {
         Thread.sleep(1500) // let a few micro-batch commits land first
         Seq.fill(5)(q()).sorted.apply(2)
-      } finally { sq.stop(); sq.awaitTermination() }
+      } finally {
+        // stop() interrupts a mid-flight micro-batch; that batch may then
+        // log its interruption asynchronously. Swallow here — the JSON line
+        // below must stay the last, uncorrupted line of output (r03's bench
+        // record was unparseable because this race splattered a stack trace
+        // over stdout).
+        try { sq.stop(); sq.awaitTermination(10000L) }
+        catch { case _: Throwable => }
+      }
       (rps, idle, under)
     } catch { case e: Throwable => e.printStackTrace(); (-1.0, -1.0, -1.0) }
 
+    // Quiesce completely BEFORE printing the record: any straggler stream,
+    // then the session itself, then a grace period for async executor /
+    // shutdown-hook logging to finish writing. Only then emit the one JSON
+    // line the driver parses, as the final output of the process.
+    try spark.streams.active.foreach { s =>
+      try { s.stop(); s.awaitTermination(10000L) } catch { case _: Throwable => }
+    } catch { case _: Throwable => }
+    try spark.stop() catch { case _: Throwable => }
+    Thread.sleep(750)
+    System.out.flush(); System.err.flush()
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"ingest_rows_per_sec":${ingest.round},"query_idle_ms":${idleMs.round},"query_under_ingest_ms":${underMs.round},"queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    System.out.flush()
   }
 }
