@@ -46,7 +46,8 @@ object Bench {
     // call, memoized per scale dir) — BASELINE latencies are measured
     // against pre-loaded tables, and the write path is measured separately
     // as ingest throughput below.
-    Seq("q01_pricing_summary", "q34_variant_table", "q36_count_fastpath")
+    Seq("q01_pricing_summary", "q34_variant_table", "q36_count_fastpath",
+      "q49_text_prefilter", "q50_logical_count")
       .foreach(run)
     // SPARK_GRAFT_ONLY=q42_ann_ivf,q29_ann_lsh → time just those (iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

@@ -32,6 +32,31 @@ object TrainingData {
     base.unionByName(dups)
   }
 
+  /** Documents written THROUGH the storage engine (append → compact →
+    * trigram text index), one build per scale dir per JVM: project = lang,
+    * content = text + a language tag token (so a tag-scoped query has
+    * provably prunable files), synthetic per-doc event times. */
+  private val docStoreBuilt = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def docStore(s: SparkSession, dir: String): graft.sources.GraftTable = {
+    val root = docStoreBuilt.getOrElseUpdate(dir, {
+      val r = java.nio.file.Files.createTempDirectory("graft_docstore_").toString
+      val t = new graft.sources.GraftTable(s, r, graft.schema.TableSchemas.docStore)
+      t.append(Tables.documents(s, dir).select(
+        col("lang").as("project_id"),
+        (lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+          + expr("make_interval(0, 0, 0, 0, 0, doc_id, 0)")).as("timestamp"),
+        col("doc_id").cast("string").as("id"),
+        col("source").as("name"),
+        concat(col("text"), lit(" tag_"), col("lang")).as("content")),
+        Some(java.time.LocalDateTime.of(2024, 6, 1, 0, 0)))
+      t.compact()
+      t.buildTextIndex("content")
+      r
+    })
+    new graft.sources.GraftTable(s, root, graft.schema.TableSchemas.docStore)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact dedup (hash-groupBy) --------------------------------------
     "q24_dedup_exact" -> { (s, dir) =>
@@ -152,6 +177,20 @@ object TrainingData {
           TextAnalysis.tokenCountWs(col("text")).as("n_ws"),
           TextAnalysis.tokenCountBpe(col("text")).as("n_bpe"))
         .orderBy("doc_id")
+    },
+
+    // ---- trigram-indexed full-text search (S3/J2, tantivy-sidecar
+    // replacement) through the doc_store table: documents written via the
+    // storage engine, compacted, trigram-indexed, then text_match-searched
+    // with file-level pruning. Content carries a per-language tag token so
+    // the "tag_zh vector dup" query provably prunes the other languages'
+    // files; the candidate files still evaluate the real predicate, so the
+    // oracle replay from raw parquet must match exactly.
+    "q49_text_prefilter" -> { (s, dir) =>
+      docStore(s, dir)
+        .textSearch("content", "tag_zh vector dup")
+        .select(col("project_id"), col("id"))
+        .orderBy("id")
     },
 
     // ---- fingerprinting (min-sketch of char 8-gram hashes) -------------------
@@ -290,6 +329,14 @@ object TrainingData {
            |   + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
            |        THEN 1.0 ELSE 0.5 END) * 0.25, 6) AS quality
            |FROM m ORDER BY doc_id""".stripMargin,
+
+      "q49_text_prefilter" ->
+        """SELECT lang AS project_id, CAST(doc_id AS VARCHAR) AS id
+          |FROM documents
+          |WHERE contains(lower(text || ' tag_' || lang), 'tag_zh')
+          |  AND contains(lower(text || ' tag_' || lang), 'vector')
+          |  AND contains(lower(text || ' tag_' || lang), 'dup')
+          |ORDER BY CAST(doc_id AS VARCHAR)""".stripMargin,
 
       "q32_token_count" ->
         s"""SELECT doc_id,

@@ -36,9 +36,12 @@ object VariantTable {
     * version stamps), so q34/q35 share the written table. */
   private val built = scala.collection.concurrent.TrieMap[String, String]()
 
-  private def fixture(s: SparkSession, dir: String): DataFrame =
+  private def fixtureTable(s: SparkSession, dir: String): GraftTable =
     new GraftTable(s, built.getOrElseUpdate(dir, build(s, dir)),
-      TableSchemas.otelLogsAndSpans).readResolved()
+      TableSchemas.otelLogsAndSpans)
+
+  private def fixture(s: SparkSession, dir: String): DataFrame =
+    fixtureTable(s, dir).readResolved()
 
   private def build(s: SparkSession, dir: String): String = {
     val root = Files.createTempDirectory("graft_variant_").toString
@@ -115,6 +118,18 @@ object VariantTable {
         .orderBy("level")
     },
 
+    // BASELINE recent_page shape via the bounded top-k (T1): ORDER BY
+    // timestamp DESC LIMIT 100 over the resolved view, scanning only the
+    // newest date partitions (GraftTable.recentPage widens geometrically
+    // until 100 rows survive resolution — the reference's early-terminating
+    // TopK, ordered_union_for_topk.rs, rendered at the partition level)
+    "q48_recent_page" -> { (s, dir) =>
+      fixtureTable(s, dir)
+        .recentPage(100, Seq(col("id").desc))
+        .select(col("project_id"), col("id"), col("name"), col("level"),
+          col("timestamp"))
+    },
+
     // distinct_on_variant.slt shape: DISTINCT ON (project_id) latest row,
     // outer projection reading variant columns from the deduped subquery
     "q35_variant_distinct_on" -> { (s, dir) =>
@@ -165,6 +180,16 @@ object VariantTable {
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q48_recent_page" ->
+      """SELECT CAST(user_id % 5 AS VARCHAR) AS project_id,
+        | CAST(event_id AS VARCHAR) AS id,
+        | event_type AS name,
+        | CASE WHEN event_type = 'error' THEN 'FATAL' ELSE 'INFO' END AS level,
+        | CAST(ts AS TIMESTAMP) AS timestamp
+        |FROM events
+        |ORDER BY CAST(ts AS TIMESTAMP) DESC, CAST(event_id AS VARCHAR) DESC
+        |LIMIT 100""".stripMargin,
 
     "q35_variant_distinct_on" ->
       """WITH ranked AS (

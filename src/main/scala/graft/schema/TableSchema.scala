@@ -108,6 +108,25 @@ object TableSchemas {
       StructField("deleted", BooleanType)
     )))
 
+  /** Document store for the training-data pipeline: free-text `content`
+    * is dictionary-disabled (the reference's high-entropy opt-out,
+    * `otel_logs_and_spans.yaml:230-233`) and carries the trigram text
+    * index ([[graft.sources.GraftTable.buildTextIndex]], the tantivy-
+    * sidecar replacement). */
+  val docStore: TableSchema = TableSchema(
+    name = "doc_store",
+    schema = StructType(Seq(
+      StructField("project_id", StringType, nullable = true),
+      StructField("date", DateType, nullable = true),
+      StructField("timestamp", TimestampNTZType, nullable = false),
+      StructField("id", StringType, nullable = false),
+      StructField("name", StringType),
+      StructField("content", StringType),
+      StructField("updated_at", TimestampNTZType),
+      StructField("deleted", BooleanType)
+    )),
+    dictionaryDisabledColumns = Seq("content"))
+
   /** Minimal merge-on-read fixture — field order, types, and nullability
     * mirror `schemas/mor_versioned.yaml` exactly (SchemaYamlSpec pins the
     * equivalence against the loaded file). */

@@ -64,7 +64,14 @@ object GraftTable {
 class GraftTable(
     val spark: SparkSession,
     val root: String,
-    val meta: TableSchema) {
+    val meta: TableSchema,
+    /** Maintain the incremental logical-count chain (A6, reference
+      * `src/logical_count_index.rs`): every write also records the exact
+      * resolved row count, so `COUNT(*)` on an UNcompacted snapshot is a
+      * directory listing instead of a full dedup-window scan. Costs one
+      * bounded key-column join per append (against the touched date
+      * partitions only), so it is opt-in like the reference's index. */
+    val maintainCountIndex: Boolean = false) {
 
   private val path = s"$root/${meta.name}"
   private val commitsDir = s"$path/_commits"
@@ -166,9 +173,11 @@ class GraftTable(
     * insert schema check). */
   private def conform(df: DataFrame,
       versionTime: Option[java.time.LocalDateTime]): DataFrame = {
-    val stamp: Column = versionTime
-      .map(t => lit(t.toString).cast("timestamp_ntz"))
-      .getOrElse(now().cast("timestamp_ntz"))
+    // default stamp is captured on the DRIVER, not via now(): same
+    // semantics (now() is per-query-constant anyway), but the exact stamp
+    // value is known to the writer — the count-index chain guard needs it
+    val stamp: Column = lit(versionTime.getOrElse(driverNow()).toString)
+      .cast("timestamp_ntz")
     val stamped = df
       .withColumn(meta.dedupTiebreak, stamp)
       .withColumn("date", to_date(col(meta.timeColumn)))
@@ -207,13 +216,19 @@ class GraftTable(
     (bloom ++ dict).toMap
   }
 
+  private def driverNow(): java.time.LocalDateTime =
+    java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+      .truncatedTo(java.time.temporal.ChronoUnit.MICROS)
+
   /** Append a batch as a new committed version. `versionTime` is injectable
     * for deterministic tests and idempotent streaming replays (the
     * reference's virtual-clock trick, `src/functions.rs:465-474`). */
   def append(df: DataFrame,
       versionTime: Option[java.time.LocalDateTime] = None): Unit = {
+    val stamp = versionTime.getOrElse(driverNow())
+    val delta = if (maintainCountIndex) countDelta(df, stamp) else None
     val v = currentVersion() + 1
-    conform(df, versionTime)
+    conform(df, Some(stamp))
       // co-locate each (project_id, date) before writing: without this,
       // every task writes a file into every partition directory (tasks ×
       // dirs small files); with it, files per dir ≈ 1 and the
@@ -227,7 +242,93 @@ class GraftTable(
       .partitionBy(meta.partitions: _*)
       .parquet(versionDir(v))
     commit(v)
+    delta.foreach { case (prev, d) =>
+      writeCountMarker(v, prev + d, stampMicros(stamp))
+    }
   }
+
+  // --------------------------------------------------- logical count (A6) --
+
+  private def countsDir = s"$path/_counts"
+
+  private def stampMicros(t: java.time.LocalDateTime): Long =
+    t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+      t.getNano / 1000L
+
+  /** Latest count marker: (version, resolvedCount, maxStampMicros) — all
+    * encoded in the marker NAME (`_c00007.12345.1717200000000000`), so a
+    * lookup is one directory listing, like the commit log itself. */
+  private def countMarker(): Option[(Int, Long, Long)] = {
+    val dir = new Path(countsDir)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).map(_.getPath.getName).toSeq
+      .filter(_.startsWith("_c"))
+      .flatMap(n => n.drop(2).split("\\.") match {
+        case Array(v, c, s) => Some((v.toInt, c.toLong, s.toLong))
+        case _ => None
+      })
+      .sortBy(_._1).lastOption
+  }
+
+  private def writeCountMarker(v: Int, count: Long, maxStamp: Long): Unit = {
+    fs.mkdirs(new Path(countsDir))
+    fs.create(new Path(countsDir, f"_c$v%05d.$count%d.$maxStamp%d"), false)
+      .close()
+  }
+
+  /** The exact resolved-count delta this batch will cause, or None when
+    * the chain cannot be safely advanced. The keep-greatest window makes a
+    * batch row win against prior versions only when its stamp is strictly
+    * newer than theirs — so the chain requires strictly increasing append
+    * stamps (recorded as maxStamp; an out-of-order `versionTime` breaks
+    * the chain and COUNT falls back to the window — never wrong, only
+    * slower). The join touches only the batch's own date partitions:
+    * identities are date-local (`date = to_date(time)`, time ∈ dedupKeys),
+    * so at 100 TB an append's maintenance cost is bounded by the trailing
+    * day(s) it writes, not the table. */
+  private def countDelta(df: DataFrame,
+      stamp: java.time.LocalDateTime): Option[(Long, Long)] = {
+    val prev = countMarker() match {
+      case None if currentVersion() == 0 => Some((0L, Long.MinValue))
+      case Some((v, c, s)) if v == currentVersion() => Some((c, s))
+      case _ => None // chain broken by an unmaintained write
+    }
+    prev.flatMap { case (prevCount, maxStamp) =>
+      if (stampMicros(stamp) <= maxStamp) None
+      else {
+        import spark.implicits._
+        val keyCols = meta.dedupKeys.map(col)
+        // within-batch resolution: equal stamps all round, so the window's
+        // tombstone-desc tie rule collapses to "a delete wins"
+        val batch = df
+          .withColumn("__del", meta.tombstoneColumn
+            .filter(df.columns.contains) // input may omit it (conform defaults)
+            .map(t => coalesce(col(t).cast("boolean"), lit(false)))
+            .getOrElse(lit(false)))
+          .groupBy(keyCols: _*).agg(max(col("__del")).as("__del"))
+        val dates = df.select(to_date(col(meta.timeColumn)).cast("string"))
+          .distinct().as[String].collect().toSeq
+        val priorLive = resolvedOn(dates)
+          .select(keyCols: _*).withColumn("__prior", lit(true))
+        val d = batch.join(priorLive, meta.dedupKeys, "left")
+          .select(sum(
+            when(!col("__del") && col("__prior").isNull, 1L)
+              .when(col("__del") && col("__prior") === true, -1L)
+              .otherwise(0L)).as("d"))
+          .as[Option[Long]].head().getOrElse(0L)
+        Some((prevCount, d))
+      }
+    }
+  }
+
+  /** Exact resolved row count from the marker chain — valid only when the
+    * chain reaches the current snapshot. */
+  def logicalCount(): Option[Long] =
+    countMarker().filter(_._1 == currentVersion()).map(_._2)
+
+  /** `COUNT(*)` of the resolved view: marker chain when intact, dedup
+    * window otherwise. */
+  def countRows(): Long = logicalCount().getOrElse(readResolved().count())
 
   // --------------------------------------------------------------- read --
 
@@ -302,6 +403,64 @@ class GraftTable(
     tombstoneFilter(dedup(
       readRaw().unionByName(conform(pending, Some(pendingTime)))))
 
+  /** Distinct `date=` partition values across the visible snapshot, newest
+    * first — a driver-side directory listing (two levels deep, no file
+    * reads), the same metadata the reference's routing layer consults when
+    * deriving a scan's time window. */
+  private def partitionDates(dirs: Seq[String]): Seq[String] =
+    dirs.flatMap { d =>
+      val p = new Path(d)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).filter(_.isDirectory).toSeq.flatMap(proj =>
+        fs.listStatus(proj.getPath).map(_.getPath.getName).toSeq
+          .filter(_.startsWith("date=")).map(_.stripPrefix("date=")))
+    }.distinct.sorted.reverse
+
+  /** The resolved view restricted to a set of date partitions. The
+    * restriction is applied to the RAW union (where `date` is a partition
+    * column, so directories prune before IO) and is exact: `date` derives
+    * from the time column, which is a dedup key, so every version of an
+    * identity lives in one date partition and the window never needs rows
+    * outside the selected dates. */
+  private def resolvedOn(dates: Seq[String]): DataFrame = {
+    val cs = commits()
+    val dirs = visibleDirs(cs)
+    val raw = rawFrom(dirs).filter(col("date").isin(dates: _*))
+    val compactedOnly = cs.lastOption.exists(c =>
+      c.baseOf.isDefined && dirs == Seq(versionDir(c.v)))
+    if (compactedOnly) raw else tombstoneFilter(dedup(raw))
+  }
+
+  /** Recent-page top-k (T1, the reference's
+    * `optimizers/ordered_union_for_topk.rs` early-terminating TopK):
+    * `ORDER BY <time> DESC [, tieBreak…] LIMIT k` over the resolved view,
+    * scanning only the newest date partitions that can contain the answer.
+    *
+    * Spark's TakeOrderedAndProject already does the reference rule's
+    * per-leg local-limit (each scan partition keeps its own top-k before
+    * the single merge), but it cannot terminate a whole-window scan early
+    * the way the streaming SortPreservingMerge does — so the bounding
+    * happens one level up, at the partition-directory level: scan the
+    * newest date, and only if fewer than k rows survive resolution widen
+    * geometrically (1, 2, 4, … newest dates). Total work is ≤ 2× the
+    * final bounded scan; a dashboard "recent page" over years of
+    * partitions touches exactly the trailing day(s). `predicate` is
+    * applied above the dedup window (version-mutable columns allowed). */
+  def recentPage(k: Int, tieBreak: Seq[Column] = Nil,
+      predicate: Column = lit(true)): DataFrame = {
+    val order = col(meta.timeColumn).desc +: tieBreak
+    def page(df: DataFrame): DataFrame =
+      df.filter(predicate).orderBy(order: _*).limit(k)
+    val dates = partitionDates(visibleDirs(commits()))
+    var n = 1
+    while (n < dates.length) {
+      val sel = dates.take(n)
+      if (page(resolvedOn(sel)).count() >= k) return page(resolvedOn(sel))
+      n *= 2
+    }
+    page(readResolved())
+  }
+
   /** The single base directory when the current snapshot is exactly one
     * compacted version — the gate for metadata-only counts
     * ([[graft.plans.CountFastPath]]): a compacted snapshot IS the resolved
@@ -312,6 +471,79 @@ class GraftTable(
       .filter(_.baseOf.isDefined)
       .filter(last => visibleDirs(cs) == Seq(versionDir(last.v)))
       .map(last => versionDir(last.v))
+  }
+
+  // --------------------------------------------------------- text index --
+
+  private def textIndexDir(v: Int, column: String): String =
+    f"$path/_textindex/v$v%05d/$column"
+
+  /** All 3-grams of a (lowercased) string — the reference's `ngram3`
+    * tantivy tokenizer (`otel_logs_and_spans.yaml:100-101`), as a
+    * codegen'd array expression. Trigrams are the right unit for a
+    * SUBSTRING-match prefilter: if a document contains token `t` as a
+    * substring, every trigram of `t` is a contiguous substring of the
+    * document, so a file lacking any trigram of `t` provably has no hit. */
+  private def trigrams(c: Column): Column = {
+    val t = lower(c)
+    when(t.isNotNull && length(t) >= 3,
+      array_distinct(transform(sequence(lit(0), length(t) - 3),
+        i => t.substr(i + lit(1), lit(3)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Build the trigram→file inverted index over `column` for the current
+    * compaction base — the Spark-native rendering of the reference's
+    * tantivy file-pruning sidecar (S3, `src/tantivy_index/search.rs`, scan
+    * integration `src/database.rs:11650-11708`). One distributed pass:
+    * explode trigrams, distinct (gram, file), write parquet next to the
+    * data. Requires a compacted-only snapshot: compacted files ARE the
+    * resolved view, so later skipping hitless files cannot change which
+    * version of an identity survives the dedup window (the correctness
+    * trap a raw-version index would fall into). */
+  def buildTextIndex(column: String): Unit = {
+    val base = compactBaseDir().getOrElse(throw new IllegalStateException(
+      s"${meta.name}: text index requires a compacted-only snapshot"))
+    val v = currentVersion()
+    spark.read.schema(meta.schema).parquet(base)
+      .select(input_file_name().as("file"), col(column).as("t"))
+      .select(col("file"), explode(trigrams(col("t"))).as("gram"))
+      .distinct()
+      .write.mode(SaveMode.Overwrite).parquet(textIndexDir(v, column))
+  }
+
+  /** `text_match(column, query)` over the resolved view, file-pruned by
+    * the trigram index when one exists for the current compaction base
+    * (J2, the reference's FTS-hit semi-join). The index is a conservative
+    * prefilter — candidate files still evaluate the real predicate, so
+    * results are identical to the unindexed scan; only the IO differs.
+    * Index consultation is one small aggregation over (gram, file) pairs;
+    * only the matching file NAMES reach the driver (the reference
+    * collects the same pruned file list). Tokens shorter than 3 chars
+    * cannot prune (no trigram) and fall through to the full scan's
+    * predicate, which still enforces them. */
+  def textSearch(column: String, query: String): DataFrame = {
+    val full = readResolved()
+      .filter(graft.functions.F.text_match(col(column), query))
+    val grams = query.toLowerCase.split("\\s+").filter(_.length >= 3)
+      .flatMap(_.sliding(3)).distinct.toSeq
+    val indexed = for {
+      base <- compactBaseDir()
+      idx = textIndexDir(currentVersion(), column)
+      if grams.nonEmpty && fs.exists(new Path(idx))
+    } yield {
+      import spark.implicits._
+      val files = spark.read.parquet(idx)
+        .filter(col("gram").isin(grams: _*))
+        .groupBy("file").agg(count_distinct(col("gram")).as("n"))
+        .filter(col("n") === grams.length)
+        .select("file").as[String].collect().toSeq
+      if (files.isEmpty) full.limit(0)
+      else spark.read.option("basePath", base).schema(meta.schema)
+        .parquet(files: _*)
+        .filter(graft.functions.F.text_match(col(column), query))
+    }
+    indexed.getOrElse(full)
   }
 
   // ---------------------------------------------------------------- DML --
@@ -419,6 +651,23 @@ class GraftTable(
       .partitionBy(meta.partitions: _*)
       .parquet(versionDir(upTo + 1))
     commit(upTo + 1, baseOf = Some(upTo))
+    if (maintainCountIndex) {
+      val newV = upTo + 1
+      countMarker() match {
+        // compaction never changes the logical count — carry the chain over
+        case Some((v, c, s)) if v == upTo => writeCountMarker(newV, c, s)
+        // broken chain: the compacted base IS the resolved view, so one
+        // column-pruned pass over it (count + max stamp) RESTARTS the chain
+        case _ =>
+          val r = spark.read.schema(meta.schema).parquet(versionDir(newV))
+            .agg(count(lit(1)).as("c"),
+              max(col(meta.dedupTiebreak)).as("s"))
+            .head()
+          val maxStamp = Option(r.getAs[java.time.LocalDateTime]("s"))
+            .map(stampMicros).getOrElse(Long.MinValue)
+          writeCountMarker(newV, r.getAs[Long]("c"), maxStamp)
+      }
+    }
   }
 
   /** Remove version directories subsumed by the newest compaction base.

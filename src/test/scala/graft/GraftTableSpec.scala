@@ -263,6 +263,86 @@ class GraftTableSpec extends AnyFunSuite {
     } finally reader.close()
   }
 
+  test("logical count chain: maintained writes, breaks, compaction restart") {
+    val dir = Files.createTempDirectory("graft_lc_").toString
+    val t = new GraftTable(spark, dir, TableSchemas.morVersioned,
+      maintainCountIndex = true)
+    t.append(sampleRows(100), t0(0))
+    assert(t.logicalCount().contains(100L))
+    // duplicate identities: raw grows, logical count must not
+    t.append(sampleRows(100), t0(1))
+    assert(t.logicalCount().contains(100L))
+    t.update(col("id") === "row-3", Map("name" -> lit("u")), t0(2))
+    assert(t.logicalCount().contains(100L))
+    t.delete(col("name") === "name-1", t0(3)) // rows 1,5,9,… → 25 identities
+    assert(t.logicalCount().contains(75L))
+    assert(t.countRows() == t.readResolved().count())
+
+    // an out-of-order stamp can lose the keep-greatest race → the chain
+    // must refuse to advance, and countRows falls back to the window
+    t.append(sampleRows(10), t0(1))
+    assert(t.logicalCount().isEmpty)
+    assert(t.countRows() == t.readResolved().count())
+
+    // an unmaintained writer also breaks the chain (marker lags)
+    val plain = new GraftTable(spark, dir, TableSchemas.morVersioned)
+    plain.append(sampleRows(5), t0(10))
+    assert(t.logicalCount().isEmpty)
+
+    // compaction restarts the chain from the materialized resolved view…
+    t.compact()
+    val resolved = t.readResolved().count()
+    assert(t.logicalCount().contains(resolved))
+    // …and the chain advances incrementally again afterwards
+    t.delete(col("id") === "row-0", t0(11))
+    assert(t.logicalCount().contains(resolved - 1))
+  }
+
+  test("trigram text index prunes files; results identical to full scan") {
+    import spark.implicits._
+    val t = new GraftTable(spark,
+      Files.createTempDirectory("graft_text_").toString, TableSchemas.docStore)
+    // 4 tenants × 2 days; content vocabulary differs per tenant so a
+    // tenant-specific phrase has provably hitless files elsewhere
+    val docs = spark.range(160).select(
+      (col("id") % 4).cast("string").as("project_id"),
+      (lit("2024-05-01 00:00:00").cast("timestamp_ntz")
+        + expr("make_interval(0, 0, 0, id % 2, 0, id, 0)")).as("timestamp"),
+      concat(lit("d"), col("id")).as("id"),
+      lit("doc").as("name"),
+      concat(lit("common words here zebra_"), col("id") % 4,
+        lit(" plus filler text block "), col("id")).as("content"))
+    t.append(docs, t0(0))
+    t.compact()
+    t.buildTextIndex("content")
+
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("id").as[String].collect().toSeq.sorted
+    val brute = t.readResolved()
+      .filter(graft.functions.F.text_match(col("content"), "zebra_2 filler"))
+
+    val hit = t.textSearch("content", "zebra_2 filler")
+    assert(ids(hit) == ids(brute) && ids(hit).nonEmpty)
+    // file pruning is real: only tenant 2's files survive the gram join
+    val baseFiles = spark.read.schema(t.meta.schema)
+      .parquet(t.compactBaseDir().get).inputFiles.length
+    assert(hit.inputFiles.length < baseFiles,
+      s"read ${hit.inputFiles.length} of $baseFiles files")
+    // no candidate file at all → empty, not an error
+    assert(t.textSearch("content", "zebra_9 filler").count() == 0)
+    // short tokens can't prune but the predicate still enforces them
+    assert(ids(t.textSearch("content", "zebra_3 a")) ==
+      ids(t.readResolved()
+        .filter(graft.functions.F.text_match(col("content"), "zebra_3 a"))))
+
+    // an append AFTER indexing leaves the snapshot uncompacted: textSearch
+    // must fall back to the full resolved scan and see the new row
+    t.append(docs.filter(col("id") === "d0")
+      .withColumn("content", lit("fresh zebra_2 filler row")), t0(5))
+    val post = t.textSearch("content", "zebra_2 filler")
+    assert(ids(post).contains("d0") && post.count() == brute.count() + 1)
+  }
+
   test("project-id guard rejects unfiltered scans of guarded roots") {
     val t = freshTable()
     t.append(sampleRows(10), t0(0))

@@ -124,6 +124,47 @@ class PruningSpec extends AnyFunSuite {
     assert(q.count() == 48)
   }
 
+  test("recentPage scans only trailing dates, widens past tombstoned days") {
+    import spark.implicits._
+    val t = freshTable()
+    // 240 rows across 10 days × 3 tenants, one row per (day, minute)
+    val daily = spark.range(240).select(
+      (col("id") % 3).cast("string").as("project_id"),
+      (lit("2024-03-01 00:00:00").cast("timestamp_ntz")
+        + expr("make_interval(0, 0, 0, id % 10, 0, id, 0)")).as("timestamp"),
+      concat(lit("r"), col("id")).as("id"),
+      lit("n").as("name"))
+    t.append(daily, Some(java.time.LocalDateTime.of(2024, 4, 1, 0, 0)))
+
+    def brute(k: Int) = t.readResolved()
+      .orderBy(col("timestamp").desc, col("id").desc).limit(k)
+      .select("project_id", "id", "timestamp").as[(String, String, String)]
+      .collect().toSeq
+    def paged(k: Int) = t.recentPage(k, Seq(col("id").desc))
+      .select("project_id", "id", "timestamp").as[(String, String, String)]
+      .collect().toSeq
+
+    // k=20 fits inside the newest day (24 rows/day) → exactly one date dir
+    // scanned; result identical to the whole-table top-k
+    val page = t.recentPage(20, Seq(col("id").desc))
+    assert(paged(20) == brute(20))
+    val scan = scans(page).head
+    assert(scan.selectedPartitions.totalNumberOfFiles <
+      scan.relation.location.inputFiles.length / 5,
+      s"selected ${scan.selectedPartitions.totalNumberOfFiles} of " +
+        s"${scan.relation.location.inputFiles.length}")
+
+    // k=60 spans >2 days → geometric widening, still exact
+    assert(paged(60) == brute(60))
+
+    // tombstone the entire newest day: resolution leaves it empty, so the
+    // page must widen past it and still match the brute-force answer
+    t.delete(col("date") === "2024-03-10",
+      Some(java.time.LocalDateTime.of(2024, 4, 2, 0, 0)))
+    assert(paged(20) == brute(20))
+    assert(paged(20).forall(!_._3.startsWith("2024-03-10")))
+  }
+
   test("point-lookup id filter pushes below the dedup window to the reader") {
     val t = freshTable()
     t.append(rows(96), Some(java.time.LocalDateTime.of(2024, 4, 1, 0, 0)))
