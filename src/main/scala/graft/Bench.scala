@@ -46,8 +46,12 @@ object Bench {
     // call, memoized per scale dir) — BASELINE latencies are measured
     // against pre-loaded tables, and the write path is measured separately
     // as ingest throughput below.
-    Seq("q01_pricing_summary", "q34_variant_table", "q36_count_fastpath",
-      "q49_text_prefilter", "q50_logical_count")
+    // q51 first: its fixture runs a bounded streaming query whose state
+    // store / checkpoint maintenance threads linger briefly — the cheap
+    // warms after it absorb that residue so measured queries start clean
+    Seq("q51_streaming_continuous_agg", "q34_variant_table",
+      "q36_count_fastpath", "q49_text_prefilter", "q50_logical_count",
+      "q01_pricing_summary")
       .foreach(run)
     // SPARK_GRAFT_ONLY=q42_ann_ivf,q29_ann_lsh → time just those (iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

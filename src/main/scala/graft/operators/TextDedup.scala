@@ -81,17 +81,15 @@ object TextDedup {
     * multi-MiB nested-Column task binary whose codegen cost grows with the
     * corpus width. Returns (__id, __sig: array<bigint>). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int): DataFrame = {
-    val tokens = df
-      .select(col(idCol).as("__id"), explode(tokenSet(col(textCol))).as("__tok"))
-      .withColumn("__h", xxhash64(col("__tok")))
-    val aggs = (0 until numHashes).map { i =>
-      min(xxhash64(lit(i), col("__h"))).as(s"__m$i")
-    }
-    tokens.groupBy("__id").agg(aggs.head, aggs.tail: _*)
-      .select(col("__id"),
-        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("__sig"))
-  }
+      numHashes: Int): DataFrame =
+    // One codegen'd pass per document, NO explode/groupBy: the former
+    // explode → 96-column min-agg shape shuffled every (doc, token) row
+    // and paid agg machinery per hash column. Hash values are
+    // bit-identical (see MinHashSignature), and duplicate tokens need no
+    // dedup — they can never change a min.
+    df.select(col(idCol).as("__id"),
+      graft.functions.MinHashSignature(
+        split(lower(col(textCol)), "\\s+"), numHashes).as("__sig"))
 
   /** LSH candidate pairs: split the signature into `bands` bands of
     * `rowsPerBand`, bucket-join on (band index, band slice hash). Returns

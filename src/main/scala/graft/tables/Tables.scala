@@ -37,6 +37,19 @@ object Tables {
         org.apache.spark.sql.functions
           .expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
   }
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  /** The two training-pipeline corpora fan out to the cluster width
+    * before their (compute-heavy) consumers: the fixture files are a
+    * single parquet row group, so without this every per-document map
+    * stage — minhash signatures, fingerprints, simhash, quality scores —
+    * runs on ONE core regardless of cluster size. The repartition is one
+    * narrow shuffle of (id, text) / (id, vector); at production scale the
+    * table arrives in many row groups and Catalyst's AQE coalesces the
+    * then-redundant exchange to a near-no-op, while a pathologically
+    * merged input (one giant row group after an aggressive compaction)
+    * still fans out — the same reasoning as repartitioning before an
+    * expensive UDF stage. */
+  def documents(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings").repartition(s.sparkContext.defaultParallelism)
 }

@@ -16,6 +16,30 @@ class TrainingDataSpec extends AnyFunSuite {
   private def docs = Tables.documents(spark, sf)
   private def embs = Tables.embeddings(spark, sf)
 
+  test("codegen minhash/fingerprint match their declarative forms bit for bit") {
+    // MinHashSignature == min(xxhash64(i, xxhash64(tok))) per doc
+    val n = 16
+    val decl = docs.select(col("doc_id"),
+      transform(sequence(lit(0), lit(n - 1)), i =>
+        array_min(transform(split(lower(col("text")), "\\s+"),
+          t => xxhash64(i, xxhash64(t))))).as("sig"))
+    val fast = TextDedup.minhashSignatures(docs, "doc_id", "text", n)
+    val sigJoin = decl.join(fast, decl("doc_id") === fast("__id"))
+      .filter(not(col("sig") <=> col("__sig")))
+    assert(sigJoin.count() == 0, "minhash signatures diverged")
+
+    // RollingFingerprint == slice(array_sort(transform(…xxhash64(substr))),1,keep)
+    val declFp = slice(array_sort(transform(
+      sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
+      i => xxhash64(col("text").substr(i, lit(8))))), 1, 4)
+    import spark.implicits._
+    val edge = Seq("", "ab", "aaaaaaaaaaaa", "abcdefgh").toDF("text")
+    val fpDiff = docs.select(col("text")).union(edge)
+      .select(declFp.as("o"), TextAnalysis.fingerprint(col("text")).as("f"))
+      .filter(not(col("o") <=> col("f")))
+    assert(fpDiff.count() == 0, "fingerprints diverged")
+  }
+
   test("minhash LSH finds ≥95% of exact jaccard≥0.9 pairs, 100% precision") {
     val exact = TextDedup.jaccardPairs(docs, "doc_id", "text", Seq.empty, 0.9)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
