@@ -53,6 +53,11 @@ object Bench {
       "q36_count_fastpath", "q49_text_prefilter", "q50_logical_count",
       "q01_pricing_summary")
       .foreach(run)
+    // settle before measuring: collect the warm-up/fixture garbage now so
+    // it isn't collected in the middle of some arbitrary measured query
+    System.gc()
+    Thread.sleep(500)
+
     // SPARK_GRAFT_ONLY=q42_ann_ivf,q29_ann_lsh → time just those (iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.keys.toSeq.sorted

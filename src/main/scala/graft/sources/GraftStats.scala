@@ -30,7 +30,9 @@ object GraftStats {
         (t.meta.name, "current_version", c.toString),
         (t.meta.name, "compact_snapshot", t.compactBaseDir().isDefined.toString),
         (t.meta.name, "partitions", t.meta.partitions.mkString(",")),
-        (t.meta.name, "dedup_keys", t.meta.dedupKeys.mkString(",")))
+        (t.meta.name, "dedup_keys", t.meta.dedupKeys.mkString(",")),
+        (t.meta.name, "logical_count",
+          t.logicalCount().map(_.toString).getOrElse("")))
     }
     import spark.implicits._
     (session ++ perTable).toDF("component", "key", "value")

@@ -59,6 +59,12 @@ object GraftTable {
     * retained per table. */
   private val snapshotCache =
     scala.collection.concurrent.TrieMap[(Int, String), (String, org.apache.spark.sql.DataFrame)]()
+
+  /** Stale-lock threshold: a held lock is heartbeaten at TTL/6, so only a
+    * crashed writer's lock ever crosses it. */
+  val LockTtlMs = 60000L
+  /** How long a writer waits for the lock before giving up. */
+  val LockWaitMs = 120000L
 }
 
 class GraftTable(
@@ -86,10 +92,15 @@ class GraftTable(
 
   // ------------------------------------------------------------ commits --
 
-  /** One committed version: `baseOf = Some(k)` marks a compaction base that
-    * subsumes every version ≤ k. Encoded entirely in the marker NAME
-    * (`_v00007` / `_v00007.base.00005`) so listing needs no file reads. */
-  private case class Commit(v: Int, baseOf: Option[Int])
+  /** One committed version: `baseOf = Some(k)` marks a compaction base
+    * that subsumes every version ≤ k; `dates` is the version's event-date
+    * range (the Delta-checkpoint-stats role: [[recentPage]] derives the
+    * table's date set from markers alone instead of a fleet-wide
+    * project×date directory listing). Encoded entirely in the marker NAME
+    * (`_v00007`, `_v00007.base.00005`,
+    * `_v00007.dr.2024-03-01.2024-03-10`) so listing needs no file reads. */
+  private case class Commit(v: Int, baseOf: Option[Int],
+      dates: Option[(java.time.LocalDate, java.time.LocalDate)])
 
   private def commits(): Seq[Commit] = {
     val dir = new Path(commitsDir)
@@ -97,24 +108,50 @@ class GraftTable(
     else fs.listStatus(dir).map(_.getPath.getName).toSeq
       .filter(_.startsWith("_v"))
       .map { n =>
-        n.drop(2).split("\\.base\\.") match {
-          case Array(v) => Commit(v.toInt, None)
-          case Array(v, b) => Commit(v.toInt, Some(b.toInt))
+        val (core, dates) = n.drop(2).split("\\.dr\\.") match {
+          case Array(c) => (c, None)
+          case Array(c, dr) => dr.split("\\.") match {
+            case Array(lo, hi) => (c, Some((java.time.LocalDate.parse(lo),
+              java.time.LocalDate.parse(hi))))
+            case _ => (c, None)
+          }
+        }
+        core.split("\\.base\\.") match {
+          case Array(v) => Commit(v.toInt, None, dates)
+          case Array(v, b) => Commit(v.toInt, Some(b.toInt), dates)
         }
       }
       .sortBy(_.v)
   }
 
-  private def markerName(v: Int, baseOf: Option[Int]): String =
-    baseOf match {
+  private def markerName(v: Int, baseOf: Option[Int],
+      dates: Option[(java.time.LocalDate, java.time.LocalDate)]): String = {
+    val core = baseOf match {
       case None => f"_v$v%05d"
       case Some(b) => f"_v$v%05d.base.$b%05d"
     }
+    dates match {
+      case None => core
+      case Some((lo, hi)) => s"$core.dr.$lo.$hi"
+    }
+  }
 
-  private def commit(v: Int, baseOf: Option[Int] = None): Unit = {
+  private def commit(v: Int, baseOf: Option[Int] = None,
+      dates: Option[(java.time.LocalDate, java.time.LocalDate)] = None): Unit = {
     fs.mkdirs(new Path(commitsDir))
     // atomic create (fails if present) IS the commit
-    fs.create(new Path(commitsDir, markerName(v, baseOf)), false).close()
+    fs.create(new Path(commitsDir, markerName(v, baseOf, dates)), false).close()
+  }
+
+  /** Event-date range of one just-written version directory — a listing
+    * bounded by the BATCH's partitions (tenants × touched days), done once
+    * at write time so readers never need it. */
+  private def writtenDateRange(
+      dir: String): Option[(java.time.LocalDate, java.time.LocalDate)] = {
+    val ds = partitionDates(Seq(dir))
+    if (ds.isEmpty) None
+    else Some((java.time.LocalDate.parse(ds.last),
+      java.time.LocalDate.parse(ds.head)))
   }
 
   private def versionDir(v: Int): String = f"$path/v$v%05d"
@@ -122,16 +159,75 @@ class GraftTable(
   /** Highest committed version; 0 when the table is empty. */
   def currentVersion(): Int = commits().lastOption.map(_.v).getOrElse(0)
 
-  /** Data directories visible to a reader: the newest compaction base plus
-    * every append committed after that base's cut-off. */
-  private def visibleDirs(cs: Seq[Commit]): Seq[String] =
+  /** Commits visible to a reader: the newest compaction base plus every
+    * append committed after that base's cut-off. */
+  private def visibleCommits(cs: Seq[Commit]): Seq[Commit] =
     cs.filter(_.baseOf.isDefined).lastOption match {
-      case None => cs.map(c => versionDir(c.v))
+      case None => cs
       case Some(base) =>
-        versionDir(base.v) +:
-          cs.filter(c => c.baseOf.isEmpty && c.v > base.baseOf.get)
-            .map(c => versionDir(c.v))
+        base +: cs.filter(c => c.baseOf.isEmpty && c.v > base.baseOf.get)
     }
+
+  private def visibleDirs(cs: Seq[Commit]): Seq[String] =
+    visibleCommits(cs).map(c => versionDir(c.v))
+
+  /** Distinct candidate event dates of the visible snapshot, newest
+    * first — from marker date ranges when present (no filesystem walk; a
+    * range may include absent dates, which scan zero files), falling back
+    * to a per-version directory listing for markers that predate range
+    * recording. */
+  private def visibleDates(cs: Seq[Commit]): Seq[String] =
+    visibleCommits(cs).flatMap { c =>
+      c.dates match {
+        case Some((lo, hi)) =>
+          Iterator.iterate(hi)(_.minusDays(1)).takeWhile(!_.isBefore(lo))
+            .map(_.toString).toSeq
+        case None => partitionDates(Seq(versionDir(c.v)))
+      }
+    }.distinct.sorted.reverse
+
+  // --------------------------------------------------------- write lock --
+
+  private def lockPath = new Path(s"$path/_lock")
+
+  /** Single-writer exclusion (the reference's WAL flock, `src/wal.rs`):
+    * every write primitive (append / compact / vacuum) holds the table
+    * lock, taken by atomic marker creation. A heartbeat refreshes the
+    * lock's mtime while held, so a healthy long write (a multi-hour
+    * compaction at fleet scale) is never stolen, while a CRASHED writer's
+    * lock goes stale and is stolen after [[GraftTable.LockTtlMs]] —
+    * exactly the liveness/safety trade the reference's advisory flock
+    * makes. Readers never lock. */
+  private def withWriteLock[T](f: => T): T = {
+    val deadline = System.currentTimeMillis() + GraftTable.LockWaitMs
+    var locked = false
+    while (!locked) {
+      try {
+        fs.mkdirs(new Path(path))
+        fs.create(lockPath, false).close()
+        locked = true
+      } catch {
+        case _: java.io.IOException =>
+          val stale = try {
+            System.currentTimeMillis() -
+              fs.getFileStatus(lockPath).getModificationTime > GraftTable.LockTtlMs
+          } catch { case _: java.io.FileNotFoundException => false }
+          if (stale) fs.delete(lockPath, false) // steal; create() re-races
+          else if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"${meta.name}: timed out waiting for the table write lock")
+          else Thread.sleep(50)
+      }
+    }
+    val hb = new Thread(() =>
+      try while (!Thread.interrupted()) {
+        Thread.sleep(GraftTable.LockTtlMs / 6)
+        fs.setTimes(lockPath, System.currentTimeMillis(), -1)
+      } catch { case _: InterruptedException => })
+    hb.setDaemon(true)
+    hb.start()
+    try f finally { hb.interrupt(); fs.delete(lockPath, false) }
+  }
 
   // ------------------------------------------------------------- schema --
 
@@ -224,7 +320,7 @@ class GraftTable(
     * for deterministic tests and idempotent streaming replays (the
     * reference's virtual-clock trick, `src/functions.rs:465-474`). */
   def append(df: DataFrame,
-      versionTime: Option[java.time.LocalDateTime] = None): Unit = {
+      versionTime: Option[java.time.LocalDateTime] = None): Unit = withWriteLock {
     val stamp = versionTime.getOrElse(driverNow())
     val delta = if (maintainCountIndex) countDelta(df, stamp) else None
     val v = currentVersion() + 1
@@ -241,7 +337,7 @@ class GraftTable(
       .mode(SaveMode.Overwrite)
       .partitionBy(meta.partitions: _*)
       .parquet(versionDir(v))
-    commit(v)
+    commit(v, dates = writtenDateRange(versionDir(v)))
     delta.foreach { case (prev, d) =>
       writeCountMarker(v, prev + d, stampMicros(stamp))
     }
@@ -451,7 +547,7 @@ class GraftTable(
     val order = col(meta.timeColumn).desc +: tieBreak
     def page(df: DataFrame): DataFrame =
       df.filter(predicate).orderBy(order: _*).limit(k)
-    val dates = partitionDates(visibleDirs(commits()))
+    val dates = visibleDates(commits())
     var n = 1
     while (n < dates.length) {
       val sel = dates.take(n)
@@ -628,9 +724,12 @@ class GraftTable(
     * snapshot until the single atomic marker create, then the new one;
     * appends committed while the compaction ran stay visible (their
     * version exceeds the recorded cut-off). */
-  def compact(): Unit = {
+  def compact(): Unit = withWriteLock {
     val cs = commits()
-    if (cs.isEmpty) return
+    if (cs.nonEmpty) compactLocked(cs)
+  }
+
+  private def compactLocked(cs: Seq[Commit]): Unit = {
     val upTo = cs.last.v
     val snapshot = visibleDirs(cs)
       .map(d => spark.read.schema(meta.schema).parquet(d))
@@ -650,7 +749,8 @@ class GraftTable(
       .mode(SaveMode.Overwrite)
       .partitionBy(meta.partitions: _*)
       .parquet(versionDir(upTo + 1))
-    commit(upTo + 1, baseOf = Some(upTo))
+    commit(upTo + 1, baseOf = Some(upTo),
+      dates = writtenDateRange(versionDir(upTo + 1)))
     if (maintainCountIndex) {
       val newV = upTo + 1
       countMarker() match {
@@ -673,13 +773,13 @@ class GraftTable(
   /** Remove version directories subsumed by the newest compaction base.
     * Separate from [[compact]] so snapshots read before the swap stay
     * scannable until the operator chooses to reclaim them. */
-  def vacuum(): Unit = {
+  def vacuum(): Unit = withWriteLock {
     val cs = commits()
     cs.filter(_.baseOf.isDefined).lastOption.foreach { base =>
       cs.filter(c => c.v <= base.baseOf.get ||
           (c.baseOf.isDefined && c.v < base.v)).foreach { c =>
         fs.delete(new Path(versionDir(c.v)), true)
-        fs.delete(new Path(commitsDir, markerName(c.v, c.baseOf)), false)
+        fs.delete(new Path(commitsDir, markerName(c.v, c.baseOf, c.dates)), false)
       }
     }
   }

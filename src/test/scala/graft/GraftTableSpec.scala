@@ -263,6 +263,35 @@ class GraftTableSpec extends AnyFunSuite {
     } finally reader.close()
   }
 
+  test("write lock serializes concurrent appenders; stale locks are stolen") {
+    val dir = Files.createTempDirectory("graft_lock_").toString
+    // two INDEPENDENT table handles (as two writers would have) racing
+    // appends: without the lock both compute the same next version — one
+    // marker create fails and a batch is lost; with it, all 12 commit
+    val writers = (0 until 2).map(_ =>
+      new GraftTable(spark, dir, TableSchemas.morVersioned))
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = writers.zipWithIndex.map { case (w, wi) =>
+      new Thread(() =>
+        try (0 until 6).foreach { i =>
+          w.append(sampleRows(3), t0(wi * 6 + i))
+        } catch { case e: Throwable => errors.add(e) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"concurrent append failed: ${errors.peek()}")
+    assert(writers.head.currentVersion() == 12)
+    assert(writers.head.readRaw().count() == 36)
+
+    // a crashed writer's lock (stale mtime) must not block forever
+    val lock = new java.io.File(s"$dir/mor_versioned/_lock")
+    assert(lock.createNewFile())
+    assert(lock.setLastModified(
+      System.currentTimeMillis() - 2 * GraftTable.LockTtlMs))
+    writers.head.append(sampleRows(2), t0(30)) // steals and proceeds
+    assert(writers.head.currentVersion() == 13)
+  }
+
   test("logical count chain: maintained writes, breaks, compaction restart") {
     val dir = Files.createTempDirectory("graft_lc_").toString
     val t = new GraftTable(spark, dir, TableSchemas.morVersioned,

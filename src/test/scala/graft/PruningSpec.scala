@@ -135,6 +135,11 @@ class PruningSpec extends AnyFunSuite {
       concat(lit("r"), col("id")).as("id"),
       lit("n").as("name"))
     t.append(daily, Some(java.time.LocalDateTime.of(2024, 4, 1, 0, 0)))
+    // the commit marker records the version's event-date range, so the
+    // page's date set comes from the marker listing, not a FS walk
+    val markers = new java.io.File(s"${t.root}/${t.meta.name}/_commits").list()
+    assert(markers.exists(_.contains(".dr.2024-03-01.2024-03-10")),
+      s"marker date range missing: ${markers.toSeq}")
 
     def brute(k: Int) = t.readResolved()
       .orderBy(col("timestamp").desc, col("id").desc).limit(k)
