@@ -281,6 +281,29 @@ object F {
         target, failOnError = false)
     }
 
+    // Constructor family (reference registers datafusion-variant's
+    // VariantObjectConstruct/Insert + VariantListConstruct/Insert +
+    // CastToVariantUdf, src/functions.rs:443-450; its corpus never pins
+    // them, so semantics follow the PG/Snowflake conventions the names come
+    // from — see JsonObjectOps). Builders render JSON text with the PgJson
+    // rules, then parse_json lifts to a true Variant.
+    def parseJson(e: Expression): Expression =
+      org.apache.spark.sql.catalyst.expressions.variant.ParseJson(e)
+    reg("variant_object_construct") { args => parseJson(JsonBuildObject(args)) }
+    reg("variant_list_construct") { args => parseJson(JsonBuildArray(args)) }
+    reg("variant_object_insert") { args =>
+      parseJson(JsonObjectInsert(args(0), args(1), args(2)))
+    }
+    reg("variant_list_insert") { args =>
+      parseJson(JsonListInsert(args(0),
+        if (args.length >= 3) Some(args(1)) else None, args.last))
+    }
+    // string inputs that look like JSON parse as JSON — the same coercion
+    // the engine applies on Utf8→Variant INSERT (utf8_to_variant,
+    // reference src/database.rs:1618); other scalars lift to the
+    // corresponding variant scalar
+    reg("cast_to_variant") { args => parseJson(ToJsonb(args.head)) }
+
     // --- gateway operator targets (SltRunner dialect rewrites) -----------
     // a -> 'k'  /  a ->> 0   (datafusion-functions-json slice semantics)
     reg("pg_arrow") { args =>

@@ -201,6 +201,55 @@ class FunctionsSpec extends AnyFunSuite {
     } finally graft.functions.GraftClock.reset()
   }
 
+  test("variant constructor family: construct, insert, cast") {
+    F.registerAll(spark)
+    def s(sql: String): String =
+      spark.sql(s"SELECT cast(($sql) as string) AS r").head().getString(0)
+
+    // object construct: PG value rendering, duplicate key last-wins in place
+    assert(s("variant_object_construct('a', 1, 'b', 'x')").replace(" ", "")
+      == """{"a":1,"b":"x"}""")
+    assert(s("variant_object_construct('a', 1, 'a', 2)").replace(" ", "")
+      == """{"a":2}""")
+    // nested: a JSON-looking string value embeds as JSON (sniff rule)
+    assert(s("""variant_object_construct('o', '{"k":true}')""").replace(" ", "")
+      == """{"o":{"k":true}}""")
+
+    // list construct + inserts (append / positional clamp)
+    assert(s("variant_list_construct(1, 'a', null)").replace(" ", "")
+      == """[1,"a",null]""")
+    assert(s("variant_list_insert(variant_list_construct(1, 2), 3)")
+      .replace(" ", "") == "[1,2,3]")
+    assert(s("variant_list_insert(variant_list_construct(1, 2), 0, 99)")
+      .replace(" ", "") == "[99,1,2]")
+    assert(s("variant_list_insert(variant_list_construct(1, 2), 100, 99)")
+      .replace(" ", "") == "[1,2,99]")
+
+    // object insert: upsert, replaced key keeps position; works on Variant
+    // and on JSON-text input alike
+    assert(s("variant_object_insert(variant_object_construct('a', 1), 'b', 2)")
+      .replace(" ", "") == """{"a":1,"b":2}""")
+    assert(s("variant_object_insert(variant_object_construct('a', 1, 'b', 2), 'a', 9)")
+      .replace(" ", "") == """{"a":9,"b":2}""")
+    assert(s("""variant_object_insert('{"a":1}', 'b', variant_list_construct(1))""")
+      .replace(" ", "") == """{"a":1,"b":[1]}""")
+
+    // results are true Variants: path access works directly
+    assert(spark.sql(
+      """SELECT variant_get(variant_object_construct('a', 'x.y[0]'), 'a', 'string') AS r""")
+      .head().getString(0) == "x.y[0]")
+    // cast_to_variant: scalars lift, JSON-looking strings parse (the
+    // engine's Utf8→Variant INSERT coercion)
+    assert(s("cast_to_variant(42)") == "42")
+    assert(spark.sql(
+      """SELECT variant_get(cast_to_variant('[5,6]'), '$[1]', 'int') AS r""")
+      .head().getInt(0) == 6)
+    // non-object / non-array inputs error clearly
+    val e = intercept[Exception](s("variant_object_insert('[1]', 'k', 1)"))
+    assert(e.getMessage.contains("not a JSON object")
+      || e.getCause != null && e.getCause.getMessage.contains("not a JSON object"))
+  }
+
   test("at_time_zone shifts instant to wall-clock") {
     val got = oneString(F.at_time_zone(
       lit("2024-01-01 00:00:00").cast("timestamp_ntz"), "Asia/Kolkata")
