@@ -45,9 +45,37 @@ object TextDedup {
     * only prunes candidates; intersection/union are computed on the full
     * token arrays so no surviving pair's score changes. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], threshold: Double): DataFrame =
+    setJaccardPairs(df.select(Seq(col(idCol).as("__id"),
+      hashedTokenSet(col(textCol)).as("__ts")) ++ blockCols.map(col): _*),
+      blockCols, threshold)
+
+  /** Sorted distinct 64-bit hashes of word `n`-gram shingles — the
+    * order-sensitive analogue of [[hashedTokenSet]]: shingling catches
+    * shared phrasing that a bag-of-words Jaccard misses and penalizes
+    * reordered text that bag-of-words scores as identical. Docs with fewer
+    * than `n` words have no shingles (empty set — they pair with nothing). */
+  def hashedNgramSet(text: Column, n: Int): Column = {
+    val toks = split(lower(text), "\\s+")
+    val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => xxhash64(concat_ws(" ",
+        (0 until n).map(j => element_at(toks, i + j)): _*)))
+    when(size(toks) >= n, array_sort(array_distinct(grams)))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** All (a<b) same-block pairs with word-`n`-gram (shingle) Jaccard ≥
+    * threshold — same banding/verification machinery as [[jaccardPairs]],
+    * over shingle sets instead of token sets. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], threshold: Double, n: Int = 3): DataFrame =
+    setJaccardPairs(df.select(Seq(col(idCol).as("__id"),
+      hashedNgramSet(col(textCol), n).as("__ts")) ++ blockCols.map(col): _*),
+      blockCols, threshold)
+
+  private def setJaccardPairs(sets: DataFrame,
       blockCols: Seq[String], threshold: Double): DataFrame = {
-    val toks = df.select(Seq(col(idCol).as("__id"),
-      hashedTokenSet(col(textCol)).as("__ts")) ++ blockCols.map(col): _*)
+    val toks = sets.filter(size(col("__ts")) > 0)
     val banded =
       if (threshold >= 1.0 || threshold <= 0.0)
         toks.withColumn("__kb", size(col("__ts")).cast("long"))

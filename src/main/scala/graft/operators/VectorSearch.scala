@@ -31,8 +31,18 @@ object VectorSearch {
       x * x
     }.reduce(_ + _)
 
-  def cosine(a: Column, b: Column, dim: Int): Column =
+  /** Explicit-fold cosine — the reference formulation the codegen'd
+    * expression below is pinned against (TrainingDataSpec asserts bit
+    * equality). Plan size is O(dim) per call site; use [[cosine]] in
+    * operators. */
+  def cosineFold(a: Column, b: Column, dim: Int): Column =
     dot(a, b, dim) / (sqrt(norm2(a, dim)) * sqrt(norm2(b, dim)))
+
+  /** Cosine similarity as ONE codegen'd pass (dot + both norms per pair) —
+    * bit-identical to [[cosineFold]] (same ascending-index IEEE summation),
+    * with O(1) plan size instead of ~3·dim inlined expression nodes. */
+  def cosine(a: Column, b: Column, dim: Int): Column =
+    graft.functions.CosineSimilarity(a, b, dim)
 
   /** Exact top-k neighbors by cosine for each query vector (excluding self).
     * Broadcast the query side — it is small by construction. */

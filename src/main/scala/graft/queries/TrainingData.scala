@@ -72,6 +72,16 @@ object TrainingData {
         .orderBy("id_a", "id_b")
     },
 
+    // ---- word-trigram (shingle) Jaccard near-dup pairs --------------------
+    // order-sensitive variant of q25: shingles catch shared phrasing and
+    // penalize reordering that bag-of-words Jaccard cannot see
+    "q53_ngram_jaccard" -> { (s, dir) =>
+      TextDedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          Seq("lang"), 0.8, n = 3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- MinHash+LSH near-dup (verified candidates; recall spec-checked) --
     // Band shape 12×8 (same 96 hashes as 32×3): recall at j=0.9 is still
     // ≥99.9%, but 8-row bands admit j≈0.5 pairs at ~5% instead of ~100% —
@@ -244,6 +254,23 @@ object TrainingData {
           |FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
           |WHERE len(list_intersect(a.ts, b.ts))::DOUBLE /
           |   (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.9
+          |ORDER BY id_a, id_b""".stripMargin,
+
+      "q53_ngram_jaccard" ->
+        """WITH toks AS (
+          | SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS w
+          | FROM documents),
+          |grams AS (
+          | SELECT doc_id, lang,
+          |  list_distinct(list_transform(generate_series(1, len(w) - 2),
+          |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gs
+          | FROM toks WHERE len(w) >= 3)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          | round(len(list_intersect(a.gs, b.gs))::DOUBLE /
+          |   (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 6) AS jaccard
+          |FROM grams a JOIN grams b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          |WHERE len(list_intersect(a.gs, b.gs))::DOUBLE /
+          |   (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.8
           |ORDER BY id_a, id_b""".stripMargin,
 
       "q43_dedup_clusters" ->

@@ -130,6 +130,17 @@ object VariantTable {
           col("timestamp"))
     },
 
+    // Time travel (the reference inherits Delta's `VERSION AS OF`): the
+    // resolved view as of v1, BEFORE the MOR update wave escalated error
+    // rows to FATAL — old snapshots stay exactly reconstructable from the
+    // commit-marker log until vacuum reclaims them
+    "q52_time_travel" -> { (s, dir) =>
+      fixtureTable(s, dir).readResolvedAsOf(1)
+        .groupBy("level", "name")
+        .agg(count(lit(1)).as("n"), max(col("duration")).as("max_duration"))
+        .orderBy("level", "name")
+    },
+
     // distinct_on_variant.slt shape: DISTINCT ON (project_id) latest row,
     // outer projection reading variant columns from the deduped subquery
     "q35_variant_distinct_on" -> { (s, dir) =>
@@ -190,6 +201,14 @@ object VariantTable {
         |FROM events
         |ORDER BY CAST(ts AS TIMESTAMP) DESC, CAST(event_id AS VARCHAR) DESC
         |LIMIT 100""".stripMargin,
+
+    "q52_time_travel" ->
+      """SELECT CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'INFO' END AS level,
+        | event_type AS name,
+        | count(*) AS n,
+        | max(CAST(value * 1000 AS BIGINT)) AS max_duration
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q35_variant_distinct_on" ->
       """WITH ranked AS (

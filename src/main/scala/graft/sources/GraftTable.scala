@@ -484,6 +484,45 @@ class GraftTable(
     if (compactedOnly) raw else tombstoneFilter(dedup(raw))
   }
 
+  /** The resolved view as of committed version `asOf` — time travel, which
+    * the reference inherits from its Delta storage layer (`VERSION AS OF`).
+    * A snapshot stays reconstructable until [[vacuum]] reclaims the
+    * directories a later compaction subsumed (Delta's retention contract);
+    * version numbers are dense (1..current), so a gap in the surviving
+    * markers proves the snapshot is gone and raises instead of silently
+    * returning a partial table. Bypasses the snapshot cache, which holds
+    * only the CURRENT snapshot's plan. */
+  def readResolvedAsOf(asOf: Int): DataFrame = {
+    val vis = visibleCommits(commits().filter(_.v <= asOf))
+    val covered = vis.iterator.flatMap(c =>
+      c.v +: c.baseOf.map(b => 1 to b).getOrElse(Nil)).toSet
+    if (!(1 to asOf).forall(covered)) throw new IllegalStateException(
+      s"${meta.name}: version $asOf is not reconstructable " +
+        "(vacuumed, or never committed)")
+    if (vis.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+    val dirs = vis.map(c => versionDir(c.v))
+    val raw = dirs.map(d => spark.read.schema(meta.schema).parquet(d))
+      .reduce(_ unionByName _)
+    val compactedOnly =
+      vis.lastOption.exists(_.baseOf.isDefined) && dirs.size == 1
+    if (compactedOnly) raw else tombstoneFilter(dedup(raw))
+  }
+
+  /** Newest version committed at or before `ts` (`TIMESTAMP AS OF`):
+    * marker files are created atomically at commit time, so their
+    * modification times ARE the commit log's timeline. */
+  def versionAsOf(ts: java.time.Instant): Int = {
+    val dir = new Path(commitsDir)
+    if (!fs.exists(dir)) return 0
+    fs.listStatus(dir).toSeq
+      .filter(s => s.getPath.getName.startsWith("_v") &&
+        s.getModificationTime <= ts.toEpochMilli)
+      .map(_.getPath.getName.drop(2).takeWhile(_.isDigit).toInt)
+      .sorted.lastOption.getOrElse(0)
+  }
+
   /** The mem∪storage union read (reference S1's mem leg,
     * `ProjectRoutingTable::scan` unioning MemBuffer ahead of flushed data):
     * `pending` is an in-flight, not-yet-committed batch (the mem buffer of

@@ -175,6 +175,41 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.readResolved().count() == 41, "vacuum must not change the view")
   }
 
+  test("time travel: version-as-of snapshots, timestamp mapping, vacuum fence") {
+    val t = freshTable()
+    t.append(sampleRows(50), t0(0)) // v1
+    t.update(col("id") === "row-7", Map("name" -> lit("updated")), t0(5)) // v2
+    t.delete(col("id") === "row-9", t0(6)) // v3
+
+    def nameAt(v: Int, id: String): Seq[String] =
+      t.readResolvedAsOf(v).filter(col("id") === id)
+        .collect().map(_.getAs[String]("name")).toSeq
+    assert(t.readResolvedAsOf(1).count() == 50)
+    assert(nameAt(1, "row-7") == Seq("name-3"))
+    assert(nameAt(2, "row-7") == Seq("updated"))
+    assert(t.readResolvedAsOf(2).count() == 50)
+    assert(t.readResolvedAsOf(3).count() == 49, "v3 tombstone applies")
+    // as-of current == the live resolved view
+    assert(t.readResolvedAsOf(t.currentVersion()).collect().toSet
+      == t.readResolved().collect().toSet)
+    // a never-committed version raises
+    intercept[IllegalStateException](t.readResolvedAsOf(99).count())
+
+    // timestamp → version via marker mtimes (markers are created in commit
+    // order within this test, milliseconds apart at worst)
+    assert(t.versionAsOf(java.time.Instant.now().plusSeconds(60))
+      == t.currentVersion())
+    assert(t.versionAsOf(java.time.Instant.EPOCH) == 0)
+
+    // compaction keeps history readable; vacuum fences it off
+    t.compact() // v4 = base
+    assert(t.readResolvedAsOf(1).count() == 50, "pre-compaction snapshot intact")
+    t.vacuum()
+    intercept[IllegalStateException](t.readResolvedAsOf(1).count())
+    intercept[IllegalStateException](t.readResolvedAsOf(3).count())
+    assert(t.readResolvedAsOf(4).count() == 49, "the base itself stays readable")
+  }
+
   test("concurrent readers never see an empty or doubled table during compaction") {
     val t = freshTable()
     t.append(sampleRows(100), t0(0))

@@ -161,6 +161,27 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(sig == 0L)
   }
 
+  test("codegen cosine matches the explicit fold bit for bit") {
+    // float corpus (embeddings) and double corpus (near-dup planted copies):
+    // both element types, including the mixed float/double pair shape
+    val e = embs.limit(50)
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    val diff = pairs.select(
+        VectorSearch.cosine(col("a.embedding"), col("b.embedding"), 64).as("c"),
+        VectorSearch.cosineFold(col("a.embedding"), col("b.embedding"), 64).as("f"))
+      .filter(col("c") =!= col("f")) // bitwise: any ULP difference fails =!=
+      .count()
+    assert(diff == 0L)
+    // null semantics: short array and null element both yield NULL, like
+    // the fold's element_at chain
+    val r = spark.sql(
+      """SELECT array(cast(1.0 as float)) AS s,
+        |       array(cast(1.0 as float), cast(null as float)) AS n""".stripMargin)
+      .select(VectorSearch.cosine(col("s"), col("s"), 2).as("short"),
+        VectorSearch.cosine(col("n"), col("n"), 2).as("nul")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("cosine near-dup pairs match brute force exactly on the planted corpus") {
     val corpus = graft.queries.TrainingData.nearDupCorpus(spark, sf)
     val exact = corpus.as("a").join(corpus.as("b"),
