@@ -116,6 +116,11 @@ object Bench {
       val t0 = System.nanoTime()
       t.append(rows, Some(java.time.LocalDateTime.of(2024, 6, 1, 0, 0)))
       val rps = n / ((System.nanoTime() - t0) / 1e9)
+      // compact the bulk load before measuring reads — BASELINE's MOR
+      // numbers are against a maintained table (336 ms compacted vs 14-31 s
+      // fragmented), and a compaction base is what lets the date-bounded
+      // window confine each read's shuffle to the dates the stream touches
+      t.compact()
 
       def q(): Double = {
         val q0 = System.nanoTime()

@@ -56,12 +56,18 @@ object TextDedup {
     * reordered text that bag-of-words scores as identical. Docs with fewer
     * than `n` words have no shingles (empty set — they pair with nothing). */
   def hashedNgramSet(text: Column, n: Int): Column = {
-    val toks = split(lower(text), "\\s+")
-    val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
-      i => xxhash64(concat_ws(" ",
-        (0 until n).map(j => element_at(toks, i + j)): _*)))
-    when(size(toks) >= n, array_sort(array_distinct(grams)))
-      .otherwise(array().cast("array<bigint>"))
+    // the token array is bound as a LAMBDA VARIABLE so the split runs once
+    // per row — referencing the split expression directly inside the inner
+    // lambda would re-evaluate the regex split for every element_at (3n
+    // re-splits per gram dominated this function's cost)
+    val grams = transform(array(split(lower(text), "\\s+")), ts =>
+      when(size(ts) >= n,
+        array_sort(array_distinct(
+          transform(sequence(lit(1), size(ts) - (n - 1)),
+            i => xxhash64(concat_ws(" ",
+              (0 until n).map(j => element_at(ts, i + j)): _*))))))
+        .otherwise(array().cast("array<bigint>")))
+    element_at(grams, 1)
   }
 
   /** All (a<b) same-block pairs with word-`n`-gram (shingle) Jaccard ≥
@@ -73,32 +79,72 @@ object TextDedup {
       hashedNgramSet(col(textCol), n).as("__ts")) ++ blockCols.map(col): _*),
       blockCols, threshold)
 
+  /** Exact similarity self-join via PREFIX FILTERING (the classic exact
+    * set-similarity-join technique — SSJoin/PPJoin family): with sets
+    * sorted in one global order (here: by 64-bit hash), Jaccard ≥ t forces
+    * an overlap of ≥ ⌈t·|X|⌉ with each side, so any qualifying pair must
+    * share an element inside each side's first `|X| − ⌈t·|X|⌉ + 1` elements
+    * — candidates come from an equi-join on exploded PREFIX elements
+    * instead of all same-block pairs. Blocking is therefore sub-quadratic
+    * in the block size (the same-size-band self-join it replaces was the
+    * remaining quadratic-within-block term at fleet scale); a cheap
+    * length-ratio conjunct (`t·max ≤ min`, implied by J ≥ t) prunes
+    * mismatched sizes before the distinct. Verification then computes the
+    * TRUE Jaccard on the full sorted sets, so the filter only ever prunes
+    * candidates — no surviving pair's score changes, and no qualifying
+    * pair is lost (exactness is what the DuckDB oracles pin). */
   private def setJaccardPairs(sets: DataFrame,
       blockCols: Seq[String], threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccard threshold must be in (0, 1], got $threshold")
+    // materialize the hashed sets ONCE: this plan fans out into four
+    // subtrees (frequency pass, prefix build, candidate join, verify) and
+    // the set-construction expression (regex split + hash per element) is
+    // the single most expensive projection — without the checkpoint it
+    // re-evaluates in every subtree. O(input) rows of longs, the same
+    // materialization every exact set-similarity join implementation makes.
     val toks = sets.filter(size(col("__ts")) > 0)
-    val banded =
-      if (threshold >= 1.0 || threshold <= 0.0)
-        toks.withColumn("__kb", size(col("__ts")).cast("long"))
-      else {
-        val logBase = math.log(1.0 / threshold)
-        toks
-          .withColumn("__k",
-            floor(log(size(col("__ts")).cast("double")) / lit(logBase)).cast("long"))
-          .withColumn("__kb", explode(array(col("__k"), col("__k") + 1)))
-      }
-    val a = banded.as("a")
-    val b = banded.as("b")
-    val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
-      .foldLeft(col("a.__id") < col("b.__id") && col("a.__kb") === col("b.__kb"))(_ && _)
-    a.join(b, blockCond)
+      .withColumn("__n", size(col("__ts")))
+      .localCheckpoint()
+    // Rarity order (the PPJoin document-frequency ordering): prefixes are
+    // taken from each set sorted by ascending GLOBAL frequency (ties by
+    // hash — a true total order), so a template element shared by half the
+    // corpus lands in everyone's suffix and never generates a candidate.
+    // One extra aggregation pass over the element instances; with random
+    // (hash) order instead, every common element that lands in a prefix
+    // buckets a quadratic slice of the corpus.
+    val freq = toks.select(explode(col("__ts")).as("__pe"))
+      .groupBy("__pe").agg(count(lit(1)).as("__f"))
+    val prefixes = toks.select(col("__id"), col("__n"),
+        explode(col("__ts")).as("__pe"))
+      .join(freq, "__pe")
+      .groupBy("__id").agg(
+        slice(array_sort(collect_list(struct(col("__f"), col("__pe")))),
+          lit(1),
+          (first(col("__n")) - ceil(first(col("__n")) * threshold) + 1)
+            .cast("int")).as("__pref"))
+    val pref = toks.join(prefixes, "__id")
+      .select(Seq(col("__id"), col("__n"),
+        explode(col("__pref.__pe")).as("__pe")) ++ blockCols.map(col): _*)
+    val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(col("a.__pe") === col("b.__pe") &&
+        col("a.__id") < col("b.__id") &&
+        least(col("a.__n"), col("b.__n")).cast("double") >=
+          greatest(col("a.__n"), col("b.__n")) * lit(threshold))(_ && _)
+    val cands = pref.as("a").join(pref.as("b"), joinCond)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct() // ids only — set payloads re-join after the dedup
+    val full = toks.select(col("__id"), col("__ts"))
+    cands
+      .join(full.select(col("__id").as("id_a"), col("__ts").as("__ta")), "id_a")
+      .join(full.select(col("__id").as("id_b"), col("__ts").as("__tb")), "id_b")
       .withColumn("__inter",
-        graft.functions.SortedIntersectCount(col("a.__ts"), col("b.__ts"))
+        graft.functions.SortedIntersectCount(col("__ta"), col("__tb"))
           .cast("double"))
       .withColumn("jaccard", col("__inter") /
-        (size(col("a.__ts")) + size(col("b.__ts")) - col("__inter")))
+        (size(col("__ta")) + size(col("__tb")) - col("__inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"), col("jaccard"))
-      .distinct() // a pair sharing both {k, k+1} buckets matches twice
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** MinHash signatures as ONE aggregation: tokens exploded once, then

@@ -4,6 +4,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 import graft.schema.TableSchema
 
@@ -54,11 +55,12 @@ import graft.schema.TableSchema
   * window partition to one tenant-day.
   */
 object GraftTable {
-  /** One cached raw-union plan per (session, table): key → (visible-dir
-    * fingerprint, plan). Bounded — only the CURRENT snapshot's plan is
-    * retained per table. */
+  /** Cached raw-union plans per (session, table): a bounded MRU of
+    * ((schema, dir-set) fingerprint → plan) entries — the current
+    * snapshot's full union plus the base/append sub-plans the
+    * date-bounded resolved view composes. */
   private val snapshotCache =
-    scala.collection.concurrent.TrieMap[(Int, String), (String, org.apache.spark.sql.DataFrame)]()
+    scala.collection.concurrent.TrieMap[(Int, String), List[(String, org.apache.spark.sql.DataFrame)]]()
 
   /** Stale-lock threshold: a held lock is heartbeaten at TTL/6, so only a
     * crashed writer's lock ever crosses it. */
@@ -156,6 +158,45 @@ class GraftTable(
 
   private def versionDir(v: Int): String = f"$path/v$v%05d"
 
+  // ------------------------------------------------------ schema log --
+
+  private def schemaDir = s"$path/_schema"
+
+  /** Schema evolution log (Delta `mergeSchema` semantics): `_schema/
+    * vNNNNN.json` records the WIDENED schema first written at version N;
+    * absent any file the declared [[meta]] schema applies. Readers resolve
+    * the schema effective at a version with [[schemaAt]], so time-travel
+    * reads see the snapshot's own schema (Delta's contract) and current
+    * reads see every evolved column, null-filled over pre-evolution files
+    * by parquet's read-by-name semantics. Files are tiny and never
+    * vacuumed. A file written for a version whose commit then failed is
+    * ignored by every reader (readers bound by committed versions) and
+    * overwritten by the version number's next user. */
+  private def schemaAt(v: Int): StructType = {
+    val dir = new Path(schemaDir)
+    if (!fs.exists(dir)) return meta.schema
+    val vs = fs.listStatus(dir).map(_.getPath.getName).toSeq
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(_.stripPrefix("v").stripSuffix(".json").toInt)
+      .filter(_ <= v)
+    if (vs.isEmpty) meta.schema
+    else {
+      val in = fs.open(new Path(schemaDir, f"v${vs.max}%05d.json"))
+      val bytes = try in.readAllBytes() finally in.close()
+      DataType.fromJson(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[StructType]
+    }
+  }
+
+  private def liveSchema(): StructType = schemaAt(Int.MaxValue)
+
+  private def writeSchemaFile(v: Int, s: StructType): Unit = {
+    fs.mkdirs(new Path(schemaDir))
+    val out = fs.create(new Path(schemaDir, f"v$v%05d.json"), true)
+    try out.write(s.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Highest committed version; 0 when the table is empty. */
   def currentVersion(): Int = commits().lastOption.map(_.v).getOrElse(0)
 
@@ -244,7 +285,14 @@ class GraftTable(
     * tombstone flag (a delete wins over an update stamped at the same
     * microsecond) to keep the view deterministic. */
   private def dedup(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy(meta.dedupKeys.map(col): _*)
+    // `date` is functionally derived from the time column (a dedup key), so
+    // adding it to the window partition spec changes no group — but it
+    // makes Catalyst's push-through-window rule see date predicates as
+    // partition-subset filters and push them below the window into the
+    // scan, where they prune directories (P1's safe complement: version-
+    // mutable predicates still stay above)
+    val w = Window.partitionBy(
+        (meta.dedupKeys :+ "date").distinct.map(col): _*)
       .orderBy(col(meta.dedupTiebreak).desc_nulls_last +:
         meta.tombstoneColumn.map(t => col(t).desc_nulls_last).toSeq: _*)
     df.withColumn("__rn", row_number().over(w))
@@ -268,7 +316,15 @@ class GraftTable(
     * non-nullable column rejects the batch at plan time (the reference's
     * insert schema check). */
   private def conform(df: DataFrame,
-      versionTime: Option[java.time.LocalDateTime]): DataFrame = {
+      versionTime: Option[java.time.LocalDateTime],
+      target: StructType): DataFrame = {
+    // unknown columns reject the batch (Delta's contract) — evolution is
+    // explicit via append(mergeSchema = true), never accidental
+    val known = target.fieldNames.toSet + "date" + meta.dedupTiebreak
+    val unknown = df.columns.filterNot(known)
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      s"${meta.name}: unknown columns ${unknown.mkString(", ")} — " +
+        "append(mergeSchema = true) evolves the table schema")
     // default stamp is captured on the DRIVER, not via now(): same
     // semantics (now() is per-query-constant anyway), but the exact stamp
     // value is known to the writer — the count-index chain guard needs it
@@ -278,7 +334,7 @@ class GraftTable(
       .withColumn(meta.dedupTiebreak, stamp)
       .withColumn("date", to_date(col(meta.timeColumn)))
     val inTypes = stamped.schema.fields.map(f => f.name -> f.dataType).toMap
-    val projected = meta.schema.fields.map { f =>
+    val projected = target.fields.map { f =>
       inTypes.get(f.name) match {
         case Some(org.apache.spark.sql.types.StringType)
             if f.dataType == org.apache.spark.sql.types.VariantType =>
@@ -318,13 +374,30 @@ class GraftTable(
 
   /** Append a batch as a new committed version. `versionTime` is injectable
     * for deterministic tests and idempotent streaming replays (the
-    * reference's virtual-clock trick, `src/functions.rs:465-474`). */
+    * reference's virtual-clock trick, `src/functions.rs:465-474`).
+    * `mergeSchema = true` evolves the table: input columns the live schema
+    * lacks are appended as nullable fields (recorded in the schema log);
+    * without it unknown columns reject the batch. */
   def append(df: DataFrame,
-      versionTime: Option[java.time.LocalDateTime] = None): Unit = withWriteLock {
+      versionTime: Option[java.time.LocalDateTime] = None,
+      mergeSchema: Boolean = false): Unit = withWriteLock {
     val stamp = versionTime.getOrElse(driverNow())
     val delta = if (maintainCountIndex) countDelta(df, stamp) else None
     val v = currentVersion() + 1
-    conform(df, Some(stamp))
+    val live = liveSchema()
+    val target = if (!mergeSchema) live else {
+      val extras = df.schema.fields.filterNot(f =>
+        live.fieldNames.contains(f.name) || f.name == "date" ||
+          f.name == meta.dedupTiebreak)
+      if (extras.isEmpty) live
+      else {
+        val widened = StructType(live.fields ++
+          extras.map(f => StructField(f.name, f.dataType, nullable = true)))
+        writeSchemaFile(v, widened)
+        widened
+      }
+    }
+    conform(df, Some(stamp), target)
       // co-locate each (project_id, date) before writing: without this,
       // every task writes a file into every partition directory (tasks ×
       // dirs small files); with it, files per dir ≈ 1 and the
@@ -438,26 +511,36 @@ class GraftTable(
     * bounded. */
   def readRaw(): DataFrame = rawFrom(visibleDirs(commits()))
 
-  private def rawFrom(dirs: Seq[String]): DataFrame = {
+  /** Schema effective for a set of version dirs: the one recorded at the
+    * NEWEST version in the set (schema only ever widens, and parquet's
+    * read-by-name fills evolved columns with null over older files). */
+  private def dirsSchema(dirs: Seq[String]): StructType =
+    if (dirs.isEmpty) meta.schema
+    else schemaAt(dirs.map(_.split('/').last.drop(1).toInt).max)
+
+  private def rawFrom(dirs: Seq[String]): DataFrame =
+    rawFrom(dirs, dirsSchema(dirs))
+
+  private def rawFrom(dirs: Seq[String], s: StructType): DataFrame = {
     if (dirs.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        meta.schema)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
     else {
-      // memoize the union plan per visible snapshot: building it performs
+      // memoize union plans per (dir set, schema): building one performs
       // driver-side partition discovery over every (tenant, day) dir of
-      // every leg — at fleet scale that listing dwarfs a point query. Any
-      // new commit changes the dir set and misses the cache; files inside
-      // a committed version dir are immutable, so a hit can never be
-      // stale (the reference's ListingTable/plan-cache role).
+      // every leg — at fleet scale that listing dwarfs a point query.
+      // Files inside a committed version dir are immutable, so a hit can
+      // never be stale (the reference's ListingTable/plan-cache role). A
+      // small per-table MRU keeps the current snapshot plus the base /
+      // append-legs sub-plans the date-bounded view reads, so a stream of
+      // micro-batch commits re-lists only each NEW version dir.
       val key = (System.identityHashCode(spark), path)
-      val dirsKey = dirs.mkString(";")
-      GraftTable.snapshotCache.get(key) match {
-        case Some((k, df)) if k == dirsKey => df
-        case _ =>
-          val df = dirs.map(d => spark.read.schema(meta.schema).parquet(d))
-            .reduce(_ unionByName _)
-          GraftTable.snapshotCache.put(key, (dirsKey, df))
-          df
+      val ck = s"${s.hashCode}|${dirs.mkString(";")}"
+      val cur = GraftTable.snapshotCache.getOrElse(key, Nil)
+      cur.find(_._1 == ck).map(_._2).getOrElse {
+        val df = dirs.map(d => spark.read.schema(s).parquet(d))
+          .reduce(_ unionByName _)
+        GraftTable.snapshotCache.put(key, ((ck, df) :: cur).take(8))
+        df
       }
     }
   }
@@ -475,13 +558,48 @@ class GraftTable(
     * has no remaining work to do on a compacted snapshot. The commit list
     * is read ONCE for both the gate and the scan so a racing append cannot
     * split the decision from the snapshot it applies to. */
-  def readResolved(): DataFrame = {
-    val cs = commits()
-    val dirs = visibleDirs(cs)
-    val raw = rawFrom(dirs)
-    val compactedOnly = cs.lastOption.exists(c =>
-      c.baseOf.isDefined && dirs == Seq(versionDir(c.v)))
-    if (compactedOnly) raw else tombstoneFilter(dedup(raw))
+  def readResolved(): DataFrame = resolvedView(None)
+
+  /** The resolved view, optionally restricted to a set of `date` partition
+    * values (exact — see [[resolvedOn]]'s invariant note).
+    *
+    * Date-bounded window: when a compaction base exists and every
+    * post-base append's marker records its event-date range, only the
+    * dates those appends TOUCHED can hold version conflicts — `date`
+    * derives from the time column, a dedup key, so an identity lives in
+    * exactly one date partition, and the base is already materialized
+    * resolved. Untouched base dates therefore stream straight off the scan
+    * (no shuffle), and the dedup window runs over touched dates only. This
+    * is the structural answer to the reference's fragmentation pathology
+    * (BASELINE: 336 ms compacted vs 14–31 s fragmented for the same
+    * window): reads under streaming ingest re-window the trailing day(s),
+    * never the historical bulk. Falls back to the full window when no base
+    * exists or markers predate date-range recording. */
+  private def resolvedView(restrict: Option[Seq[String]]): DataFrame = {
+    val vis = visibleCommits(commits())
+    val dirs = vis.map(c => versionDir(c.v))
+    def bound(df: DataFrame): DataFrame = restrict match {
+      case Some(ds) => df.filter(col("date").isin(ds: _*))
+      case None => df
+    }
+    val raw = bound(rawFrom(dirs))
+    if (vis.lastOption.exists(_.baseOf.isDefined) && dirs.size == 1)
+      return raw // compacted-only: the base IS the resolved view
+    val base = vis.headOption.filter(_.baseOf.isDefined)
+    val appends = vis.filter(_.baseOf.isEmpty)
+    val touched = appends.flatMap(_.dates.map { case (lo, hi) =>
+      Iterator.iterate(lo)(_.plusDays(1)).takeWhile(!_.isAfter(hi))
+        .map(_.toString).toSeq
+    }.getOrElse(Seq(null))).distinct // null marks an append with no range
+    if (base.isEmpty || touched.contains(null) || touched.size > 64)
+      return tombstoneFilter(dedup(raw))
+    val s = dirsSchema(dirs)
+    val baseRaw = bound(rawFrom(Seq(versionDir(base.get.v)), s))
+    val appendsRaw = bound(rawFrom(appends.map(c => versionDir(c.v)), s))
+    val untouched = baseRaw.filter(!col("date").isin(touched: _*))
+    val windowed = tombstoneFilter(dedup(
+      baseRaw.filter(col("date").isin(touched: _*)).unionByName(appendsRaw)))
+    untouched.unionByName(windowed)
   }
 
   /** The resolved view as of committed version `asOf` — time travel, which
@@ -503,7 +621,10 @@ class GraftTable(
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
     val dirs = vis.map(c => versionDir(c.v))
-    val raw = dirs.map(d => spark.read.schema(meta.schema).parquet(d))
+    // the snapshot's OWN schema (Delta's time-travel contract): columns
+    // evolved after `asOf` are not visible in the as-of view
+    val s = schemaAt(asOf)
+    val raw = dirs.map(d => spark.read.schema(s).parquet(d))
       .reduce(_ unionByName _)
     val compactedOnly =
       vis.lastOption.exists(_.baseOf.isDefined) && dirs.size == 1
@@ -534,9 +655,11 @@ class GraftTable(
     * version, and after the batch commits with the same stamp the view is
     * unchanged (read-your-writes without double counting). */
   def readResolvedWith(pending: DataFrame,
-      pendingTime: java.time.LocalDateTime): DataFrame =
-    tombstoneFilter(dedup(
-      readRaw().unionByName(conform(pending, Some(pendingTime)))))
+      pendingTime: java.time.LocalDateTime): DataFrame = {
+    val dirs = visibleDirs(commits())
+    tombstoneFilter(dedup(rawFrom(dirs)
+      .unionByName(conform(pending, Some(pendingTime), dirsSchema(dirs)))))
+  }
 
   /** Distinct `date=` partition values across the visible snapshot, newest
     * first — a driver-side directory listing (two levels deep, no file
@@ -557,14 +680,7 @@ class GraftTable(
     * from the time column, which is a dedup key, so every version of an
     * identity lives in one date partition and the window never needs rows
     * outside the selected dates. */
-  private def resolvedOn(dates: Seq[String]): DataFrame = {
-    val cs = commits()
-    val dirs = visibleDirs(cs)
-    val raw = rawFrom(dirs).filter(col("date").isin(dates: _*))
-    val compactedOnly = cs.lastOption.exists(c =>
-      c.baseOf.isDefined && dirs == Seq(versionDir(c.v)))
-    if (compactedOnly) raw else tombstoneFilter(dedup(raw))
-  }
+  private def resolvedOn(dates: Seq[String]): DataFrame = resolvedView(Some(dates))
 
   /** Recent-page top-k (T1, the reference's
     * `optimizers/ordered_union_for_topk.rs` early-terminating TopK):
@@ -640,7 +756,7 @@ class GraftTable(
     val base = compactBaseDir().getOrElse(throw new IllegalStateException(
       s"${meta.name}: text index requires a compacted-only snapshot"))
     val v = currentVersion()
-    spark.read.schema(meta.schema).parquet(base)
+    spark.read.schema(liveSchema()).parquet(base)
       .select(input_file_name().as("file"), col(column).as("t"))
       .select(col("file"), explode(trigrams(col("t"))).as("gram"))
       .distinct()
@@ -674,7 +790,7 @@ class GraftTable(
         .filter(col("n") === grams.length)
         .select("file").as[String].collect().toSeq
       if (files.isEmpty) full.limit(0)
-      else spark.read.option("basePath", base).schema(meta.schema)
+      else spark.read.option("basePath", base).schema(liveSchema())
         .parquet(files: _*)
         .filter(graft.functions.F.text_match(col(column), query))
     }
@@ -684,7 +800,7 @@ class GraftTable(
   // ---------------------------------------------------------------- DML --
 
   private def targetCols: Seq[String] =
-    meta.schema.fieldNames.toSeq.filterNot(c =>
+    liveSchema().fieldNames.toSeq.filterNot(c =>
       c == meta.dedupTiebreak || c == "date")
 
   /** Version-append UPDATE (X2): append fresh versions of the matching
@@ -770,8 +886,9 @@ class GraftTable(
 
   private def compactLocked(cs: Seq[Commit]): Unit = {
     val upTo = cs.last.v
+    val snapSchema = dirsSchema(visibleDirs(cs))
     val snapshot = visibleDirs(cs)
-      .map(d => spark.read.schema(meta.schema).parquet(d))
+      .map(d => spark.read.schema(snapSchema).parquet(d))
       .reduce(_ unionByName _)
     // z-order sort when the schema declares z_order_columns: compacted
     // files get tight min/max on EVERY participating column (reference
@@ -798,7 +915,7 @@ class GraftTable(
         // broken chain: the compacted base IS the resolved view, so one
         // column-pruned pass over it (count + max stamp) RESTARTS the chain
         case _ =>
-          val r = spark.read.schema(meta.schema).parquet(versionDir(newV))
+          val r = spark.read.schema(snapSchema).parquet(versionDir(newV))
             .agg(count(lit(1)).as("c"),
               max(col(meta.dedupTiebreak)).as("s"))
             .head()

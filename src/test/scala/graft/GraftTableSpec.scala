@@ -210,6 +210,33 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.readResolvedAsOf(4).count() == 49, "the base itself stays readable")
   }
 
+  test("schema evolution: mergeSchema widens, unknown columns reject, snapshots keep their schema") {
+    val t = freshTable()
+    t.append(sampleRows(20), t0(0)) // v1
+    val withExtra = sampleRows(5).withColumn("score", lit(42))
+    // unknown column rejects without the flag (Delta's contract)
+    val e = intercept[IllegalArgumentException](t.append(withExtra, t0(1)))
+    assert(e.getMessage.contains("score"))
+    t.append(withExtra, t0(1), mergeSchema = true) // v2 evolves
+    val res = t.readResolved()
+    assert(res.columns.contains("score"))
+    assert(res.count() == 20, "evolved rows replace their identities")
+    assert(res.filter(col("score") === 42).count() == 5)
+    assert(res.filter(col("score").isNull).count() == 15,
+      "pre-evolution files read as null for the new column")
+    // the pre-evolution snapshot does NOT see the column (Delta time-travel
+    // reads a snapshot with its own schema)
+    assert(!t.readResolvedAsOf(1).columns.contains("score"))
+    assert(t.readResolvedAsOf(2).columns.contains("score"))
+    // evolved column survives UPDATE DML (targetCols track the live
+    // schema) and compaction (bases are written with the evolved schema)
+    t.update(col("id") === "row-1", Map("name" -> lit("u")), t0(2))
+    t.compact()
+    val post = t.readResolved()
+    assert(post.filter(col("score") === 42).count() == 5)
+    assert(post.filter(col("id") === "row-1").head().getAs[String]("name") == "u")
+  }
+
   test("concurrent readers never see an empty or doubled table during compaction") {
     val t = freshTable()
     t.append(sampleRows(100), t0(0))

@@ -33,6 +33,40 @@ class PruningSpec extends AnyFunSuite {
       lit("n").as("name"))
   }
 
+  test("date-bounded window: only append-touched dates re-window after compaction") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val t = freshTable()
+    // two days of data (rows(n) spreads hours across 2024-03-01/02)
+    t.append(rows(40), Some(java.time.LocalDateTime.of(2024, 3, 2, 0, 0)))
+    t.compact()
+    // an update touches ONLY day two's identities
+    t.update(col("timestamp") >= lit("2024-03-02 00:00:00").cast("timestamp_ntz"),
+      Map("name" -> lit("u")), Some(java.time.LocalDateTime.of(2024, 3, 3, 0, 0)))
+    val resolved = t.readResolved()
+    assert(resolved.count() == 40)
+    assert(resolved.filter(col("name") === "u").count() == 16)
+    // the untouched day streams off the base scan without a window: in the
+    // day-one slice of the plan, every scan under a WindowExec must prune
+    // to zero files (AQE off so the physical tree is inspectable whole)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val dayOne = t.readResolved()
+        .filter(col("date") === lit("2024-03-01").cast("date"))
+      val plan = dayOne.queryExecution.executedPlan
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, "plan must retain the touched-dates window leg")
+      val filesUnderWindow = windows.flatMap(_.collect {
+        case s: FileSourceScanExec => s.selectedPartitions.totalNumberOfFiles
+      }).sum
+      val filesTotal = plan.collect {
+        case s: FileSourceScanExec => s.selectedPartitions.totalNumberOfFiles
+      }.sum
+      assert(filesTotal > 0, "the untouched-base leg must still scan files")
+      assert(filesUnderWindow == 0,
+        s"untouched date must not re-window, but $filesUnderWindow files feed the window")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   private def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] = {
     val plan = df.queryExecution.executedPlan match {
       // shuffling plans (the dedup window) plan adaptively; the scan lives
