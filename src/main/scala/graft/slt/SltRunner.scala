@@ -251,6 +251,11 @@ class SltRunner(spark: SparkSession, root: String) {
     "(?is)^\\s*UPDATE\\s+(\\w+)\\s+SET\\s+(.*?)\\s+WHERE\\s+(.*)$".r
   private val DeleteRe =
     "(?is)^\\s*DELETE\\s+FROM\\s+(\\w+)\\s+WHERE\\s+(.*)$".r
+  private val OptimizeRe =
+    "(?is)^\\s*OPTIMIZE\\s+(\\w+)\\s*(?:WHERE\\s+.*)?$".r
+  private val VacuumRe =
+    "(?is)^\\s*VACUUM\\s+(\\w+)\\s*(?:RETAIN\\s+.*)?$".r
+  private val FlushRe = "(?is)^\\s*FLUSH\\s*$".r
   private val CreateRe =
     "(?is)^\\s*CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\w+)\\s*\\((.*)\\)\\s*$".r
   private val DropRe =
@@ -352,6 +357,13 @@ class SltRunner(spark: SparkSession, root: String) {
         t.update(expr(where), assignments, nextStamp())
       case DeleteRe(table, where) =>
         tables(table).delete(expr(where), nextStamp())
+      // admin statements the reference intercepts BEFORE its SQL parser
+      // (S10, src/pgwire_handlers.rs:519-660): OPTIMIZE → compaction,
+      // VACUUM → reclaim subsumed versions, FLUSH → micro-batch boundary
+      // (a no-op here: GraftTable appends commit synchronously)
+      case OptimizeRe(table) => tables(table).compact()
+      case VacuumRe(table) => tables(table).vacuum()
+      case FlushRe() => ()
       case other =>
         spark.sql(other).collect()
     }

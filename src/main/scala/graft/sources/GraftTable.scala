@@ -62,6 +62,11 @@ object GraftTable {
   private val snapshotCache =
     scala.collection.concurrent.TrieMap[(Int, String), List[(String, org.apache.spark.sql.DataFrame)]]()
 
+  /** Schema effective at a committed version, memoized — see
+    * [[GraftTable.dirsSchema]] for the immutability argument. */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap[(String, Int), org.apache.spark.sql.types.StructType]()
+
   /** Stale-lock threshold: a held lock is heartbeaten at TTL/6, so only a
     * crashed writer's lock ever crosses it. */
   val LockTtlMs = 60000L
@@ -513,10 +518,17 @@ class GraftTable(
 
   /** Schema effective for a set of version dirs: the one recorded at the
     * NEWEST version in the set (schema only ever widens, and parquet's
-    * read-by-name fills evolved columns with null over older files). */
+    * read-by-name fills evolved columns with null over older files).
+    * Memoized per committed version — a schema file for a version ≤ v can
+    * never appear after v commits (versions are dense and the file is
+    * written before its version's marker), so the mapping is immutable
+    * and each read-path plan build skips the extra `_schema` listing. */
   private def dirsSchema(dirs: Seq[String]): StructType =
     if (dirs.isEmpty) meta.schema
-    else schemaAt(dirs.map(_.split('/').last.drop(1).toInt).max)
+    else {
+      val v = dirs.map(_.split('/').last.drop(1).toInt).max
+      GraftTable.schemaCache.getOrElseUpdate((path, v), schemaAt(v))
+    }
 
   private def rawFrom(dirs: Seq[String]): DataFrame =
     rawFrom(dirs, dirsSchema(dirs))

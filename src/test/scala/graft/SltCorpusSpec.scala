@@ -24,6 +24,44 @@ class SltCorpusSpec extends AnyFunSuite {
       s"\n${f.file}:${f.line}\n${f.sql}\n=> ${f.detail}").mkString("\n"))
   }
 
+  test("admin statements: OPTIMIZE / VACUUM / FLUSH intercepted pre-parser (S10)") {
+    // the reference intercepts these before its SQL parser
+    // (src/pgwire_handlers.rs:519-660); the corpus never exercises them,
+    // so pin the statement surface with a synthetic script
+    val script =
+      """statement ok
+        |INSERT INTO mor_versioned (project_id, timestamp, id, date, name) VALUES
+        |  ('adm', TIMESTAMP '2023-05-01T10:00:00Z', 'a', DATE '2023-05-01', 'v1'),
+        |  ('adm', TIMESTAMP '2023-05-01T10:00:01Z', 'b', DATE '2023-05-01', 'v1')
+        |
+        |statement ok
+        |UPDATE mor_versioned SET name = 'v2' WHERE project_id = 'adm' AND id = 'a'
+        |
+        |statement ok
+        |OPTIMIZE mor_versioned
+        |
+        |statement ok
+        |VACUUM mor_versioned RETAIN 0 HOURS
+        |
+        |statement ok
+        |FLUSH
+        |
+        |query TT rowsort
+        |SELECT id, name FROM mor_versioned WHERE project_id = 'adm'
+        |----
+        |a v2
+        |b v1
+        |""".stripMargin
+    val dir = Files.createTempDirectory("slt_admin_")
+    val f = dir.resolve("admin.slt")
+    Files.write(f, script.getBytes)
+    val runner = new SltRunner(spark,
+      Files.createTempDirectory("slt_admin_tables_").toString)
+    val failures = runner.runFile(f.toString)
+    assert(failures.isEmpty, failures.map(x =>
+      s"\n${x.file}:${x.line}\n${x.sql}\n=> ${x.detail}").mkString("\n"))
+  }
+
   for (f <- Seq("custom_functions.slt", "json_functions.slt", "merge_on_read.slt", "aggregations.slt", "basic_operations.slt", "filtering.slt", "edge_cases.slt", "percentile_functions.slt", "variant_column.slt", "variant_functions.slt", "distinct_on_variant.slt", "function_availability_test.slt", "integration.slt", "partition_pruning_test.slt"))
     test(s"slt: $f") {
       assume(Files.exists(Paths.get(s"$sltDir/$f")), s"$f not present")
