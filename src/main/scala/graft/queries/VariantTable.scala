@@ -141,6 +141,25 @@ object VariantTable {
         .orderBy("level", "name")
     },
 
+    // MemBuffer tier (S4/W2): rows INSERTed through the buffered write
+    // layer are visible to the resolved read BEFORE any parquet version
+    // commits — the mem ∪ storage union read, resolved through the same
+    // keep-greatest window as committed versions
+    "q54_buffered_read" -> { (s, dir) =>
+      val t = fixtureTable(s, dir)
+      val buf = new graft.sources.BufferedWriteLayer(t)
+      val extra = Tables.events(s, dir).filter(col("event_id") < 100).select(
+        (col("user_id") % 5).cast("string").as("project_id"),
+        col("ts").as("timestamp"),
+        concat(lit("buf-"), col("event_id")).as("id"),
+        col("event_type").as("name"),
+        lit("BUFFERED").as("level"))
+      buf.insert(extra, Some(java.time.LocalDateTime.of(2024, 6, 1, 2, 0)))
+      buf.readResolved()
+        .groupBy("level").agg(count(lit(1)).as("n"))
+        .orderBy("level")
+    },
+
     // distinct_on_variant.slt shape: DISTINCT ON (project_id) latest row,
     // outer projection reading variant columns from the deduped subquery
     "q35_variant_distinct_on" -> { (s, dir) =>
@@ -209,6 +228,14 @@ object VariantTable {
         | max(CAST(value * 1000 AS BIGINT)) AS max_duration
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q54_buffered_read" ->
+      """SELECT level, count(*) AS n FROM (
+        |  SELECT CASE WHEN event_type = 'error' THEN 'FATAL' ELSE 'INFO' END AS level
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'BUFFERED' AS level FROM events WHERE event_id < 100
+        |) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q35_variant_distinct_on" ->
       """WITH ranked AS (

@@ -402,7 +402,31 @@ class GraftTable(
         widened
       }
     }
-    conform(df, Some(stamp), target)
+    writeVersion(v, conform(df, Some(stamp), target))
+    delta.foreach { case (prev, d) =>
+      writeCountMarker(v, prev + d, stampMicros(stamp))
+    }
+  }
+
+  /** Conform `df` against the live schema with `time`'s stamp — the
+    * projection [[append]] applies, exposed for the buffered write layer,
+    * which must stamp rows at INSERT time (visibility) and preserve those
+    * stamps at flush time. */
+  private[sources] def conformNow(df: DataFrame,
+      time: java.time.LocalDateTime): DataFrame =
+    conform(df, Some(time), liveSchema())
+
+  /** Append rows already conformed by [[conformNow]] — stamps preserved
+    * verbatim (the buffered layer's flush; a re-stamping append would
+    * reorder its rows against interactive writes made while buffered). */
+  private[sources] def appendConformed(prepared: DataFrame): Unit =
+    withWriteLock {
+      writeVersion(currentVersion() + 1, prepared)
+    }
+
+  /** One committed version directory from conformed rows. */
+  private def writeVersion(v: Int, prepared: DataFrame): Unit = {
+    prepared
       // co-locate each (project_id, date) before writing: without this,
       // every task writes a file into every partition directory (tasks ×
       // dirs small files); with it, files per dir ≈ 1 and the
@@ -416,9 +440,6 @@ class GraftTable(
       .partitionBy(meta.partitions: _*)
       .parquet(versionDir(v))
     commit(v, dates = writtenDateRange(versionDir(v)))
-    delta.foreach { case (prev, d) =>
-      writeCountMarker(v, prev + d, stampMicros(stamp))
-    }
   }
 
   // --------------------------------------------------- logical count (A6) --
@@ -672,6 +693,13 @@ class GraftTable(
     tombstoneFilter(dedup(rawFrom(dirs)
       .unionByName(conform(pending, Some(pendingTime), dirsSchema(dirs)))))
   }
+
+  /** The resolved view unioned with rows ALREADY conformed by
+    * [[conformNow]] — the buffered write layer's read path, where each
+    * buffered batch carries its own insert-time stamp. */
+  private[sources] def readResolvedWithConformed(pending: DataFrame): DataFrame =
+    tombstoneFilter(dedup(rawFrom(visibleDirs(commits()))
+      .unionByName(pending, allowMissingColumns = true)))
 
   /** Distinct `date=` partition values across the visible snapshot, newest
     * first — a driver-side directory listing (two levels deep, no file
