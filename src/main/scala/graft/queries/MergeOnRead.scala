@@ -38,7 +38,50 @@ object MergeOnRead {
     base.unionByName(updates).unionByName(tombstones)
   }
 
+  /** Fixture for q55: a table fragmented by an update wave, PARTIALLY
+    * compacted over half the touched date range, then fragmented again —
+    * the read must stitch full base + partial base + appends (with the
+    * anti-range exclusions) into exactly the last-writer-wins answer. */
+  private val pcBuilt = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def pcTable(s: SparkSession, dir: String): graft.sources.GraftTable = {
+    val root = pcBuilt.getOrElseUpdate(dir, {
+      val r = java.nio.file.Files.createTempDirectory("graft_pcompact_").toString
+      val t = new graft.sources.GraftTable(s, r,
+        graft.schema.TableSchemas.morVersioned)
+      t.append(Tables.events(s, dir).select(
+        (col("user_id") % 5).cast("string").as("project_id"),
+        col("ts").as("timestamp"),
+        col("event_id").cast("string").as("id"),
+        col("event_type").as("name")),
+        Some(java.time.LocalDateTime.of(2024, 6, 1, 0, 0)))
+      t.compact()
+      t.update(
+        col("timestamp") >= lit("2024-01-05 00:00:00").cast("timestamp_ntz") &&
+          col("timestamp") < lit("2024-01-15 00:00:00").cast("timestamp_ntz"),
+        Map("name" -> concat(col("name"), lit("-u1"))),
+        Some(java.time.LocalDateTime.of(2024, 6, 1, 1, 0)))
+      // partial compaction over HALF the fragmented range: 05–09 fold into
+      // a partial base, 10–14 stay as raw append versions
+      t.compactRange(java.time.LocalDate.of(2024, 1, 5),
+        java.time.LocalDate.of(2024, 1, 9))
+      t.update(expr("CAST(id AS BIGINT) % 7 = 0"), Map("name" -> lit("u2")),
+        Some(java.time.LocalDateTime.of(2024, 6, 1, 2, 0)))
+      r
+    })
+    new graft.sources.GraftTable(s, root,
+      graft.schema.TableSchemas.morVersioned)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // incremental maintenance (W6 "date consolidation"): resolved read over
+    // full base + partial base + post-compaction appends
+    "q55_partial_compaction" -> { (s, dir) =>
+      pcTable(s, dir).readResolved()
+        .groupBy("name").agg(count(lit(1)).as("n"))
+        .orderBy("name")
+    },
+
     "q23_mor_dedup" -> { (s, dir) =>
       val all = versioned(s, dir)
       val w = Window.partitionBy(col("timestamp"), col("id"))
@@ -52,6 +95,17 @@ object MergeOnRead {
   )
 
   val oracle: Map[String, String] = Map(
+    "q55_partial_compaction" ->
+      """SELECT CASE
+        |  WHEN event_id % 7 = 0 THEN 'u2'
+        |  WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05 00:00:00'
+        |   AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-15 00:00:00'
+        |  THEN event_type || '-u1'
+        |  ELSE event_type END AS name,
+        | count(*) AS n
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q23_mor_dedup" ->
       """WITH base AS (
         | SELECT CAST(user_id % 5 AS VARCHAR) AS project_id,

@@ -99,15 +99,20 @@ class GraftTable(
 
   // ------------------------------------------------------------ commits --
 
-  /** One committed version: `baseOf = Some(k)` marks a compaction base
-    * that subsumes every version ≤ k; `dates` is the version's event-date
-    * range (the Delta-checkpoint-stats role: [[recentPage]] derives the
-    * table's date set from markers alone instead of a fleet-wide
-    * project×date directory listing). Encoded entirely in the marker NAME
-    * (`_v00007`, `_v00007.base.00005`,
+  /** One committed version: `baseOf = Some(k)` marks a FULL compaction
+    * base subsuming every version ≤ k; `pbase = true` marks a PARTIAL
+    * (date-range) compaction base that, for dates inside its `dates`
+    * range, subsumes every earlier version — incremental maintenance, so
+    * compaction cost follows the fragmented dates, never the table size.
+    * `dates` is the version's event-date range (for appends: the
+    * Delta-checkpoint-stats role — [[recentPage]] and the date-bounded
+    * window derive date sets from markers alone; for partial bases: the
+    * subsumption scope). Encoded entirely in the marker NAME (`_v00007`,
+    * `_v00007.base.00005`, `_v00009.pb.dr.2024-03-01.2024-03-10`,
     * `_v00007.dr.2024-03-01.2024-03-10`) so listing needs no file reads. */
   private case class Commit(v: Int, baseOf: Option[Int],
-      dates: Option[(java.time.LocalDate, java.time.LocalDate)])
+      dates: Option[(java.time.LocalDate, java.time.LocalDate)],
+      pbase: Boolean = false)
 
   private def commits(): Seq[Commit] = {
     val dir = new Path(commitsDir)
@@ -115,7 +120,7 @@ class GraftTable(
     else fs.listStatus(dir).map(_.getPath.getName).toSeq
       .filter(_.startsWith("_v"))
       .map { n =>
-        val (core, dates) = n.drop(2).split("\\.dr\\.") match {
+        val (core0, dates) = n.drop(2).split("\\.dr\\.") match {
           case Array(c) => (c, None)
           case Array(c, dr) => dr.split("\\.") match {
             case Array(lo, hi) => (c, Some((java.time.LocalDate.parse(lo),
@@ -123,31 +128,38 @@ class GraftTable(
             case _ => (c, None)
           }
         }
+        val (core, pbase) =
+          if (core0.endsWith(".pb")) (core0.stripSuffix(".pb"), true)
+          else (core0, false)
         core.split("\\.base\\.") match {
-          case Array(v) => Commit(v.toInt, None, dates)
-          case Array(v, b) => Commit(v.toInt, Some(b.toInt), dates)
+          case Array(v) => Commit(v.toInt, None, dates, pbase)
+          case Array(v, b) => Commit(v.toInt, Some(b.toInt), dates, pbase)
         }
       }
       .sortBy(_.v)
   }
 
   private def markerName(v: Int, baseOf: Option[Int],
-      dates: Option[(java.time.LocalDate, java.time.LocalDate)]): String = {
+      dates: Option[(java.time.LocalDate, java.time.LocalDate)],
+      pbase: Boolean = false): String = {
     val core = baseOf match {
       case None => f"_v$v%05d"
       case Some(b) => f"_v$v%05d.base.$b%05d"
     }
+    val tagged = if (pbase) s"$core.pb" else core
     dates match {
-      case None => core
-      case Some((lo, hi)) => s"$core.dr.$lo.$hi"
+      case None => tagged
+      case Some((lo, hi)) => s"$tagged.dr.$lo.$hi"
     }
   }
 
   private def commit(v: Int, baseOf: Option[Int] = None,
-      dates: Option[(java.time.LocalDate, java.time.LocalDate)] = None): Unit = {
+      dates: Option[(java.time.LocalDate, java.time.LocalDate)] = None,
+      pbase: Boolean = false): Unit = {
     fs.mkdirs(new Path(commitsDir))
     // atomic create (fails if present) IS the commit
-    fs.create(new Path(commitsDir, markerName(v, baseOf, dates)), false).close()
+    fs.create(new Path(commitsDir, markerName(v, baseOf, dates, pbase)), false)
+      .close()
   }
 
   /** Event-date range of one just-written version directory — a listing
@@ -608,31 +620,66 @@ class GraftTable(
     * window): reads under streaming ingest re-window the trailing day(s),
     * never the historical bulk. Falls back to the full window when no base
     * exists or markers predate date-range recording. */
-  private def resolvedView(restrict: Option[Seq[String]]): DataFrame = {
-    val vis = visibleCommits(commits())
+  private def resolvedView(restrict: Option[Seq[String]]): DataFrame =
+    resolvedFrom(commits(), restrict.map(ds => col("date").isin(ds: _*)))
+
+  private def expandDates(
+      r: (java.time.LocalDate, java.time.LocalDate)): Seq[String] =
+    Iterator.iterate(r._1)(_.plusDays(1)).takeWhile(!_.isAfter(r._2))
+      .map(_.toString).toSeq
+
+  /** The general resolved-view constructor over a commit list, also
+    * handling PARTIAL compaction bases: each leg is read under an
+    * anti-range exclusion predicate (`NOT date BETWEEN lo AND hi` for
+    * every newer partial base — the reference's mem∪storage per-bucket
+    * exclusion filters, J3/`src/database.rs:13097-13114`), so a date is
+    * served by exactly its newest covering base plus later appends.
+    * `schemaOv` overrides the snapshot schema (time travel). */
+  private def resolvedFrom(cs: Seq[Commit], restrict: Option[Column],
+      schemaOv: Option[StructType] = None): DataFrame = {
+    val vis = visibleCommits(cs)
     val dirs = vis.map(c => versionDir(c.v))
-    def bound(df: DataFrame): DataFrame = restrict match {
-      case Some(ds) => df.filter(col("date").isin(ds: _*))
-      case None => df
-    }
-    val raw = bound(rawFrom(dirs))
+    val s = schemaOv.getOrElse(dirsSchema(dirs))
+    def bound(df: DataFrame): DataFrame =
+      restrict.map(df.filter).getOrElse(df)
+    if (vis.isEmpty)
+      return bound(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
     if (vis.lastOption.exists(_.baseOf.isDefined) && dirs.size == 1)
-      return raw // compacted-only: the base IS the resolved view
-    val base = vis.headOption.filter(_.baseOf.isDefined)
-    val appends = vis.filter(_.baseOf.isEmpty)
-    val touched = appends.flatMap(_.dates.map { case (lo, hi) =>
-      Iterator.iterate(lo)(_.plusDays(1)).takeWhile(!_.isAfter(hi))
-        .map(_.toString).toSeq
-    }.getOrElse(Seq(null))).distinct // null marks an append with no range
-    if (base.isEmpty || touched.contains(null) || touched.size > 64)
+      return bound(rawFrom(dirs, s)) // compacted-only IS the resolved view
+
+    val pbases = vis.filter(_.pbase)
+    def excluding(c: Commit): Seq[(java.time.LocalDate, java.time.LocalDate)] =
+      pbases.filter(p => p.v > c.v).flatMap(_.dates)
+    def leg(c: Commit): DataFrame =
+      excluding(c).foldLeft(bound(rawFrom(Seq(versionDir(c.v)), s))) {
+        case (df, (lo, hi)) => df.filter(!col("date").between(
+          lit(lo.toString).cast("date"), lit(hi.toString).cast("date")))
+      }
+    def union(legs: Seq[DataFrame]): DataFrame =
+      legs.reduce(_ unionByName _)
+
+    // materialized legs were written resolved (dedup + tombstone filter at
+    // compaction time); append legs carry raw versions
+    val (materialized, appends) = vis.partition(c =>
+      c.baseOf.isDefined || c.pbase)
+    val raw = union(vis.map(leg))
+    val touched = appends.flatMap(c => c.dates match {
+      case Some(r) =>
+        val excl = excluding(c)
+        expandDates(r).filterNot { ds =>
+          val d = java.time.LocalDate.parse(ds)
+          excl.exists { case (lo, hi) => !d.isBefore(lo) && !d.isAfter(hi) }
+        }
+      case None => Seq(null)
+    }).distinct // null marks an append with no recorded range
+    if (materialized.isEmpty || touched.contains(null) || touched.size > 64)
       return tombstoneFilter(dedup(raw))
-    val s = dirsSchema(dirs)
-    val baseRaw = bound(rawFrom(Seq(versionDir(base.get.v)), s))
-    val appendsRaw = bound(rawFrom(appends.map(c => versionDir(c.v)), s))
-    val untouched = baseRaw.filter(!col("date").isin(touched: _*))
+    val windowless =
+      union(materialized.map(leg)).filter(!col("date").isin(touched: _*))
     val windowed = tombstoneFilter(dedup(
-      baseRaw.filter(col("date").isin(touched: _*)).unionByName(appendsRaw)))
-    untouched.unionByName(windowed)
+      raw.filter(col("date").isin(touched: _*))))
+    windowless.unionByName(windowed)
   }
 
   /** The resolved view as of committed version `asOf` — time travel, which
@@ -644,24 +691,15 @@ class GraftTable(
     * returning a partial table. Bypasses the snapshot cache, which holds
     * only the CURRENT snapshot's plan. */
   def readResolvedAsOf(asOf: Int): DataFrame = {
-    val vis = visibleCommits(commits().filter(_.v <= asOf))
-    val covered = vis.iterator.flatMap(c =>
+    val cs = commits().filter(_.v <= asOf)
+    val covered = visibleCommits(cs).iterator.flatMap(c =>
       c.v +: c.baseOf.map(b => 1 to b).getOrElse(Nil)).toSet
     if (!(1 to asOf).forall(covered)) throw new IllegalStateException(
       s"${meta.name}: version $asOf is not reconstructable " +
         "(vacuumed, or never committed)")
-    if (vis.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
-    val dirs = vis.map(c => versionDir(c.v))
     // the snapshot's OWN schema (Delta's time-travel contract): columns
     // evolved after `asOf` are not visible in the as-of view
-    val s = schemaAt(asOf)
-    val raw = dirs.map(d => spark.read.schema(s).parquet(d))
-      .reduce(_ unionByName _)
-    val compactedOnly =
-      vis.lastOption.exists(_.baseOf.isDefined) && dirs.size == 1
-    if (compactedOnly) raw else tombstoneFilter(dedup(raw))
+    resolvedFrom(cs, None, Some(schemaAt(asOf)))
   }
 
   /** Newest version committed at or before `ts` (`TIMESTAMP AS OF`):
@@ -924,20 +962,20 @@ class GraftTable(
     if (cs.nonEmpty) compactLocked(cs)
   }
 
+  // z-order sort when the schema declares z_order_columns: compacted
+  // files get tight min/max on EVERY participating column (reference
+  // compaction / Delta OPTIMIZE ZORDER); otherwise the declared sort keys
+  private def compactOrder: Seq[Column] =
+    if (meta.zOrderColumns.nonEmpty)
+      Seq(graft.functions.ZOrderKey(meta.zOrderColumns.map(col)))
+    else sortCols
+
   private def compactLocked(cs: Seq[Commit]): Unit = {
     val upTo = cs.last.v
     val snapSchema = dirsSchema(visibleDirs(cs))
-    val snapshot = visibleDirs(cs)
-      .map(d => spark.read.schema(snapSchema).parquet(d))
-      .reduce(_ unionByName _)
-    // z-order sort when the schema declares z_order_columns: compacted
-    // files get tight min/max on EVERY participating column (reference
-    // compaction / Delta OPTIMIZE ZORDER); otherwise the declared sort keys
-    val compactOrder: Seq[Column] =
-      if (meta.zOrderColumns.nonEmpty)
-        Seq(graft.functions.ZOrderKey(meta.zOrderColumns.map(col)))
-      else sortCols
-    tombstoneFilter(dedup(snapshot))
+    // resolvedFrom, not a bare union: with partial bases in the snapshot,
+    // a leg's subsumed dates must be excluded or the rewrite double-counts
+    resolvedFrom(cs, None)
       .repartition(meta.partitions.map(col): _*)
       .sortWithinPartitions(compactOrder: _*)
       .write
@@ -966,6 +1004,75 @@ class GraftTable(
     }
   }
 
+  /** PARTIAL (date-range) compaction — incremental maintenance, the piece
+    * that makes compaction viable at fleet scale: rewrites only the
+    * resolved content of dates in [lo, hi] (one marker, `_vN.pb.dr.lo.hi`)
+    * while every other date keeps its existing layout. Cost follows the
+    * FRAGMENTED dates (in production: the trailing ingest days — the
+    * reference's "hot tail passes / date consolidation", W6,
+    * `src/database.rs:5675+`), never the table size; [[compact]], by
+    * contrast, is a full-table rewrite. Readers treat the partial base as
+    * the newest content for its range via per-leg anti-range exclusions
+    * ([[resolvedFrom]]), and the date-bounded window makes reads of the
+    * compacted range windowless again. */
+  def compactRange(lo: java.time.LocalDate,
+      hi: java.time.LocalDate): Unit = withWriteLock {
+    require(!hi.isBefore(lo), s"compactRange: $hi before $lo")
+    val cs = commits()
+    if (cs.isEmpty) return
+    val v = cs.last.v + 1
+    resolvedFrom(cs, Some(col("date").between(
+        lit(lo.toString).cast("date"), lit(hi.toString).cast("date"))))
+      .repartition(meta.partitions.map(col): _*)
+      .sortWithinPartitions(compactOrder: _*)
+      .write
+      .options(writerOptions)
+      .mode(SaveMode.Overwrite)
+      .partitionBy(meta.partitions: _*)
+      .parquet(versionDir(v))
+    commit(v, dates = Some((lo, hi)), pbase = true)
+    if (maintainCountIndex) countMarker() match {
+      // partial compaction never changes the logical count — carry over
+      case Some((cv, c, s)) if cv == v - 1 => writeCountMarker(v, c, s)
+      case _ => ()
+    }
+  }
+
+  /** One maintenance sweep — the reference's dirty-bin queue + background
+    * dedup sweep (W6, `src/dirty_bin_queue.rs`, `dedup_partition`
+    * `src/database.rs:6737`): detect dates fragmented by at least
+    * `minVersions` append versions since their governing base — from the
+    * marker listing alone, no data IO — and partially compact the
+    * contiguous date runs they form. Each run is one [[compactRange]]
+    * (cost ∝ that run's data), so a steady stream of ingest/DML keeps the
+    * trailing days consolidated while history is never rewritten. Returns
+    * the compacted ranges (empty = nothing dirty, the idempotent no-op). */
+  def maintenanceSweep(
+      minVersions: Int = 2): Seq[(java.time.LocalDate, java.time.LocalDate)] = {
+    val vis = visibleCommits(commits())
+    val pbases = vis.filter(_.pbase)
+    val appends = vis.filter(c => !c.pbase && c.baseOf.isEmpty)
+    val dirty = appends
+      .flatMap { c =>
+        c.dates.toSeq.flatMap(expandDates).filterNot { ds =>
+          val d = java.time.LocalDate.parse(ds)
+          pbases.exists(p => p.v > c.v && p.dates.exists { case (lo, hi) =>
+            !d.isBefore(lo) && !d.isAfter(hi)
+          })
+        }
+      }
+      .groupBy(identity).filter(_._2.size >= minVersions)
+      .keys.toSeq.map(java.time.LocalDate.parse).sortBy(_.toEpochDay)
+    // contiguous runs → one partial base each
+    val runs = dirty.foldLeft(
+      List.empty[(java.time.LocalDate, java.time.LocalDate)]) {
+      case ((lo, hi) :: tail, d) if d == hi.plusDays(1) => (lo, d) :: tail
+      case (acc, d) => (d, d) :: acc
+    }.reverse
+    runs.foreach { case (lo, hi) => compactRange(lo, hi) }
+    runs
+  }
+
   /** Remove version directories subsumed by the newest compaction base.
     * Separate from [[compact]] so snapshots read before the swap stay
     * scannable until the operator chooses to reclaim them. */
@@ -975,7 +1082,8 @@ class GraftTable(
       cs.filter(c => c.v <= base.baseOf.get ||
           (c.baseOf.isDefined && c.v < base.v)).foreach { c =>
         fs.delete(new Path(versionDir(c.v)), true)
-        fs.delete(new Path(commitsDir, markerName(c.v, c.baseOf, c.dates)), false)
+        fs.delete(new Path(commitsDir,
+          markerName(c.v, c.baseOf, c.dates, c.pbase)), false)
       }
     }
   }

@@ -34,6 +34,18 @@ class GraftTableSpec extends AnyFunSuite {
 
   private def t0(m: Int) = Some(java.time.LocalDateTime.of(2024, 3, 2, 0, m))
 
+  /** Like [[sampleRows]] but spread by HOURS: n > 24 spans several dates
+    * (row i lands on day 2024-03-01 + i/24). */
+  private def hourlyRows(n: Int) = {
+    import spark.implicits._
+    spark.range(n).select(
+      (col("id") % 3).cast("string").as("project_id"),
+      (lit("2024-03-01 00:00:00").cast("timestamp_ntz")
+        + expr("make_interval(0, 0, 0, 0, id, 0, 0)")).as("timestamp"),
+      concat(lit("row-"), col("id")).as("id"),
+      concat(lit("name-"), col("id") % 4).as("name"))
+  }
+
   test("append + resolve returns each identity once") {
     val t = freshTable()
     t.append(sampleRows(100), t0(0))
@@ -208,6 +220,84 @@ class GraftTableSpec extends AnyFunSuite {
     intercept[IllegalStateException](t.readResolvedAsOf(1).count())
     intercept[IllegalStateException](t.readResolvedAsOf(3).count())
     assert(t.readResolvedAsOf(4).count() == 49, "the base itself stays readable")
+  }
+
+  test("partial compaction: date-range rewrite, exclusions, full-compact and vacuum interplay") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val t = freshTable()
+    // 40 rows over 2024-03-01 (24 h) + 2024-03-02 (16 h)
+    t.append(hourlyRows(40), t0(0)) // v1
+    t.compact() // v2 = full base
+    // fragment day two with two update waves
+    t.update(col("timestamp") >= lit("2024-03-02 00:00:00").cast("timestamp_ntz"),
+      Map("name" -> lit("u1")), t0(2)) // v3
+    t.update(col("id") === "row-30", Map("name" -> lit("u2")), t0(3)) // v4
+    val before = t.readResolved().collect().toSet
+    assert(before.size == 40)
+
+    val d2 = java.time.LocalDate.of(2024, 3, 2)
+    t.compactRange(d2, d2) // v5 = partial base over day two
+    assert(t.currentVersion() == 5)
+    val after = t.readResolved()
+    assert(after.collect().toSet == before,
+      "partial compaction must not change the resolved view")
+
+    // day two is windowless again: with AQE off, a day-two slice feeds
+    // zero files through WindowExec and scans ONLY the partial base
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val dayTwo = t.readResolved()
+        .filter(col("date") === lit("2024-03-02").cast("date"))
+      val plan = dayTwo.queryExecution.executedPlan
+      val underWindow = plan.collect { case w: WindowExec => w }.flatMap(_.collect {
+        case s: FileSourceScanExec => s.selectedPartitions.totalNumberOfFiles
+      }).sum
+      assert(underWindow == 0,
+        s"compacted range must read windowless, got $underWindow files windowed")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    // appends after the partial base re-fragment only their dates
+    t.update(col("id") === "row-25", Map("name" -> lit("u3")), t0(4)) // v6
+    val r25 = t.readResolved().filter(col("id") === "row-25").collect()
+    assert(r25.length == 1 && r25(0).getAs[String]("name") == "u3")
+    assert(t.readResolved().count() == 40)
+
+    // a later FULL compact folds everything (no double counting across
+    // the partial base and the appends it subsumed)
+    t.compact() // v7
+    assert(t.readResolved().count() == 40)
+    val r30 = t.readResolved().filter(col("id") === "row-30").collect()
+    assert(r30.length == 1 && r30(0).getAs[String]("name") == "u2")
+    // vacuum reclaims the partial base along with subsumed versions
+    t.vacuum()
+    assert(t.readResolved().count() == 40)
+    val dirs = new java.io.File(s"${t.root}/${t.meta.name}").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("v"))
+    assert(dirs == 1, s"vacuum must leave only the full base, left $dirs")
+  }
+
+  test("maintenance sweep compacts only fragmented date runs, idempotently") {
+    val t = freshTable()
+    t.append(hourlyRows(40), t0(0)) // days 2024-03-01 + 02
+    t.compact()
+    // fragment day two with two waves; day one stays clean
+    t.update(col("timestamp") >= lit("2024-03-02 00:00:00").cast("timestamp_ntz"),
+      Map("name" -> lit("u1")), t0(2))
+    t.update(col("id") === "row-30", Map("name" -> lit("u2")), t0(3))
+    val before = t.readResolved().collect().toSet
+
+    val swept = t.maintenanceSweep(minVersions = 2)
+    assert(swept == Seq((java.time.LocalDate.of(2024, 3, 2),
+      java.time.LocalDate.of(2024, 3, 2))),
+      s"only the fragmented day must compact, got $swept")
+    assert(t.readResolved().collect().toSet == before)
+    // idempotent: the appends' day-two dates are now covered by the
+    // partial base, so nothing is dirty
+    assert(t.maintenanceSweep(minVersions = 2).isEmpty)
+    // a single fresh update is below the threshold
+    t.update(col("id") === "row-31", Map("name" -> lit("u4")), t0(5))
+    assert(t.maintenanceSweep(minVersions = 2).isEmpty)
   }
 
   test("schema evolution: mergeSchema widens, unknown columns reject, snapshots keep their schema") {

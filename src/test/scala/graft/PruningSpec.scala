@@ -53,11 +53,13 @@ class PruningSpec extends AnyFunSuite {
       val dayOne = t.readResolved()
         .filter(col("date") === lit("2024-03-01").cast("date"))
       val plan = dayOne.queryExecution.executedPlan
-      val windows = plan.collect { case w: WindowExec => w }
-      assert(windows.nonEmpty, "plan must retain the touched-dates window leg")
-      val filesUnderWindow = windows.flatMap(_.collect {
-        case s: FileSourceScanExec => s.selectedPartitions.totalNumberOfFiles
-      }).sum
+      // best case Catalyst folds `date = d1 AND date IN (touched)` to false
+      // and drops the window branch entirely; otherwise it must at least
+      // feed the window zero files
+      val filesUnderWindow = plan.collect { case w: WindowExec => w }
+        .flatMap(_.collect {
+          case s: FileSourceScanExec => s.selectedPartitions.totalNumberOfFiles
+        }).sum
       val filesTotal = plan.collect {
         case s: FileSourceScanExec => s.selectedPartitions.totalNumberOfFiles
       }.sum
