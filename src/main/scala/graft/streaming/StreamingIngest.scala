@@ -90,10 +90,18 @@ object StreamingIngest {
     * to (a subset of) the table schema; `checkpoint` must be stable across
     * restarts — it carries the offset log that makes recovery exact plus
     * the per-batch stamp log that makes replays idempotent. `stamp`
-    * overrides the stamp source for deterministic tests. */
+    * overrides the stamp source for deterministic tests.
+    *
+    * `sweepEvery = n` runs [[GraftTable.maintenanceSweep]] after every
+    * n-th micro-batch — the reference's background compaction loop riding
+    * the ingest cadence (W6): the trailing days a stream fragments fold
+    * back into partial bases while the stream runs, so read latency under
+    * ingest stays flat instead of growing with the commit count. The sweep
+    * replays safely (compaction is view-invariant and idempotent). */
   def start(table: GraftTable, source: DataFrame, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime(0L),
-      stamp: Option[Long => java.time.LocalDateTime] = None): StreamingQuery =
+      stamp: Option[Long => java.time.LocalDateTime] = None,
+      sweepEvery: Int = 0): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -101,6 +109,10 @@ object StreamingIngest {
         val st = stamp.map(_(batchId))
           .getOrElse(persistedStamp(table, checkpoint, batchId))
         table.append(dedupBatch(batch, table.meta.dedupKeys), Some(st))
+        if (sweepEvery > 0 && batchId > 0 && batchId % sweepEvery == 0) {
+          table.maintenanceSweep()
+          ()
+        }
       }
       .start()
 }

@@ -151,6 +151,32 @@ class StreamingIngestSpec extends AnyFunSuite {
       first.toString.take(19)), s"rows carry $stamped, stamp log says $first")
   }
 
+  test("sweepEvery folds streamed fragmentation into partial bases mid-stream") {
+    val tableDir = tmp("graft_sweep_tbl_")
+    val srcDir = tmp("graft_sweep_src_")
+    val ckpt = tmp("graft_sweep_ckpt_")
+    val table = new GraftTable(spark, tableDir, TableSchemas.morVersioned)
+    table.append(rows(0, 30), Some(java.time.LocalDateTime.of(2024, 3, 1, 12, 0)))
+    table.compact()
+    // four single-file micro-batches re-writing the same identities
+    (0 until 4).foreach(i => writeSourceFile(srcDir, rows(0, 10)
+      .withColumn("name", lit(s"s$i"))))
+    val source = spark.readStream.schema(rows(0, 1).schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = StreamingIngest.start(table, source, ckpt, sweepEvery = 2)
+    try q.processAllAvailable() finally { q.stop(); q.awaitTermination(10000L) }
+    // the sweep ran mid-stream: at least one partial base exists, and the
+    // resolved view is the last stream batch's content
+    val resolved = table.readResolved()
+    assert(resolved.count() == 30)
+    assert(resolved.filter(col("id") === "ev-3").head().getAs[String]("name")
+      == "s3", "last streamed write wins")
+    val markers = new java.io.File(
+      s"$tableDir/${table.meta.name}/_commits").list().toSeq
+    assert(markers.exists(_.contains(".pb.")),
+      s"sweep must have committed a partial base, markers: $markers")
+  }
+
   test("in-batch dedup keeps one deterministic winner per identity") {
     import spark.implicits._
     val dup = rows(0, 10).union(rows(0, 10)
