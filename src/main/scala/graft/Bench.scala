@@ -139,8 +139,13 @@ object Bench {
           col("timestamp").cast("timestamp_ntz").as("timestamp"),
           col("value").cast("string").as("id"),
           lit("stream").as("name"))
+      // sweepEvery: the background maintenance loop rides the stream, so
+      // the dates the stream fragments fold back into partial bases while
+      // reads are being measured — read latency under ingest stays flat
+      // instead of growing with the commit count
       val sq = graft.streaming.StreamingIngest.start(t, src, root + "/_chk",
-        org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L))
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L),
+        sweepEvery = 8)
       val under = try {
         Thread.sleep(1500) // let a few micro-batch commits land first
         Seq.fill(5)(q()).sorted.apply(2)

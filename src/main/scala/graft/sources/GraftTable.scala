@@ -72,6 +72,30 @@ object GraftTable {
   val LockTtlMs = 60000L
   /** How long a writer waits for the lock before giving up. */
   val LockWaitMs = 120000L
+
+  /** Create `p` empty, exclusively and ATOMICALLY: exactly one of any
+    * number of concurrent callers returns true. Hadoop's local filesystem
+    * implements `create(path, overwrite = false)` as exists-then-create —
+    * two racing writers can BOTH succeed (observed: both claimed the same
+    * table lock and wrote the same version directory) — so local paths go
+    * through `O_CREAT|O_EXCL` via java.nio; HDFS and object stores with
+    * conditional put keep their natively-atomic create. Everything that
+    * claims "atomic create IS the commit" routes through here. */
+  private[graft] def createExclusive(fs: FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean = {
+    val scheme = Option(p.toUri.getScheme).getOrElse(fs.getScheme)
+    if (scheme == "file") {
+      try {
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(p.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      try { fs.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
+  }
 }
 
 class GraftTable(
@@ -158,8 +182,10 @@ class GraftTable(
       pbase: Boolean = false): Unit = {
     fs.mkdirs(new Path(commitsDir))
     // atomic create (fails if present) IS the commit
-    fs.create(new Path(commitsDir, markerName(v, baseOf, dates, pbase)), false)
-      .close()
+    val marker = new Path(commitsDir, markerName(v, baseOf, dates, pbase))
+    if (!GraftTable.createExclusive(fs, marker))
+      throw new IllegalStateException(
+        s"${meta.name}: version $v already committed by another writer")
   }
 
   /** Event-date range of one just-written version directory — a listing
@@ -260,21 +286,18 @@ class GraftTable(
     val deadline = System.currentTimeMillis() + GraftTable.LockWaitMs
     var locked = false
     while (!locked) {
-      try {
-        fs.mkdirs(new Path(path))
-        fs.create(lockPath, false).close()
-        locked = true
-      } catch {
-        case _: java.io.IOException =>
-          val stale = try {
-            System.currentTimeMillis() -
-              fs.getFileStatus(lockPath).getModificationTime > GraftTable.LockTtlMs
-          } catch { case _: java.io.FileNotFoundException => false }
-          if (stale) fs.delete(lockPath, false) // steal; create() re-races
-          else if (System.currentTimeMillis() > deadline)
-            throw new IllegalStateException(
-              s"${meta.name}: timed out waiting for the table write lock")
-          else Thread.sleep(50)
+      fs.mkdirs(new Path(path))
+      if (GraftTable.createExclusive(fs, lockPath)) locked = true
+      else {
+        val stale = try {
+          System.currentTimeMillis() -
+            fs.getFileStatus(lockPath).getModificationTime > GraftTable.LockTtlMs
+        } catch { case _: java.io.FileNotFoundException => false }
+        if (stale) fs.delete(lockPath, false) // steal; create() re-races
+        else if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"${meta.name}: timed out waiting for the table write lock")
+        else Thread.sleep(50)
       }
     }
     val hb = new Thread(() =>

@@ -78,11 +78,16 @@ object StreamingIngest {
         Math.floorDiv(m, 1000000L), (Math.floorMod(m, 1000000L) * 1000L).toInt,
         java.time.ZoneOffset.UTC)
       fs.mkdirs(dir)
-      try {
-        val out = fs.create(f, false) // atomic create-exclusive
-        try out.write(stamp.toString.getBytes(UTF_8)) finally out.close()
-        stamp
-      } catch { case _: java.io.IOException => read() }
+      // publish by RENAME of a fully-written temp file, not by writing
+      // into the claimed path: a racer reading between create and write
+      // would otherwise parse an empty stamp. Whatever file sits at `f`
+      // after the rename attempt is canonical for every processor.
+      val tmp = new Path(dir,
+        f".b$batchId%010d.${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, true)
+      try out.write(stamp.toString.getBytes(UTF_8)) finally out.close()
+      if (!fs.rename(tmp, f)) fs.delete(tmp, false)
+      read()
     }
   }
 
