@@ -254,7 +254,7 @@ class SltRunner(spark: SparkSession, root: String) {
   private val OptimizeRe =
     "(?is)^\\s*OPTIMIZE\\s+(\\w+)\\s*(?:WHERE\\s+.*)?$".r
   private val VacuumRe =
-    "(?is)^\\s*VACUUM\\s+(\\w+)\\s*(?:RETAIN\\s+.*)?$".r
+    "(?is)^\\s*VACUUM\\s+(\\w+)\\s*(?:RETAIN\\s+(\\d+)\\s+HOURS?)?\\s*$".r
   private val FlushRe = "(?is)^\\s*FLUSH\\s*$".r
   private val CreateRe =
     "(?is)^\\s*CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\w+)\\s*\\((.*)\\)\\s*$".r
@@ -362,7 +362,8 @@ class SltRunner(spark: SparkSession, root: String) {
       // VACUUM → reclaim subsumed versions, FLUSH → micro-batch boundary
       // (a no-op here: GraftTable appends commit synchronously)
       case OptimizeRe(table) => tables(table).compact()
-      case VacuumRe(table) => tables(table).vacuum()
+      case VacuumRe(table, hours) => tables(table).vacuum(
+        Option(hours).map(_.toLong * 3600000L).getOrElse(0L))
       case FlushRe() => ()
       case other =>
         spark.sql(other).collect()

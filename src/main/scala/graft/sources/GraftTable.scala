@@ -1099,14 +1099,27 @@ class GraftTable(
   /** Remove version directories subsumed by the newest compaction base.
     * Separate from [[compact]] so snapshots read before the swap stay
     * scannable until the operator chooses to reclaim them. */
-  def vacuum(): Unit = withWriteLock {
+  /** `retainMs`: keep subsumed versions committed within the last
+    * `retainMs` milliseconds (the reference's `VACUUM … RETAIN n HOURS`,
+    * Delta's retention contract) — an in-flight reader planned against the
+    * pre-compaction snapshot keeps its files until the window passes.
+    * Commit times come from marker mtimes, the same clock [[versionAsOf]]
+    * reads. */
+  def vacuum(retainMs: Long = 0L): Unit = withWriteLock {
     val cs = commits()
+    val cutoff = System.currentTimeMillis() - retainMs
     cs.filter(_.baseOf.isDefined).lastOption.foreach { base =>
       cs.filter(c => c.v <= base.baseOf.get ||
           (c.baseOf.isDefined && c.v < base.v)).foreach { c =>
-        fs.delete(new Path(versionDir(c.v)), true)
-        fs.delete(new Path(commitsDir,
-          markerName(c.v, c.baseOf, c.dates, c.pbase)), false)
+        val marker = new Path(commitsDir,
+          markerName(c.v, c.baseOf, c.dates, c.pbase))
+        val old = retainMs <= 0L ||
+          (try fs.getFileStatus(marker).getModificationTime <= cutoff
+          catch { case _: java.io.FileNotFoundException => true })
+        if (old) {
+          fs.delete(new Path(versionDir(c.v)), true)
+          fs.delete(marker, false)
+        }
       }
     }
   }

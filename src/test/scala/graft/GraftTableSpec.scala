@@ -180,6 +180,12 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.readResolved().count() == 41)
     val dirsBefore = new java.io.File(s"${t.root}/${t.meta.name}").listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("v"))
+    // a retention window keeps recent subsumed versions for in-flight
+    // readers (VACUUM ... RETAIN n HOURS — everything here is seconds old)
+    t.vacuum(retainMs = 3600000L)
+    val dirsRetained = new java.io.File(s"${t.root}/${t.meta.name}").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("v"))
+    assert(dirsRetained == dirsBefore, "retention must keep recent versions")
     t.vacuum()
     val dirsAfter = new java.io.File(s"${t.root}/${t.meta.name}").listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("v"))
