@@ -112,7 +112,11 @@ object SchemaYaml {
         schema = StructType(structFields),
         partitions = lists.getOrElse("partitions", Vector("project_id", "date")),
         timeColumn = scalars.getOrElse("time_column", "timestamp"),
-        dedupKeys = lists.getOrElse("dedup_keys", Vector("timestamp", "id")),
+        // no declared dedup_keys = an INSERT-ONLY table (variant_bench):
+        // reads apply no version resolution — defaulting to (timestamp,
+        // id) here would order a window by a tiebreak column the schema
+        // does not even carry
+        dedupKeys = lists.getOrElse("dedup_keys", Vector.empty),
         dedupTiebreak = scalars.getOrElse("dedup_tiebreak", "updated_at"),
         tombstoneColumn = scalars.get("tombstone_column"),
         versionAppend = scalars.get("version_append").contains("true"),

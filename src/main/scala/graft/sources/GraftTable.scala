@@ -325,6 +325,9 @@ class GraftTable(
     * tombstone flag (a delete wins over an update stamped at the same
     * microsecond) to keep the view deterministic. */
   private def dedup(df: DataFrame): DataFrame = {
+    // no dedup keys = an insert-only table (variant_bench.yaml): reads
+    // apply no version resolution
+    if (meta.dedupKeys.isEmpty) return df
     // `date` is functionally derived from the time column (a dedup key), so
     // adding it to the window partition spec changes no group — but it
     // makes Catalyst's push-through-window rule see date predicates as

@@ -48,6 +48,7 @@ object StreamingIngest {
     * payload (deterministic under replays and reshuffles, unlike
     * `dropDuplicates`). */
   def dedupBatch(batch: DataFrame, keys: Seq[String]): DataFrame = {
+    if (keys.isEmpty) return batch // insert-only table: no row identity
     val others = batch.columns.filterNot(keys.contains).toSeq
     if (others.isEmpty) batch.distinct()
     else batch.groupBy(keys.map(col): _*)

@@ -59,6 +59,45 @@ class SchemaYamlSpec extends AnyFunSuite {
     assert(loaded.fieldOptions("id").tantivy.exists(_.contains("raw")))
   }
 
+  test("every shipped schema drives a live table end-to-end") {
+    // beyond parsing: each reference schema must actually WORK as a
+    // GraftTable — synthesize one row per declared column type, append
+    // through the conforming write (bloom/dictionary options included),
+    // and resolve it back
+    assume(Files.exists(Paths.get(dir)))
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    val files = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".yaml"))
+    files.foreach { f =>
+      val loaded = SchemaYaml.load(f)
+      val t = new graft.sources.GraftTable(spark,
+        Files.createTempDirectory(s"graft_yaml_${loaded.table.name}_").toString,
+        loaded.table)
+      val row = loaded.table.schema.fields
+        .filterNot(fd => fd.name == "date" ||
+          fd.name == loaded.table.dedupTiebreak).map { fd =>
+          val v: org.apache.spark.sql.Column = fd.dataType match {
+            case StringType => lit("x")
+            case LongType => lit(7L)
+            case IntegerType => lit(7)
+            case DoubleType => lit(1.5)
+            case BooleanType => lit(false)
+            case TimestampNTZType | TimestampType =>
+              lit("2024-03-01 10:00:00").cast("timestamp_ntz")
+            case DateType => lit("2024-03-01").cast("date")
+            case VariantType => parse_json(lit("""{"k":1}"""))
+            case ArrayType(et, _) => array().cast(ArrayType(et))
+            case other => lit(null).cast(other)
+          }
+          v.as(fd.name)
+        }
+      t.append(spark.range(1).select(row.toIndexedSeq: _*),
+        Some(java.time.LocalDateTime.of(2024, 3, 1, 12, 0)))
+      assert(t.readResolved().count() == 1, s"$f round trip failed")
+    }
+  }
+
   test("every shipped schema file parses") {
     assume(Files.exists(Paths.get(dir)))
     val files = Files.list(Paths.get(dir)).toArray.map(_.toString)
