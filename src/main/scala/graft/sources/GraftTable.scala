@@ -433,14 +433,11 @@ class GraftTable(
         live.fieldNames.contains(f.name) || f.name == "date" ||
           f.name == meta.dedupTiebreak)
       if (extras.isEmpty) live
-      else {
-        val widened = StructType(live.fields ++
-          extras.map(f => StructField(f.name, f.dataType, nullable = true)))
-        writeSchemaFile(v, widened)
-        widened
-      }
+      else StructType(live.fields ++
+        extras.map(f => StructField(f.name, f.dataType, nullable = true)))
     }
-    writeVersion(v, conform(df, Some(stamp), target))
+    writeVersion(v, conform(df, Some(stamp), target),
+      evolvedTo = if (target ne live) Some(target) else None)
     delta.foreach { case (prev, d) =>
       writeCountMarker(v, prev + d, stampMicros(stamp))
     }
@@ -462,8 +459,13 @@ class GraftTable(
       writeVersion(currentVersion() + 1, prepared)
     }
 
-  /** One committed version directory from conformed rows. */
-  private def writeVersion(v: Int, prepared: DataFrame): Unit = {
+  /** One committed version directory from conformed rows. `evolvedTo`
+    * records a widened schema in the log — written AFTER the data job
+    * succeeds and BEFORE the marker, so a failed write leaves no schema
+    * record for a version number a later append will reuse (an orphan
+    * record would make that version's readers see phantom columns). */
+  private def writeVersion(v: Int, prepared: DataFrame,
+      evolvedTo: Option[StructType] = None): Unit = {
     prepared
       // co-locate each (project_id, date) before writing: without this,
       // every task writes a file into every partition directory (tasks ×
@@ -477,6 +479,7 @@ class GraftTable(
       .mode(SaveMode.Overwrite)
       .partitionBy(meta.partitions: _*)
       .parquet(versionDir(v))
+    evolvedTo.foreach(writeSchemaFile(v, _))
     commit(v, dates = writtenDateRange(versionDir(v)))
   }
 
