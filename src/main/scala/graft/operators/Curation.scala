@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: cross-document
+  * contamination stats, deterministic stratified sampling, and per-group
+  * caps. These are the selection/weighting steps that sit between dedup
+  * and tokenization in a production pipeline (C4, RefinedWeb, Gopher all
+  * describe variants).
+  *
+  * Everything here is deterministic and replayable in ANSI SQL, so every
+  * operator carries a DuckDB oracle; nothing touches the driver beyond
+  * plan construction.
+  */
+object Curation {
+
+  /** Per-document cross-corpus duplication stats: how many of a document's
+    * distinct word `n`-grams occur in at least `minDocs` documents
+    * corpus-wide (the RefinedWeb/CCNet "duplicated span" signal, and the
+    * standard eval-contamination check with `minDocs = 2` against a
+    * benchmark corpus).
+    *
+    * Shape at scale: one explode of per-doc distinct grams, one gram-keyed
+    * count, and one equi-join back on the gram — both shuffle legs hash on
+    * the gram so the join is co-partitioned with the count it consumes.
+    * Only (gram, id) pairs ever move; document payloads stay in place. At
+    * 100 TB you would additionally shuffle `xxhash64(gram)` instead of the
+    * gram text to cut shuffle bytes ~4× (collision odds ~n²/2⁶⁴); kept as
+    * the raw string here so the DuckDB oracle replays exactly.
+    */
+  def crossDocNgramStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val distinctGrams = array_distinct(TextAnalysis.wordNgrams(col(textCol), n))
+    val grams = df.select(col(idCol), explode(distinctGrams).as("gram"))
+    val shared = grams.groupBy("gram")
+      .agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") >= minDocs)
+      .select(col("gram"), lit(1).as("hit"))
+    // one pass computes both counters: every probe row counts toward
+    // n_grams, matched rows (left-join hit) toward n_shared — the gram
+    // tree is evaluated exactly twice (build leg, probe leg) and document
+    // payloads never shuffle, only (id, gram) pairs
+    val perDoc = grams.join(shared, Seq("gram"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_shared"))
+    // docs too short to have any gram re-enter via an id-only scan
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_grams"), lit(0L)), lit(1)).cast("double"), 6)
+          .as("shared_frac"))
+  }
+
+  /** Deterministic sampling hash in ["0000", "ffff"]: the first 4 hex chars
+    * of `md5(salt || id)`. Lexicographic compare against a 4-hex-digit
+    * threshold selects a `threshold/0x10000` fraction, identically in any
+    * engine with md5 (the cross-engine-stable replacement for
+    * `rand(seed)`, which no two engines agree on). */
+  def sampleHash(id: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), id.cast("string"))), 1, 4)
+
+  /** Deterministic stratified sample: keep a row when its [[sampleHash]] is
+    * lexicographically below the stratum's threshold (strata missing from
+    * the map are dropped; a threshold above "ffff", e.g. "zzzz", keeps the
+    * whole stratum). Per-stratum rates are how pipelines rebalance
+    * languages/sources without a shuffle — this is a pure filter, evaluated
+    * at the scan. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      thresholds: Map[String, String], salt: String): DataFrame = {
+    val thrMap = map(thresholds.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    df.filter(sampleHash(col(idCol), salt) <
+      coalesce(element_at(thrMap, col(strataCol)), lit("")))
+  }
+
+  /** Per-group cap: the first `k` rows of each group in `orderCols` order
+    * (callers must make the order total — end with a unique id — or ranks
+    * are nondeterministic). The per-domain / per-source document cap of
+    * web-corpus curation; one hash shuffle on the group key. */
+  def capPerGroup(df: DataFrame, groupCol: String, orderCols: Seq[Column],
+      k: Int, rankName: String = "rnk"): DataFrame =
+    df.withColumn(rankName,
+        row_number().over(Window.partitionBy(groupCol).orderBy(orderCols: _*)))
+      .filter(col(rankName) <= k)
+}

@@ -87,4 +87,76 @@ object TextAnalysis {
     // one codegen'd pass; bit-identical to the former
     // slice(array_sort(transform(sequence…, xxhash64(substr))), 1, keep)
     graft.functions.RollingFingerprint(text, k, keep)
+
+  // ------------------------------------- repetition signals (Gopher-style) --
+  // "Scaling Language Models" (Rae et al. 2021) §A1.1 filters training docs
+  // on repetition: duplicate-word share, most-frequent-n-gram char share,
+  // duplicate-n-gram share. Each is a per-row fold over the document's own
+  // token array — no explode, no shuffle, whole-stage codegen — so at 100 TB
+  // the signals cost exactly one scan.
+
+  /** Whitespace word array, lowercased, order preserved (with repeats). */
+  private def wordArr(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Evaluate `e` ONCE per row and hand the value to `f` as a bound lambda
+    * variable. Sub-expressions referenced many times inside higher-order
+    * lambdas are otherwise re-evaluated per call (HOFs run interpreted, so
+    * a `split()` referenced from `n` `element_at`s re-splits — and
+    * re-compiles its regex — `n` times per row; binding it cut the n-gram
+    * tree ~6×). */
+  private def bind1(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), f), 1)
+
+  /** Order-preserving word `n`-grams (space-joined, repeats kept); empty
+    * array when the document has fewer than `n` words. */
+  def wordNgrams(text: Column, n: Int): Column =
+    bind1(wordArr(text)) { ws =>
+      when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*)))
+        .otherwise(array().cast("array<string>"))
+    }
+
+  /** Share of word occurrences that repeat an earlier word:
+    * `(n_words - n_distinct) / n_words`. */
+  def dupWordFrac(text: Column): Column =
+    bind1(wordArr(text)) { ws =>
+      (size(ws) - size(array_distinct(ws))).cast("double") /
+        greatest(size(ws), lit(1)).cast("double")
+    }
+
+  /** Share of word-`n`-gram occurrences that repeat an earlier gram. */
+  def dupNgramFrac(text: Column, n: Int): Column =
+    bind1(wordNgrams(text, n)) { gs =>
+      (size(gs) - size(array_distinct(gs))).cast("double") /
+        greatest(size(gs), lit(1)).cast("double")
+    }
+
+  /** `struct(gram, n)` of the document's most frequent word `n`-gram; ties
+    * resolve to the lexicographically smallest gram, and a doc with no
+    * grams yields `('', 0)`. One run-length scan over the sorted gram array
+    * (sorting makes equal grams adjacent), so the cost is O(grams log grams)
+    * per row with zero data movement — the oracle replays it as the
+    * conventional explode + count + row_number pipeline. */
+  def topNgram(text: Column, n: Int): Column = {
+    val sorted = array_sort(wordNgrams(text, n))
+    val init = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("best"), lit("").as("best_gram"))
+    val folded = aggregate(sorted, init, (acc, g) => {
+      val run = when(g === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+      struct(g.as("prev"), run.as("run"),
+        when(run > acc("best"), run).otherwise(acc("best")).as("best"),
+        when(run > acc("best"), g).otherwise(acc("best_gram")).as("best_gram"))
+    })
+    struct(folded("best_gram").as("gram"), folded("best").as("n"))
+  }
+
+  /** Characters covered by the most frequent word `n`-gram as a share of
+    * the raw document length (the gram's internal spaces count, its copies
+    * are assumed non-overlapping — Gopher's convention). */
+  def topNgramCharFrac(text: Column, n: Int): Column =
+    bind1(topNgram(text, n)) { t =>
+      (t("n") * length(t("gram"))).cast("double") /
+        greatest(length(text), lit(1)).cast("double")
+    }
 }

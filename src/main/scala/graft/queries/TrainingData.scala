@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{TextAnalysis, TextDedup, VectorSearch}
+import graft.operators.{Curation, TextAnalysis, TextDedup, VectorSearch}
 import graft.tables.Tables
 
 /** Training-data pipeline operators over `documents` / `embeddings`
@@ -213,6 +213,54 @@ object TrainingData {
         .groupBy("fp").agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
         .filter(col("n") >= 1)
         .orderBy("keeper")
+    },
+
+    // ---- Gopher repetition signals (per-row folds, no shuffle) -------------
+    "q56_repetition_signals" -> { (s, dir) =>
+      val top = TextAnalysis.topNgram(col("text"), 2)
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          round(TextAnalysis.dupWordFrac(col("text")), 6).as("dup_word_frac"),
+          top("gram").as("top_bigram"),
+          top("n").as("top_bigram_n"),
+          round(TextAnalysis.topNgramCharFrac(col("text"), 2), 6)
+            .as("top_bigram_char_frac"),
+          round(TextAnalysis.dupNgramFrac(col("text"), 3), 6)
+            .as("dup_trigram_frac"))
+        .orderBy("doc_id")
+    },
+
+    // ---- cross-document duplicated 5-grams (contamination signal) ----------
+    "q57_cross_doc_ngrams" -> { (s, dir) =>
+      Curation.crossDocNgramStats(Tables.documents(s, dir), "doc_id", "text",
+          n = 5, minDocs = 2)
+        .orderBy("doc_id")
+    },
+
+    // ---- deterministic stratified sample (md5-threshold, per language) -----
+    // rates: en 1/2, de 1/4, fr 1/8, es 3/4, zh all ("zzzz" > every hex hash)
+    "q58_stratified_sample" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val sampled = Curation.stratifiedSample(docs, "lang", "doc_id",
+        Map("en" -> "8000", "de" -> "4000", "fr" -> "2000",
+            "es" -> "c000", "zh" -> "zzzz"), "s58:")
+      docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+        .join(sampled.groupBy("lang")
+          .agg(count(lit(1)).as("n_sampled"), sum("doc_id").as("id_sum")),
+          Seq("lang"), "left")
+        .orderBy("lang")
+    },
+
+    // ---- per-source document cap (web-corpus curation) ---------------------
+    "q59_per_source_cap" -> { (s, dir) =>
+      Curation.capPerGroup(
+          Tables.documents(s, dir)
+            .select(col("source"), col("doc_id"),
+              TextAnalysis.tokenCountBpe(col("text")).as("n_bpe")),
+          "source", Seq(col("n_bpe").desc, col("doc_id")), k = 5)
+        .select("source", "rnk", "doc_id", "n_bpe")
+        .orderBy("source", "rnk")
     }
   )
 
@@ -369,7 +417,88 @@ object TrainingData {
         s"""SELECT doc_id,
            | len(string_split_regex(trim(text), '\\s+')) AS n_ws,
            | len(regexp_extract_all(text, '${TextAnalysis.BpeTokenPattern}')) AS n_bpe
-           |FROM documents ORDER BY doc_id""".stripMargin
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // replay of the per-row folds as the conventional explode + count +
+      // row_number pipeline (count DESC, gram ASC == first max run over the
+      // ascending-sorted gram array)
+      "q56_repetition_signals" ->
+        """WITH toks AS (
+          | SELECT doc_id, text,
+          |   string_split_regex(lower(trim(text)), '\s+') AS w
+          | FROM documents WHERE doc_id < 200),
+          |wg AS (
+          | SELECT doc_id, text, w,
+          |  CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w)-1),
+          |    i -> w[i] || ' ' || w[i+1]) ELSE []::VARCHAR[] END AS g2,
+          |  CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w)-2),
+          |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE []::VARCHAR[] END AS g3
+          | FROM toks),
+          |bg AS (SELECT doc_id, unnest(g2) AS gram FROM wg),
+          |cnt AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2),
+          |top AS (
+          | SELECT doc_id, gram, c FROM (
+          |   SELECT doc_id, gram, c, row_number() OVER (
+          |     PARTITION BY doc_id ORDER BY c DESC, gram) AS rn FROM cnt)
+          | WHERE rn = 1)
+          |SELECT w.doc_id,
+          | round((len(w.w) - len(list_distinct(w.w)))::DOUBLE /
+          |   greatest(len(w.w), 1), 6) AS dup_word_frac,
+          | coalesce(top.gram, '') AS top_bigram,
+          | coalesce(top.c, 0) AS top_bigram_n,
+          | round(coalesce(top.c * length(top.gram), 0)::DOUBLE /
+          |   greatest(length(w.text), 1), 6) AS top_bigram_char_frac,
+          | round((len(w.g3) - len(list_distinct(w.g3)))::DOUBLE /
+          |   greatest(len(w.g3), 1), 6) AS dup_trigram_frac
+          |FROM wg w LEFT JOIN top ON w.doc_id = top.doc_id
+          |ORDER BY w.doc_id""".stripMargin,
+
+      "q57_cross_doc_ngrams" ->
+        """WITH toks AS (
+          | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          | FROM documents),
+          |dg AS (
+          | SELECT doc_id, CASE WHEN len(w) >= 5 THEN
+          |   list_distinct(list_transform(generate_series(1, len(w)-4),
+          |     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+          |          w[i+3] || ' ' || w[i+4]))
+          |   ELSE []::VARCHAR[] END AS gs
+          | FROM toks),
+          |g AS (SELECT doc_id, unnest(gs) AS gram FROM dg),
+          |shared AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+          |pd AS (SELECT g.doc_id, count(*) AS n_shared
+          |       FROM g JOIN shared USING (gram) GROUP BY 1)
+          |SELECT d.doc_id, len(d.gs) AS n_grams,
+          | coalesce(pd.n_shared, 0) AS n_shared,
+          | round(coalesce(pd.n_shared, 0)::DOUBLE /
+          |   greatest(len(d.gs), 1), 6) AS shared_frac
+          |FROM dg d LEFT JOIN pd USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin,
+
+      "q58_stratified_sample" ->
+        """WITH m AS (
+          | SELECT lang, doc_id,
+          |  substring(md5('s58:' || CAST(doc_id AS VARCHAR)), 1, 4) AS h,
+          |  CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '4000'
+          |    WHEN 'fr' THEN '2000' WHEN 'es' THEN 'c000'
+          |    WHEN 'zh' THEN 'zzzz' ELSE '' END AS thr
+          | FROM documents)
+          |SELECT lang, count(*) AS n_total,
+          | CAST(sum(CASE WHEN h < thr THEN 1 END) AS BIGINT) AS n_sampled,
+          | CAST(sum(CASE WHEN h < thr THEN doc_id END) AS BIGINT) AS id_sum
+          |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q59_per_source_cap" ->
+        s"""WITH t AS (
+           | SELECT source, doc_id,
+           |   len(regexp_extract_all(text, '${TextAnalysis.BpeTokenPattern}')) AS n_bpe
+           | FROM documents),
+           |r AS (
+           | SELECT source, doc_id, n_bpe, row_number() OVER (
+           |   PARTITION BY source ORDER BY n_bpe DESC, doc_id) AS rnk
+           | FROM t)
+           |SELECT source, rnk, doc_id, n_bpe FROM r WHERE rnk <= 5
+           |ORDER BY source, rnk""".stripMargin
     )
   }
 }

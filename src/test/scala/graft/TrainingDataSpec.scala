@@ -227,4 +227,55 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(r.getString(1) == "de")
     assert(r.getString(2) == "und")
   }
+
+  test("repetition folds: top-gram ties, short docs, duplicate fractions") {
+    // "b a b a" bigrams: [b a, a b, b a] → "b a" wins with 2
+    // "x y x z" bigrams all unique → tie resolves to smallest ("x y")
+    val r = spark.range(1).select(
+      TextAnalysis.topNgram(lit("b a b a"), 2).as("dup"),
+      TextAnalysis.topNgram(lit("x y x z"), 2).as("tie"),
+      TextAnalysis.topNgram(lit("solo"), 2).as("short"),
+      TextAnalysis.dupWordFrac(lit("a a b")).as("dwf"),
+      TextAnalysis.dupNgramFrac(lit("a b a b a"), 2).as("dgf")).collect()(0)
+    assert(r.getStruct(0).getString(0) == "b a" && r.getStruct(0).getLong(1) == 2)
+    assert(r.getStruct(1).getString(0) == "x y" && r.getStruct(1).getLong(1) == 1)
+    assert(r.getStruct(2).getString(0) == "" && r.getStruct(2).getLong(1) == 0)
+    assert(r.getDouble(3) == 1.0 / 3)   // (3 words - 2 distinct) / 3
+    assert(r.getDouble(4) == 2.0 / 4)   // [a b, b a, a b, b a] → 2 repeats
+  }
+
+  test("stratified sample is deterministic; unknown strata drop; zzzz keeps all") {
+    import spark.implicits._
+    val df = (0 until 200).map(i => (i.toLong, if (i % 2 == 0) "en" else "xx"))
+      .toDF("id", "lang")
+    val thr = Map("en" -> "8000", "zz" -> "zzzz")
+    def ids = graft.operators.Curation
+      .stratifiedSample(df, "lang", "id", thr, "s:")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val a, b = ids
+    assert(a == b, "same salt + threshold must select the same rows")
+    assert(a.forall(_ % 2 == 0), "stratum absent from the map must drop")
+    assert(a.nonEmpty && a.size < 100, "threshold 8000 is a proper subset")
+    val all = graft.operators.Curation.stratifiedSample(
+      df.withColumn("lang", lit("zz")), "lang", "id", thr, "s:").count()
+    assert(all == 200, "zzzz threshold keeps every row")
+  }
+
+  test("per-group cap bounds group size and ranks deterministically") {
+    import spark.implicits._
+    val df = (0 until 60).map(i => (s"g${i % 3}", i.toLong, (i % 7).toLong))
+      .toDF("grp", "id", "score")
+    val capped = graft.operators.Curation
+      .capPerGroup(df, "grp", Seq(col("score").desc, col("id")), k = 4)
+      .collect()
+    assert(capped.length == 12)
+    val byGroup = capped.groupBy(_.getString(0))
+    assert(byGroup.values.forall(_.length == 4))
+    // rank 1 of each group carries the max score, smallest id among ties
+    byGroup.foreach { case (_, rows) =>
+      val r1 = rows.find(_.getAs[Int]("rnk") == 1).get
+      assert(r1.getAs[Long]("score") == 6)
+      assert(rows.map(_.getAs[Long]("id")).distinct.length == 4)
+    }
+  }
 }
