@@ -87,4 +87,56 @@ object Curation {
     df.withColumn(rankName,
         row_number().over(Window.partitionBy(groupCol).orderBy(orderCols: _*)))
       .filter(col(rankName) <= k)
+
+  /** Benchmark decontamination: per corpus document, the count of its
+    * distinct word `n`-grams that also occur anywhere in `benchmark` —
+    * the standard "did the eval set leak into training data" check
+    * (GPT-3 App. C / PaLM-style n-gram overlap). Flag and drop (or just
+    * audit) documents with any hit.
+    *
+    * The benchmark side reduces to a distinct gram set FIRST, so the join
+    * probe is against O(benchmark grams) keys — broadcast when the
+    * benchmark is benchmark-sized, plain equi-join co-partitioned on the
+    * gram otherwise. Corpus payloads never move; only (id, gram). */
+  def contaminationStats(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame, cols: Column*) = df.select(cols :+
+      explode(array_distinct(TextAnalysis.wordNgrams(col(textCol), n)))
+        .as("gram"): _*)
+    val bGrams = grams(benchmark).distinct()
+    val hits = grams(corpus, col(idCol)).join(bGrams, "gram")
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Redact PII-shaped spans (emails, then long digit runs) and report the
+    * redaction count per document. Patterns deliberately stay in the
+    * regex subset where Java (Spark) and RE2 (DuckDB/ripgrep) agree —
+    * character classes, +/{m,} quantifiers, no backrefs — so the oracle
+    * pins byte-identical redacted output. Pure per-row projection: one
+    * scan, no shuffle, codegen'd `regexp_replace`/`regexp_count`. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongDigitPattern = "[0-9]{6,}"
+  def redact(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
+      LongDigitPattern, "<NUM>")
+  def redactionCount(text: Column): Column =
+    regexp_count(text, lit(EmailPattern)) +
+      regexp_count(regexp_replace(text, EmailPattern, "<EMAIL>"),
+        lit(LongDigitPattern))
+
+  /** Corpus vocabulary by document frequency: distinct tokens per doc,
+    * one (token) count, global top-`topN` by (df desc, token) — the
+    * tokenizer-training / idf-table build. Map-side partial aggregation
+    * collapses each partition's token multiset before the one shuffle;
+    * the top-N is a TakeOrdered, never a full sort. */
+  def vocabulary(df: DataFrame, textCol: String, topN: Int): DataFrame =
+    df.select(explode(array_distinct(
+        split(lower(trim(col(textCol))), "\\s+"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("token"))
+      .limit(topN)
 }

@@ -261,6 +261,38 @@ object TrainingData {
           "source", Seq(col("n_bpe").desc, col("doc_id")), k = 5)
         .select("source", "rnk", "doc_id", "n_bpe")
         .orderBy("source", "rnk")
+    },
+
+    // ---- benchmark decontamination (docs 0-49 play the eval set) -----------
+    "q60_decontamination" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Curation.contaminationStats(
+          docs.filter(col("doc_id") >= 50),
+          docs.filter(col("doc_id") < 50), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    },
+
+    // ---- PII-shaped redaction --------------------------------------------
+    // The corpus has no natural emails/ids, so each doc deterministically
+    // gains one contact address and a numeric id derived from its own
+    // columns (replayed verbatim by the oracle, like q47's planted dups);
+    // the md5 of the redacted text pins byte-identical redaction output.
+    "q61_redaction" -> { (s, dir) =>
+      val fixture = concat(col("text"),
+        lit(" contact_"), col("doc_id").cast("string"),
+        lit("@example.com ref "),
+        (col("doc_id") * col("doc_id") + 100000).cast("string"))
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          Curation.redactionCount(fixture).as("n_redactions"),
+          md5(Curation.redact(fixture)).as("redacted_md5"))
+        .orderBy("doc_id")
+    },
+
+    // ---- vocabulary / document-frequency build ------------------------------
+    "q62_vocabulary" -> { (s, dir) =>
+      Curation.vocabulary(Tables.documents(s, dir), "text", topN = 50)
     }
   )
 
@@ -498,7 +530,58 @@ object TrainingData {
            |   PARTITION BY source ORDER BY n_bpe DESC, doc_id) AS rnk
            | FROM t)
            |SELECT source, rnk, doc_id, n_bpe FROM r WHERE rnk <= 5
-           |ORDER BY source, rnk""".stripMargin
+           |ORDER BY source, rnk""".stripMargin,
+
+      "q60_decontamination" ->
+        """WITH toks AS (
+          | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          | FROM documents),
+          |dg AS (
+          | SELECT doc_id, CASE WHEN len(w) >= 8 THEN
+          |   list_distinct(list_transform(generate_series(1, len(w)-7),
+          |     i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+          |          w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]))
+          |   ELSE []::VARCHAR[] END AS gs
+          | FROM toks),
+          |bench AS (
+          | SELECT DISTINCT unnest(gs) AS gram FROM dg WHERE doc_id < 50),
+          |corpus AS (
+          | SELECT doc_id, unnest(gs) AS gram FROM dg WHERE doc_id >= 50),
+          |hits AS (
+          | SELECT corpus.doc_id, count(*) AS n_overlap
+          | FROM corpus JOIN bench USING (gram) GROUP BY 1)
+          |SELECT d.doc_id, coalesce(h.n_overlap, 0) AS n_overlap,
+          | coalesce(h.n_overlap, 0) > 0 AS contaminated
+          |FROM (SELECT doc_id FROM documents WHERE doc_id >= 50) d
+          |LEFT JOIN hits h USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin,
+
+      "q61_redaction" -> {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val num = "[0-9]{6,}"
+        s"""WITH f AS (
+           | SELECT doc_id, text || ' contact_' || CAST(doc_id AS VARCHAR) ||
+           |   '@example.com ref ' || CAST(doc_id * doc_id + 100000 AS VARCHAR)
+           |   AS t
+           | FROM documents WHERE doc_id < 100)
+           |SELECT doc_id,
+           | len(regexp_extract_all(t, '$email'))
+           |   + len(regexp_extract_all(
+           |       regexp_replace(t, '$email', '<EMAIL>', 'g'), '$num'))
+           |   AS n_redactions,
+           | md5(regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
+           |   '$num', '<NUM>', 'g')) AS redacted_md5
+           |FROM f ORDER BY doc_id""".stripMargin
+      },
+
+      "q62_vocabulary" ->
+        """WITH dt AS (
+          | SELECT doc_id,
+          |   unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+')))
+          |   AS token
+          | FROM documents)
+          |SELECT token, count(*) AS doc_freq FROM dt
+          |GROUP BY token ORDER BY doc_freq DESC, token LIMIT 50""".stripMargin
     )
   }
 }

@@ -261,6 +261,35 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(all == 200, "zzzz threshold keeps every row")
   }
 
+  test("contamination, redaction, and vocabulary edge cases") {
+    import spark.implicits._
+    val bench = Seq((1L, "a b c d e f g h tail")).toDF("id", "t")
+    val corpus = Seq(
+      (10L, "x a b c d e f g h y"), // one 8-gram overlaps (a..h)
+      (11L, "totally different words here padded to eight words plus"),
+      (12L, "short")).toDF("id", "t")
+    val st = graft.operators.Curation
+      .contaminationStats(corpus, bench, "id", "t", n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(st(10L) == ((1L, true)), s"got ${st(10L)}")
+    assert(st(11L) == ((0L, false)))
+    assert(st(12L) == ((0L, false)), "sub-n docs have no grams")
+
+    val red = spark.range(1).select(
+      graft.operators.Curation.redact(
+        lit("mail a@b.co and c.d@e-f.org, id 1234567, short 123")).as("r"),
+      graft.operators.Curation.redactionCount(
+        lit("mail a@b.co and c.d@e-f.org, id 1234567, short 123")).as("n"))
+      .collect()(0)
+    assert(red.getString(0) == "mail <EMAIL> and <EMAIL>, id <NUM>, short 123")
+    assert(red.getInt(1) == 3)
+
+    val vocab = graft.operators.Curation.vocabulary(
+      Seq("b a", "b a", "b c").toDF("t"), "t", 2).collect()
+    assert(vocab.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("b", 3L), ("a", 2L)), "df order with ties broken by token")
+  }
+
   test("per-group cap bounds group size and ranks deterministically") {
     import spark.implicits._
     val df = (0 until 60).map(i => (s"g${i % 3}", i.toLong, (i % 7).toLong))
