@@ -139,4 +139,42 @@ object Curation {
       .groupBy("token").agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("token"))
       .limit(topN)
+
+  /** Token-budget packing: fill each stratum with documents, in
+    * [[sampleHash]] order (deterministic and unbiased — ingest order is
+    * neither), until the stratum's token budget is reached; the document
+    * that crosses the budget line is kept (first-fit semantics, so a
+    * stratum with any document is never empty). The "give me 1B tokens per
+    * language" selection step of every mixture-weighted training run.
+    * One window (hash shuffle + in-partition running sum) per stratum. */
+  def tokenBudgetPack(df: DataFrame, strataCol: String, idCol: String,
+      tokenCountCol: String, budgets: Map[String, Long],
+      salt: String): DataFrame = {
+    val budgetMap = map(budgets.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    // unique order key (id tiebreak) makes RANGE == ROWS, but spell out
+    // ROWS so the frame is engine-independent by construction
+    val w = Window.partitionBy(strataCol)
+      .orderBy(sampleHash(col(idCol), salt), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("running_tokens",
+        sum(col(tokenCountCol)).over(w))
+      .filter(col("running_tokens") - col(tokenCountCol) <
+        coalesce(element_at(budgetMap, col(strataCol)), lit(0L)))
+  }
+
+  /** C4-style composite quality filter: the FIRST failing rule names the
+    * drop reason ('keep' when none fails), so filter attrition is
+    * attributable per rule — the audit table every curation run reports.
+    * All signals are deterministic double arithmetic over exact integer
+    * counts (identical IEEE ops in any engine), so the rule outcomes are
+    * oracle-exact, not just approximately right. Pure projection. */
+  def qualityFilterReason(text: Column, minChars: Int = 50,
+      maxPunct: Double = 0.1, maxDupWords: Double = 0.6): Column =
+    when(length(text) < minChars, "too_short")
+      .when(TextAnalysis.punctRatio(text) > maxPunct, "high_punct")
+      .when(TextAnalysis.meanWordLen(text) < 3.0 ||
+        TextAnalysis.meanWordLen(text) > 10.0, "word_len")
+      .when(TextAnalysis.dupWordFrac(text) > maxDupWords, "repetitive")
+      .otherwise("keep")
 }

@@ -293,6 +293,29 @@ object TrainingData {
     // ---- vocabulary / document-frequency build ------------------------------
     "q62_vocabulary" -> { (s, dir) =>
       Curation.vocabulary(Tables.documents(s, dir), "text", topN = 50)
+    },
+
+    // ---- token-budget packing (mixture-weighted selection) -----------------
+    "q63_token_budget" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tok"))
+      Curation.tokenBudgetPack(docs, "lang", "doc_id", "n_tok",
+          Map("en" -> 2000L, "de" -> 1000L, "fr" -> 500L,
+              "es" -> 1L, "zh" -> 1000000L), "s63:")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+        .orderBy("lang")
+    },
+
+    // ---- composite quality filter with drop reasons -------------------------
+    "q64_quality_filter" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Curation.qualityFilterReason(col("text")).as("reason"))
+        .groupBy("reason").agg(count(lit(1)).as("n"),
+          min("doc_id").as("first_doc"))
+        .orderBy("reason")
     }
   )
 
@@ -581,7 +604,44 @@ object TrainingData {
           |   AS token
           | FROM documents)
           |SELECT token, count(*) AS doc_freq FROM dt
-          |GROUP BY token ORDER BY doc_freq DESC, token LIMIT 50""".stripMargin
+          |GROUP BY token ORDER BY doc_freq DESC, token LIMIT 50""".stripMargin,
+
+      "q63_token_budget" ->
+        """WITH t AS (
+          | SELECT lang, doc_id,
+          |   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+          |   substring(md5('s63:' || CAST(doc_id AS VARCHAR)), 1, 4) AS h
+          | FROM documents),
+          |w AS (
+          | SELECT lang, doc_id, n_tok,
+          |   sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rt,
+          |   CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 1000
+          |     WHEN 'fr' THEN 500 WHEN 'es' THEN 1 WHEN 'zh' THEN 1000000
+          |     ELSE 0 END AS b
+          | FROM t)
+          |SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens
+          |FROM w WHERE rt - n_tok < b GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q64_quality_filter" ->
+        """WITH m AS (
+          | SELECT doc_id, text,
+          |  length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE /
+          |    greatest(length(text), 1) AS punct_ratio,
+          |  length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE /
+          |    greatest(len(string_split_regex(trim(text), '\s+')), 1) AS mwl,
+          |  (len(string_split_regex(lower(trim(text)), '\s+')) -
+          |   len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))))::DOUBLE
+          |    / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1) AS dwf
+          | FROM documents),
+          |r AS (
+          | SELECT doc_id, CASE WHEN length(text) < 50 THEN 'too_short'
+          |   WHEN punct_ratio > 0.1 THEN 'high_punct'
+          |   WHEN mwl < 3.0 OR mwl > 10.0 THEN 'word_len'
+          |   WHEN dwf > 0.6 THEN 'repetitive' ELSE 'keep' END AS reason
+          | FROM m)
+          |SELECT reason, count(*) AS n, min(doc_id) AS first_doc
+          |FROM r GROUP BY reason ORDER BY reason""".stripMargin
     )
   }
 }

@@ -290,6 +290,18 @@ class TrainingDataSpec extends AnyFunSuite {
       Seq(("b", 3L), ("a", 2L)), "df order with ties broken by token")
   }
 
+  test("token-budget pack: first-fit keeps the crossing doc; tiny budget keeps one") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 10L),
+      ("b", 4L, 10L), ("b", 5L, 10L), ("c", 6L, 10L))
+      .toDF("s", "id", "n")
+    val kept = graft.operators.Curation
+      .tokenBudgetPack(df, "s", "id", "n", Map("a" -> 15L, "b" -> 1L), "x:")
+      .collect().groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    // a: doc1 starts at 0 (<15), doc2 starts at 10 (<15, crosses), doc3 at 20 → 2
+    assert(kept == Map("a" -> 2, "b" -> 1), s"got $kept") // c: no budget → dropped
+  }
+
   test("per-group cap bounds group size and ranks deterministically") {
     import spark.implicits._
     val df = (0 until 60).map(i => (s"g${i % 3}", i.toLong, (i % 7).toLong))
