@@ -146,21 +146,44 @@ object Curation {
     * that crosses the budget line is kept (first-fit semantics, so a
     * stratum with any document is never empty). The "give me 1B tokens per
     * language" selection step of every mixture-weighted training run.
-    * One window (hash shuffle + in-partition running sum) per stratum. */
+    *
+    * The running sum is a TWO-LEVEL parallel prefix sum, not one window
+    * per stratum: `Window.partitionBy(stratum)` alone would stream every
+    * document of a language through a single task — a straggler (or OOM)
+    * when one stratum is 40% of 100 TB. Instead the first two hash chars
+    * split each stratum into 256 buckets whose per-bucket totals (a tiny
+    * aggregate) prefix-sum into bucket offsets; each document then only
+    * windows WITHIN its (stratum, bucket) — 256× the parallelism, and the
+    * bucket is a PREFIX of the sort key, so offset + intra-bucket running
+    * sum equals the single-window running sum exactly (the oracle replays
+    * the plain one-window form). */
   def tokenBudgetPack(df: DataFrame, strataCol: String, idCol: String,
       tokenCountCol: String, budgets: Map[String, Long],
       salt: String): DataFrame = {
     val budgetMap = map(budgets.toSeq.sortBy(_._1)
       .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val withH = df
+      .withColumn("__h", sampleHash(col(idCol), salt))
+      .withColumn("__bkt", substring(col("__h"), 1, 2))
+    val bktTotals = withH.groupBy(strataCol, "__bkt")
+      .agg(sum(col(tokenCountCol)).as("__bt"))
+    // exclusive prefix over ≤256 bucket rows per stratum — trivially small
+    val wBuckets = Window.partitionBy(strataCol).orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bktTotals
+      .withColumn("__off", coalesce(sum(col("__bt")).over(wBuckets), lit(0L)))
+      .drop("__bt")
     // unique order key (id tiebreak) makes RANGE == ROWS, but spell out
     // ROWS so the frame is engine-independent by construction
-    val w = Window.partitionBy(strataCol)
-      .orderBy(sampleHash(col(idCol), salt), col(idCol))
+    val wIntra = Window.partitionBy(strataCol, "__bkt")
+      .orderBy(col("__h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("running_tokens",
-        sum(col(tokenCountCol)).over(w))
+    withH.join(offsets, Seq(strataCol, "__bkt"))
+      .withColumn("running_tokens",
+        col("__off") + sum(col(tokenCountCol)).over(wIntra))
       .filter(col("running_tokens") - col(tokenCountCol) <
         coalesce(element_at(budgetMap, col(strataCol)), lit(0L)))
+      .drop("__h", "__bkt", "__off")
   }
 
   /** C4-style composite quality filter: the FIRST failing rule names the
