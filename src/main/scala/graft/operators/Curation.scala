@@ -81,12 +81,26 @@ object Curation {
   /** Per-group cap: the first `k` rows of each group in `orderCols` order
     * (callers must make the order total — end with a unique id — or ranks
     * are nondeterministic). The per-domain / per-source document cap of
-    * web-corpus curation; one hash shuffle on the group key. */
+    * web-corpus curation.
+    *
+    * Two-phase: a single `Window.partitionBy(group)` would stream every
+    * row of a group through one task — the biggest domain of a web corpus
+    * is a straggler at scale. Phase 1 takes the top `k` within each
+    * (group, content-hash bucket) — any bucketing works, since the global
+    * top-k is a subset of the union of per-bucket top-ks — so phase 2's
+    * real ranking window sees at most `64·k` rows per group. */
   def capPerGroup(df: DataFrame, groupCol: String, orderCols: Seq[Column],
-      k: Int, rankName: String = "rnk"): DataFrame =
-    df.withColumn(rankName,
+      k: Int, rankName: String = "rnk"): DataFrame = {
+    val bkt = pmod(xxhash64(struct(df.columns.map(col): _*)), lit(64))
+    val local = df.withColumn("__bkt", bkt)
+      .withColumn("__lr", row_number().over(
+        Window.partitionBy(col(groupCol), col("__bkt")).orderBy(orderCols: _*)))
+      .filter(col("__lr") <= k)
+      .drop("__bkt", "__lr")
+    local.withColumn(rankName,
         row_number().over(Window.partitionBy(groupCol).orderBy(orderCols: _*)))
       .filter(col(rankName) <= k)
+  }
 
   /** Benchmark decontamination: per corpus document, the count of its
     * distinct word `n`-grams that also occur anywhere in `benchmark` —
