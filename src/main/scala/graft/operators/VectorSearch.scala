@@ -60,6 +60,30 @@ object VectorSearch {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * anchor, the `k` most similar corpus vectors carrying a DIFFERENT
+    * label — the negatives that actually move a contrastive loss
+    * (random negatives are trivially easy). Exact brute-force baseline
+    * with the anchor side broadcast (small by construction, same contract
+    * as [[bruteForceTopK]]); at corpus scale substitute [[lshTopK]]'s
+    * candidate generation and keep the label-inequality predicate —
+    * composition is unchanged. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int, dim: Int): DataFrame = {
+    val a = broadcast(anchors.select(col(idCol).as("anchor_id"),
+      col(vecCol).as("__av"), col(labelCol).as("__al")))
+    val c = corpus.select(col(idCol).as("negative_id"),
+      col(vecCol).as("__cv"), col(labelCol).as("__cl"))
+    val scored = a.join(c, col("anchor_id") =!= col("negative_id") &&
+        col("__al") =!= col("__cl"))
+      .withColumn("cosine", cosine(col("__av"), col("__cv"), dim))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("negative_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("anchor_id", "negative_id", "rank", "cosine")
+  }
+
   /** Plain Lloyd k-means on the driver over a bounded sample (IVF coarse
     * quantizer training). Deterministic: seeded init from sample points. */
   private def kmeans(points: Array[Array[Double]], k: Int, iters: Int,

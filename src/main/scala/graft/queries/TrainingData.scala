@@ -316,6 +316,16 @@ object TrainingData {
         .groupBy("reason").agg(count(lit(1)).as("n"),
           min("doc_id").as("first_doc"))
         .orderBy("reason")
+    },
+
+    // ---- hard-negative mining (contrastive-training data) ------------------
+    "q65_hard_negatives" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      VectorSearch.hardNegatives(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", "label", k = 5, dim = Dim)
+        .select(col("anchor_id"), col("negative_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("anchor_id", "rank")
     }
   )
 
@@ -429,6 +439,25 @@ object TrainingData {
            | FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
            |SELECT id_a, id_b, round(cos_raw, 6) AS cosine
            |FROM scored WHERE cos_raw >= 0.9 ORDER BY id_a, id_b""".stripMargin
+      },
+
+      "q65_hard_negatives" -> {
+        val dotAB = dotSql("q.embedding", "c.embedding")
+        val nA = normSql("q.embedding")
+        val nB = normSql("c.embedding")
+        s"""WITH scored AS (
+           | SELECT q.vec_id AS anchor_id, c.vec_id AS negative_id,
+           |   ($dotAB) / (sqrt($nA) * sqrt($nB)) AS cos_raw
+           | FROM embeddings q JOIN embeddings c
+           |   ON q.vec_id <> c.vec_id AND q.label <> c.label
+           | WHERE q.vec_id < 20),
+           |ranked AS (
+           | SELECT anchor_id, negative_id, cos_raw,
+           |   row_number() OVER (PARTITION BY anchor_id
+           |     ORDER BY cos_raw DESC, negative_id) AS rank
+           | FROM scored)
+           |SELECT anchor_id, negative_id, rank, round(cos_raw, 6) AS cosine
+           |FROM ranked WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin
       },
 
       "q30_lang_id" ->
