@@ -200,6 +200,112 @@ object Curation {
       .drop("__h", "__bkt", "__off")
   }
 
+  /** Sliding-window token chunking with overlap — the "split every document
+    * into model-context-sized pieces" step that precedes tokenization in
+    * every pretraining pipeline. Chunk `i` covers whitespace tokens
+    * `[i·step, i·step + chunkSize)` with `step = chunkSize - overlap`;
+    * starts are generated while `start < n_tokens`, so every token lands in
+    * at least one chunk and short documents yield exactly one.
+    *
+    * Shape at scale: a pure per-row `posexplode` projection — the token
+    * array is bound once per row, starts enumerate via `sequence`, and no
+    * shuffle or driver round-trip exists anywhere. Output order is
+    * (id, chunk_id) within the input partitioning. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize): $overlap vs $chunkSize")
+    val step = chunkSize - overlap
+    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__t"))
+      .select(col(idCol), col("__t"), posexplode(
+        sequence(lit(0), size(col("__t")) - 1, lit(step)))
+        .as(Seq("chunk_id", "__start")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("__t"), col("__start") + 1, lit(chunkSize)).as("__c"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__c")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("__c"))).as("chunk_md5"))
+  }
+
+  /** Deterministic train/val/test assignment from the [[sampleHash]] of the
+    * document id: hash < `trainThr` → train, < `valThr` → val, else test
+    * (thresholds are 4-hex-digit fractions of 0x10000, e.g. "cccc"/"e666"
+    * ≈ 80/10/10). The split survives re-ingestion, dedup order, and engine
+    * changes — the property that matters when the same corpus is re-cut
+    * across runs. Pure projection, evaluated at the scan. */
+  def splitAssign(id: Column, salt: String,
+      trainThr: String = "cccc", valThr: String = "e666"): Column = {
+    val h = sampleHash(id, salt)
+    when(h < trainThr, "train").when(h < valThr, "val").otherwise("test")
+  }
+
+  /** Temperature-weighted mixture resampling at α = 1/2: each stratum keeps
+    * a `sqrt(min_count / count)` fraction of its documents, so after
+    * sampling the stratum sizes are proportional to `sqrt(count)` — the
+    * "flatten the source distribution" step (multilingual / multi-source
+    * mixtures á la CC-100) without an explicit per-stratum rate table.
+    * α is fixed at 1/2 because `sqrt` is IEEE-correctly-rounded in every
+    * engine, which keeps the acceptance thresholds (and therefore the
+    * exact kept-set) oracle-replayable; a generic `pow(n, α-1)` is not.
+    *
+    * The acceptance rate quantizes to a 4-hex-digit [[sampleHash]]
+    * threshold (floor to 1/65536 granularity; rate 1.0 keeps everything),
+    * so selection is the same pure scan-level filter as
+    * [[stratifiedSample]]. Shape at scale: one tiny per-stratum count
+    * aggregate re-joined (broadcast) onto the corpus — document payloads
+    * are filtered in place and never shuffle. */
+  def temperatureResample(df: DataFrame, strataCol: String, idCol: String,
+      salt: String): DataFrame = {
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+    val rate = sqrt(min(col("__n")).over(Window.partitionBy()) /
+      col("__n").cast("double"))
+    val thr = counts.select(col(strataCol), when(rate >= 1.0, lit("zzzz"))
+      .otherwise(format_string("%04x",
+        floor(rate * 65536).cast("long"))).as("__thr"))
+    df.join(broadcast(thr), Seq(strataCol))
+      .filter(sampleHash(col(idCol), salt) < col("__thr"))
+      .drop("__thr")
+  }
+
+  /** Document-frequency rarity score + per-stratum quality buckets — the
+    * CCNet-style "rank documents by a cheap LM proxy, keep the head"
+    * selection, with corpus-wide document frequency standing in for the
+    * language model: a document whose tokens are common corpus-wide
+    * (high mean df) scores as head, rare/noisy vocabulary lands in the
+    * tail. `ntile(buckets)` per stratum orders by mean df descending, so
+    * bucket 1 is the head cut a pipeline would keep.
+    *
+    * Determinism: the per-document score aggregates INTEGER df counts
+    * (`sum`/`count` of longs — order-independent, unlike a double sum),
+    * and the single division to a mean happens once per document, so the
+    * score and the bucket boundaries replay exactly in any engine; ties
+    * break on the id. Shape at scale: the df table is one explode +
+    * token-keyed count; the probe is the same explode joined co-partitioned
+    * on the token — only (id, token) pairs shuffle, payloads stay put (at
+    * 100 TB, shuffle `xxhash64(token)` instead of the text, as
+    * [[crossDocNgramStats]] notes). The exact `ntile` DOES sort each
+    * stratum's narrow (id, score) rows through one task; past ~10⁸ docs
+    * per stratum swap it for approx-quantile score cutoffs
+    * (`approxQuantile` per stratum → a scan-level range filter) — same
+    * head/tail semantics, no exact oracle. */
+  def dfRarityBuckets(df: DataFrame, idCol: String, textCol: String,
+      strataCol: String, buckets: Int = 4): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val docFreq = df.select(explode(array_distinct(toks)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("__df"))
+    val scored = df.select(col(idCol), explode(toks).as("token"))
+      .join(docFreq, "token")
+      .groupBy(idCol)
+      .agg(sum(col("__df")).as("__sum_df"), count(lit(1)).as("n_tok"))
+      .select(col(idCol), col("n_tok"),
+        (col("__sum_df").cast("double") / col("n_tok")).as("__mean"))
+    df.select(col(idCol), col(strataCol)).join(scored, idCol)
+      .select(col(idCol), col(strataCol), col("n_tok"),
+        round(col("__mean"), 6).as("mean_df"),
+        ntile(buckets).over(Window.partitionBy(strataCol)
+          .orderBy(col("__mean").desc, col(idCol))).cast("long").as("bucket"))
+  }
+
   /** C4-style composite quality filter: the FIRST failing rule names the
     * drop reason ('keep' when none fails), so filter attrition is
     * attributable per rule — the audit table every curation run reports.

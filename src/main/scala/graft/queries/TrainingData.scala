@@ -326,6 +326,42 @@ object TrainingData {
         .select(col("anchor_id"), col("negative_id"), col("rank"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy("anchor_id", "rank")
+    },
+
+    // ---- sliding-window token chunking (context-size splitting) ------------
+    "q66_chunking" -> { (s, dir) =>
+      Curation.chunkTokens(
+          Tables.documents(s, dir).filter(col("doc_id") < 50),
+          "doc_id", "text", chunkSize = 24, overlap = 8)
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // ---- deterministic train/val/test split --------------------------------
+    "q67_split_assign" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          Curation.splitAssign(col("doc_id"), "s67:").as("split"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+        .orderBy("source", "split")
+    },
+
+    // ---- temperature (α=1/2) mixture resampling ----------------------------
+    "q68_mixture_resample" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+        .join(Curation.temperatureResample(docs, "lang", "doc_id", "s68:")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum")),
+          Seq("lang"), "left")
+        .orderBy("lang")
+    },
+
+    // ---- document-frequency rarity buckets (CCNet-style head/tail cut) -----
+    "q69_df_rarity" -> { (s, dir) =>
+      Curation.dfRarityBuckets(Tables.documents(s, dir),
+          "doc_id", "text", "lang", buckets = 4)
+        .orderBy("doc_id")
     }
   )
 
@@ -670,7 +706,65 @@ object TrainingData {
           |   WHEN dwf > 0.6 THEN 'repetitive' ELSE 'keep' END AS reason
           | FROM m)
           |SELECT reason, count(*) AS n, min(doc_id) AS first_doc
-          |FROM r GROUP BY reason ORDER BY reason""".stripMargin
+          |FROM r GROUP BY reason ORDER BY reason""".stripMargin,
+
+      "q66_chunking" ->
+        """WITH toks AS (
+          | SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          | FROM documents WHERE doc_id < 50),
+          |starts AS (
+          | SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 16)) AS s
+          | FROM toks)
+          |SELECT doc_id, s // 16 AS chunk_id,
+          |  len(list_slice(t, s + 1, s + 24)) AS n_tokens,
+          |  md5(array_to_string(list_slice(t, s + 1, s + 24), ' ')) AS chunk_md5
+          |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
+
+      "q67_split_assign" ->
+        """WITH a AS (
+          | SELECT source, doc_id,
+          |  CASE WHEN substr(md5('s67:' || doc_id), 1, 4) < 'cccc' THEN 'train'
+          |       WHEN substr(md5('s67:' || doc_id), 1, 4) < 'e666' THEN 'val'
+          |       ELSE 'test' END AS split
+          | FROM documents)
+          |SELECT source, split, count(*) AS n, sum(doc_id) AS id_sum
+          |FROM a GROUP BY source, split ORDER BY source, split""".stripMargin,
+
+      "q68_mixture_resample" ->
+        """WITH c AS (
+          | SELECT lang, count(*) AS n_total FROM documents GROUP BY lang),
+          |thr AS (
+          | SELECT lang, n_total,
+          |  CASE WHEN sqrt((SELECT min(n_total) FROM c)::DOUBLE / n_total) >= 1
+          |   THEN 'zzzz'
+          |   ELSE printf('%04x', CAST(floor(sqrt(
+          |     (SELECT min(n_total) FROM c)::DOUBLE / n_total) * 65536) AS BIGINT))
+          |  END AS h_thr
+          | FROM c),
+          |kept AS (
+          | SELECT d.lang, d.doc_id FROM documents d JOIN thr USING (lang)
+          | WHERE substr(md5('s68:' || d.doc_id), 1, 4) < thr.h_thr)
+          |SELECT thr.lang, thr.n_total, k.n_kept, k.id_sum
+          |FROM thr LEFT JOIN (
+          | SELECT lang, count(*) AS n_kept, sum(doc_id) AS id_sum
+          | FROM kept GROUP BY lang) k USING (lang)
+          |ORDER BY lang""".stripMargin,
+
+      "q69_df_rarity" ->
+        """WITH toks AS (
+          | SELECT doc_id, lang,
+          |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          | FROM documents),
+          |df AS (
+          | SELECT token, count(DISTINCT doc_id) AS dfreq FROM toks
+          | GROUP BY token),
+          |scored AS (
+          | SELECT t.doc_id, t.lang, count(*) AS n_tok,
+          |  sum(df.dfreq)::DOUBLE / count(*) AS m
+          | FROM toks t JOIN df USING (token) GROUP BY t.doc_id, t.lang)
+          |SELECT doc_id, lang, n_tok, round(m, 6) AS mean_df,
+          |  ntile(4) OVER (PARTITION BY lang ORDER BY m DESC, doc_id) AS bucket
+          |FROM scored ORDER BY doc_id""".stripMargin
     )
   }
 }

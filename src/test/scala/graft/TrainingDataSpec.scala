@@ -302,6 +302,70 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(kept == Map("a" -> 2, "b" -> 1), s"got $kept") // c: no budget → dropped
   }
 
+  test("chunking covers every token; chunks overlap by exactly `overlap`") {
+    import spark.implicits._
+    val df = Seq((1L, (1 to 60).map(i => s"w$i").mkString(" ")), // 3 chunks
+      (2L, "a b c"), (3L, "solo")).toDF("id", "text") // short → one chunk
+    val chunks = graft.operators.Curation
+      .chunkTokens(df, "id", "text", chunkSize = 24, overlap = 8).collect()
+    val byDoc = chunks.groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1))).toMap
+    // doc 1: starts 0,16,32,48 → sizes 24,24,24,12; all 60 tokens covered
+    assert(byDoc(1L).map(_.getLong(2)).toSeq == Seq(24L, 24L, 24L, 12L))
+    assert(byDoc(2L).map(_.getLong(2)).toSeq == Seq(3L))
+    assert(byDoc(3L).length == 1)
+    // same doc re-chunked is byte-identical (md5 determinism)
+    val again = graft.operators.Curation
+      .chunkTokens(df, "id", "text", 24, 8).collect().map(_.getString(3)).sorted
+    assert(again.toSeq == chunks.map(_.getString(3)).sorted.toSeq)
+  }
+
+  test("split assignment is stable and near the 80/10/10 design fractions") {
+    import spark.implicits._
+    val ids = (0L until 2000L).toDF("id")
+    val splits = ids.select(graft.operators.Curation
+        .splitAssign(col("id"), "t:").as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(math.abs(splits("train") - 1600.0) < 100, s"train=$splits")
+    assert(math.abs(splits("val") - 200.0) < 60 &&
+      math.abs(splits("test") - 200.0) < 60, s"got $splits")
+    // same salt+id → same split, always (determinism across plans)
+    val twice = ids.select(col("id"),
+      graft.operators.Curation.splitAssign(col("id"), "t:").as("a"),
+      graft.operators.Curation.splitAssign(col("id"), "t:").as("b"))
+    assert(twice.filter(col("a") =!= col("b")).count() == 0)
+  }
+
+  test("temperature resample keeps the smallest stratum whole, flattens ratios") {
+    import spark.implicits._
+    val df = (0 until 1600).map(i => (if (i < 100) "small"
+      else if (i < 500) "mid" else "big", i.toLong)).toDF("s", "id")
+    val kept = graft.operators.Curation
+      .temperatureResample(df, "s", "id", "tr:")
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(kept("small") == 100, s"smallest stratum must keep all: $kept")
+    // expected kept ≈ sqrt(100·n): mid ≈ 200, big ≈ 332 — ratios flatten
+    assert(math.abs(kept("mid") - 200.0) < 60, s"got $kept")
+    assert(math.abs(kept("big") - 332.0) < 90, s"got $kept")
+    assert(kept("big").toDouble / kept("mid") < 1100.0 / 400.0, s"got $kept")
+  }
+
+  test("df-rarity buckets: every stratum fills 1..k; common docs land head") {
+    import spark.implicits._
+    val df = ((0 until 16).map(i => (i.toLong, "the quick common words", "en"))
+      ++ Seq((100L, "zyzzyva qwerty unique rarest", "en")))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.operators.Curation
+      .dfRarityBuckets(df, "doc_id", "text", "lang", buckets = 4).collect()
+    val rare = out.find(_.getLong(0) == 100L).get
+    assert(rare.getLong(4) == 4, s"rare-vocab doc must be tail: $rare")
+    assert(out.map(_.getLong(4)).toSet == Set(1L, 2L, 3L, 4L))
+    // mean_df of the common docs = 16 (each token in all 16 docs)
+    assert(out.filter(_.getLong(0) < 16).forall(_.getDouble(3) == 16.0))
+  }
+
   test("per-group cap bounds group size and ranks deterministically") {
     import spark.implicits._
     val df = (0 until 60).map(i => (s"g${i % 3}", i.toLong, (i % 7).toLong))
