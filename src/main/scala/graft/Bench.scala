@@ -104,7 +104,7 @@ object Bench {
     val (ingest, idleMs, underMs) = if (only.isDefined) (-1.0, -1.0, -1.0)
     else try {
       import org.apache.spark.sql.functions._
-      val root = java.nio.file.Files.createTempDirectory("bench_ingest_").toString
+      val root = graft.tables.TempDirs.create("bench_ingest_")
       val t = new graft.sources.GraftTable(spark, root,
         graft.schema.TableSchemas.morVersioned)
       val rows = graft.tables.Tables.events(spark, sfDir).select(

@@ -295,14 +295,18 @@ object TextDedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      // the row's own current label rides through the min-aggregate as a
+      // tagged min, so "did anything change" is a scan of the (already
+      // checkpointed) round output — NOT a second shuffle join per round
       val viaNeighbors = sym.join(labels, sym("__src") === labels("__id"))
-        .select(col("__dst").as("__id"), col("__lbl"))
-      val next = labels.unionByName(viaNeighbors)
-        .groupBy("__id").agg(min("__lbl").as("__lbl"))
+        .select(col("__dst").as("__id"), col("__lbl"), lit(false).as("__own"))
+      val next = labels.withColumn("__own", lit(true))
+        .unionByName(viaNeighbors)
+        .groupBy("__id").agg(min("__lbl").as("__lbl"),
+          min(when(col("__own"), col("__lbl"))).as("__prev"))
         .localCheckpoint()
-      converged = next.alias("n").join(labels.alias("o"), "__id")
-        .filter(col("n.__lbl") =!= col("o.__lbl")).isEmpty
-      labels = next
+      converged = next.filter(col("__lbl") =!= col("__prev")).isEmpty
+      labels = next.select(col("__id"), col("__lbl"))
       iter += 1
     }
     labels

@@ -23,7 +23,7 @@ object CountPushdown {
     * (the fast-path gate). */
   private def fixture(s: SparkSession, dir: String): GraftTable = {
     val root = built.getOrElseUpdate(dir, {
-      val r = Files.createTempDirectory("graft_count_").toString
+      val r = graft.tables.TempDirs.create("graft_count_")
       val t = new GraftTable(s, r, TableSchemas.morVersioned)
       val rows = Tables.events(s, dir).select(
         (col("user_id") % 5).cast("string").as("project_id"),
@@ -49,7 +49,7 @@ object CountPushdown {
 
   private def indexedFixture(s: SparkSession, dir: String): GraftTable = {
     val root = builtIdx.getOrElseUpdate(dir, {
-      val r = Files.createTempDirectory("graft_lcount_").toString
+      val r = graft.tables.TempDirs.create("graft_lcount_")
       val t = new GraftTable(s, r, TableSchemas.morVersioned,
         maintainCountIndex = true)
       val rows = Tables.events(s, dir).select(

@@ -46,7 +46,7 @@ object MergeOnRead {
 
   private def pcTable(s: SparkSession, dir: String): graft.sources.GraftTable = {
     val root = pcBuilt.getOrElseUpdate(dir, {
-      val r = java.nio.file.Files.createTempDirectory("graft_pcompact_").toString
+      val r = graft.tables.TempDirs.create("graft_pcompact_")
       val t = new graft.sources.GraftTable(s, r,
         graft.schema.TableSchemas.morVersioned)
       t.append(Tables.events(s, dir).select(

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.{StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
 
 import graft.schema.TableSchemas
 import graft.sources.GraftTable
@@ -27,7 +27,7 @@ object StreamingQueries {
 
   private def aggTable(s: SparkSession, dir: String): GraftTable = {
     val root = built.getOrElseUpdate(dir, {
-      val r = Files.createTempDirectory("graft_stream_agg_").toString
+      val r = graft.tables.TempDirs.create("graft_stream_agg_")
       // bounded source: the events table as 3 parquet files, consumed one
       // file per micro-batch (so buckets really are corrected across
       // batches, not computed in one shot)
@@ -55,12 +55,61 @@ object StreamingQueries {
     new GraftTable(s, root, TableSchemas.bucketCounts)
   }
 
+  private val joinBuilt = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Stream-stream interval join run to completion as two bounded file
+    * streams (3 files each, one per micro-batch, progressing
+    * independently — so matches really do pair rows across batch
+    * boundaries out of either side's state, not within one batch), its
+    * append-mode output written to parquet. The batch oracle is the same
+    * inner interval join in DuckDB: inner-join emission is match-driven,
+    * so the streamed set must equal the batch set row-for-row. */
+  private def funnelOut(s: SparkSession, dir: String): String =
+    joinBuilt.getOrElseUpdate(dir, {
+      val r = graft.tables.TempDirs.create("graft_stream_join_")
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        col("ts").cast("timestamp").as("ts"), col("event_type"))
+      ev.filter(col("event_type") === "view")
+        .repartition(3).write.parquet(r + "/views")
+      ev.filter(col("event_type") === "purchase")
+        .repartition(3).write.parquet(r + "/purchases")
+      val sch = StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("ts", TimestampType),
+        StructField("event_type", StringType)))
+      def src(p: String) = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(p)
+      val joined = StreamingAnalytics.intervalJoin(
+        src(r + "/views"), src(r + "/purchases"),
+        "ts", Seq("user_id"), "4 HOUR", "365 days")
+      val q = joined.select(col("l_user_id").as("user_id"),
+          col("l_event_id").as("view_id"), col("r_event_id").as("purchase_id"))
+        .writeStream
+        .format("parquet")
+        .option("path", r + "/out")
+        .option("checkpointLocation", r + "/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      r
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_streaming_continuous_agg" -> { (s, dir) =>
       aggTable(s, dir).readResolved()
         .select(col("project_id"),
           col("timestamp").as("hour"), col("n"))
         .orderBy("project_id", "hour")
+    },
+
+    // ---- stream-stream interval join (funnel/attribution shape) ----------
+    "q70_stream_stream_join" -> { (s, dir) =>
+      s.read.parquet(funnelOut(s, dir) + "/out")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("view_id")).as("view_id_sum"),
+          sum(col("purchase_id")).as("purchase_id_sum"))
+        .orderBy("user_id")
     }
   )
 
@@ -69,6 +118,19 @@ object StreamingQueries {
       """SELECT CAST(user_id % 5 AS VARCHAR) AS project_id,
         | date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
         | count(*) AS n
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q70_stream_stream_join" ->
+      """WITH v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        | FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        | FROM events WHERE event_type = 'purchase'),
+        |pairs AS (
+        | SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+        | FROM v JOIN p ON v.user_id = p.user_id
+        |  AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 4 HOUR)
+        |SELECT user_id, count(*) AS n_pairs, sum(view_id) AS view_id_sum,
+        | sum(purchase_id) AS purchase_id_sum
+        |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

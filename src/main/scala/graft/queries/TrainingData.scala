@@ -40,7 +40,7 @@ object TrainingData {
 
   private def docStore(s: SparkSession, dir: String): graft.sources.GraftTable = {
     val root = docStoreBuilt.getOrElseUpdate(dir, {
-      val r = java.nio.file.Files.createTempDirectory("graft_docstore_").toString
+      val r = graft.tables.TempDirs.create("graft_docstore_")
       val t = new graft.sources.GraftTable(s, r, graft.schema.TableSchemas.docStore)
       t.append(Tables.documents(s, dir).select(
         col("lang").as("project_id"),

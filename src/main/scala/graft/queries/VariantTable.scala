@@ -44,7 +44,7 @@ object VariantTable {
     fixtureTable(s, dir).readResolved()
 
   private def build(s: SparkSession, dir: String): String = {
-    val root = Files.createTempDirectory("graft_variant_").toString
+    val root = graft.tables.TempDirs.create("graft_variant_")
     val t = new GraftTable(s, root, TableSchemas.otelLogsAndSpans)
     val k = get_json_object(col("props"), "$.k").cast("long")
     val rows = Tables.events(s, dir).select(

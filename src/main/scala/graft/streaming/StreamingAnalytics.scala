@@ -66,6 +66,37 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** Watermarked stream-stream event-time interval join — the funnel /
+    * attribution shape ("purchase within N minutes of a view by the same
+    * user") that needs BOTH sides buffered in state. Inner join on
+    * `keyCols` plus the range condition
+    * `left.ts <= right.ts < left.ts + windowExpr`; each side carries its
+    * own watermark, and the range bound is what lets Spark age out state
+    * (left rows older than `rightWatermark − window` can never match
+    * again). Inner-join emission is match-driven, not watermark-driven, so
+    * with a sufficient watermark delay the emitted set equals the batch
+    * join exactly — which is how the oracle pins it.
+    *
+    * Column hygiene: both inputs are projected to disambiguated names
+    * BEFORE the join (stream-stream self-joins otherwise collide on every
+    * attribute). Returns the joined frame with `l_`/`r_` prefixed columns.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, timeCol: String,
+      keyCols: Seq[String], windowExpr: String, watermark: String): DataFrame = {
+    def side(df: DataFrame, p: String) = {
+      val renamed = df.columns.foldLeft(df)((d, c) =>
+        d.withColumnRenamed(c, p + c))
+      renamed.withWatermark(p + timeCol, watermark)
+    }
+    val l = side(left, "l_")
+    val r = side(right, "r_")
+    val key = keyCols.map(k => col("l_" + k) === col("r_" + k))
+      .reduce(_ && _)
+    l.join(r, key &&
+      col("r_" + timeCol) >= col("l_" + timeCol) &&
+      col("r_" + timeCol) < col("l_" + timeCol) + expr(s"INTERVAL $windowExpr"))
+  }
+
   /** One closed session: [start, end] plus its event count. */
   case class Session(key: String, session_start: Timestamp,
       session_end: Timestamp, n: Long)
