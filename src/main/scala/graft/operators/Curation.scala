@@ -306,6 +306,45 @@ object Curation {
           .orderBy(col("__mean").desc, col(idCol))).cast("long").as("bucket"))
   }
 
+  /** Training-shard assignment: documents in deterministic [[sampleHash]]
+    * order pack into fixed-token-size shards; a document belongs to the
+    * shard where its FIRST token lands, so shards are contiguous spans of
+    * the hash order (every shard but the last holds ≥ `shardTokens`
+    * tokens, and re-running over the same corpus reproduces the same
+    * shards byte-for-byte — what makes training restarts and multi-team
+    * reproductions possible). The final write step of a curation pipeline:
+    * `output.repartitionByRange(col("shard_id"))` then write.
+    *
+    * Same two-level parallel prefix sum as [[tokenBudgetPack]]: per-bucket
+    * totals (256 buckets on the first two hash chars) prefix-sum into
+    * offsets on the driver-sized side, each document windows only within
+    * its bucket — no single task ever sees the whole corpus, and because
+    * the bucket is a prefix of the sort key the assignment equals the
+    * one-window form the oracle replays. */
+  def shardAssign(df: DataFrame, idCol: String, tokenCountCol: String,
+      shardTokens: Long, salt: String): DataFrame = {
+    require(shardTokens > 0, "shardTokens must be positive")
+    val withH = df
+      .withColumn("__h", sampleHash(col(idCol), salt))
+      .withColumn("__bkt", substring(col("__h"), 1, 2))
+    val bktTotals = withH.groupBy("__bkt")
+      .agg(sum(col(tokenCountCol)).as("__bt"))
+    val wBuckets = Window.orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bktTotals
+      .withColumn("__off", coalesce(sum(col("__bt")).over(wBuckets), lit(0L)))
+      .drop("__bt")
+    val wIntra = Window.partitionBy("__bkt")
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withH.join(broadcast(offsets), Seq("__bkt"))
+      .withColumn("__run", col("__off") + sum(col(tokenCountCol)).over(wIntra))
+      .withColumn("shard_id",
+        floor((col("__run") - col(tokenCountCol)).cast("double") /
+          shardTokens).cast("long"))
+      .drop("__h", "__bkt", "__off", "__run")
+  }
+
   /** C4-style composite quality filter: the FIRST failing rule names the
     * drop reason ('keep' when none fails), so filter attrition is
     * attributable per rule — the audit table every curation run reports.

@@ -362,6 +362,19 @@ object TrainingData {
       Curation.dfRarityBuckets(Tables.documents(s, dir),
           "doc_id", "text", "lang", buckets = 4)
         .orderBy("doc_id")
+    },
+
+    // ---- training-shard assignment (token-packed output shards) ------------
+    "q71_shard_assign" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tok"))
+      Curation.shardAssign(docs, "doc_id", "n_tok",
+          shardTokens = 4000L, salt = "s71:")
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("shard_id")
     }
   )
 
@@ -764,7 +777,22 @@ object TrainingData {
           | FROM toks t JOIN df USING (token) GROUP BY t.doc_id, t.lang)
           |SELECT doc_id, lang, n_tok, round(m, 6) AS mean_df,
           |  ntile(4) OVER (PARTITION BY lang ORDER BY m DESC, doc_id) AS bucket
-          |FROM scored ORDER BY doc_id""".stripMargin
+          |FROM scored ORDER BY doc_id""".stripMargin,
+
+      "q71_shard_assign" ->
+        """WITH t AS (
+          | SELECT doc_id,
+          |   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+          |   substring(md5('s71:' || CAST(doc_id AS VARCHAR)), 1, 4) AS h
+          | FROM documents),
+          |r AS (
+          | SELECT doc_id, n_tok,
+          |   sum(n_tok) OVER (ORDER BY h, doc_id
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          | FROM t)
+          |SELECT (run - n_tok) // 4000 AS shard_id, count(*) AS n_docs,
+          |  CAST(sum(n_tok) AS BIGINT) AS tokens, sum(doc_id) AS id_sum
+          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
     )
   }
 }

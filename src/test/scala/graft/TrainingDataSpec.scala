@@ -366,6 +366,31 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(out.filter(_.getLong(0) < 16).forall(_.getDouble(3) == 16.0))
   }
 
+  test("shard assignment: contiguous spans, full shards, deterministic") {
+    import spark.implicits._
+    val df = (0L until 300L).map(i => (i, 10L + i % 7)).toDF("id", "n")
+    val out = graft.operators.Curation
+      .shardAssign(df, "id", "n", shardTokens = 500L, salt = "sh:")
+    val shards = out.groupBy("shard_id")
+      .agg(sum("n").as("tok"), count(lit(1)).as("c"))
+      .orderBy("shard_id").collect()
+    // shard ids are dense 0..k
+    assert(shards.map(_.getLong(0)).toSeq == shards.indices.map(_.toLong))
+    // contiguity: tokens THROUGH shard k cover k+1 full spans (the doc
+    // crossing a boundary counts toward the shard it starts in, so each
+    // cumulative total reaches past the next boundary)
+    val cum = shards.map(_.getLong(1)).scanLeft(0L)(_ + _).drop(1)
+    assert(cum.dropRight(1).zipWithIndex.forall {
+      case (c, k) => c >= (k + 1) * 500L })
+    // total is preserved and the assignment replays identically
+    assert(shards.map(_.getLong(1)).sum == (0L until 300L).map(10L + _ % 7).sum)
+    val again = graft.operators.Curation
+      .shardAssign(df, "id", "n", 500L, "sh:")
+      .select("id", "shard_id").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(again.toMap == out.select("id", "shard_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   test("per-group cap bounds group size and ranks deterministically") {
     import spark.implicits._
     val df = (0 until 60).map(i => (s"g${i % 3}", i.toLong, (i % 7).toLong))
