@@ -94,6 +94,44 @@ object StreamingQueries {
       r
     })
 
+  private val dedupBuilt = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Watermarked streaming dedup run to completion: the events table
+    * written TWICE into the source directory (6 files — every row arrives
+    * exactly twice, the duplicates in different micro-batches), consumed
+    * one file per trigger through
+    * [[StreamingAnalytics.dedupStream]] (`dropDuplicatesWithinWatermark`),
+    * append-mode output to parquet. The batch oracle is plain `events`:
+    * dedup must restore exactly-once delivery, so the streamed output
+    * aggregates to the batch aggregate row-for-row. */
+  private def dedupOut(s: SparkSession, dir: String): String =
+    dedupBuilt.getOrElseUpdate(dir, {
+      val r = graft.tables.TempDirs.create("graft_stream_dedup_")
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
+      ev.repartition(3).write.parquet(r + "/src")
+      ev.repartition(3).write.mode("append").parquet(r + "/src")
+      val sch = StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("ts", TimestampType),
+        StructField("event_type", StringType),
+        StructField("value", org.apache.spark.sql.types.DoubleType)))
+      val src = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(r + "/src")
+      // files arrive in no time order → a watermark wide enough that no
+      // id's state is evicted before its duplicate arrives (the fixture
+      // spans one week; production sets this to the replay horizon)
+      val q = StreamingAnalytics.dedupStream(src, "ts", "365 days",
+          Seq("event_id"))
+        .writeStream.format("parquet")
+        .option("path", r + "/out")
+        .option("checkpointLocation", r + "/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      r
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_streaming_continuous_agg" -> { (s, dir) =>
       aggTable(s, dir).readResolved()
@@ -110,6 +148,15 @@ object StreamingQueries {
           sum(col("view_id")).as("view_id_sum"),
           sum(col("purchase_id")).as("purchase_id_sum"))
         .orderBy("user_id")
+    },
+
+    // ---- watermarked streaming exact dedup (ingest-time q24) --------------
+    "q74_streaming_dedup" -> { (s, dir) =>
+      s.read.parquet(dedupOut(s, dir) + "/out")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"),
+          sum(col("user_id")).as("user_sum"))
+        .orderBy("event_type")
     }
   )
 
@@ -131,6 +178,11 @@ object StreamingQueries {
         |  AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 4 HOUR)
         |SELECT user_id, count(*) AS n_pairs, sum(view_id) AS view_id_sum,
         | sum(purchase_id) AS purchase_id_sum
-        |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q74_streaming_dedup" ->
+      """SELECT event_type, count(*) AS n, sum(event_id) AS id_sum,
+        | sum(user_id) AS user_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -145,6 +145,22 @@ object TimeSeries {
         .orderBy("user_id", "session_start")
     },
 
+    // ---- as-of join (beyond the reference, which has no as-of operator —
+    // SURVEY §2.3): each click enriched with the user's latest error at or
+    // before it. Union+window implementation, oracled by DuckDB ASOF JOIN.
+    "q72_asof_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      // right side must be unique per (key, ts): latest event_id wins
+      val errs = ev.filter(col("event_type") === "error")
+        .groupBy("user_id", "ts")
+        .agg(max_by(col("value"), col("event_id")).as("err_value"))
+      graft.operators.AsOfJoin.asOf(clicks, errs, Seq("user_id"), "ts",
+          rightTsAs = Some("err_ts"))
+        .orderBy("event_id")
+    },
+
     // ---- A2/A3: t-digest percentile sketch (README p95 query shape) -------
     // No DuckDB oracle: sketch estimates are approximate and merge-order
     // dependent; PercentileAggSpec pins accuracy against exact percentiles.
@@ -225,6 +241,20 @@ object TimeSeries {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sessions GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "q72_asof_join" ->
+      """WITH clicks AS (
+        | SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        | FROM events WHERE event_type = 'click'),
+        |errs AS (
+        | SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  max_by(value, event_id) AS err_value
+        | FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.ts, c.value,
+        | e.err_value, e.ts AS err_ts
+        |FROM clicks c ASOF LEFT JOIN errs e
+        | ON c.user_id = e.user_id AND c.ts >= e.ts
+        |ORDER BY c.event_id""".stripMargin,
 
     "q39_array_ops" ->
       """WITH toks AS (

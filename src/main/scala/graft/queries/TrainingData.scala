@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, TextAnalysis, TextDedup, VectorSearch}
+import graft.operators.{Curation, LanguageModel, TextAnalysis, TextDedup, VectorSearch}
 import graft.tables.Tables
 
 /** Training-data pipeline operators over `documents` / `embeddings`
@@ -375,6 +375,14 @@ object TrainingData {
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"),
           sum("doc_id").as("id_sum"))
         .orderBy("shard_id")
+    },
+
+    // ---- bigram-LM surprisal (CCNet-style perplexity quality filter) -------
+    "q73_lm_surprisal" -> { (s, dir) =>
+      LanguageModel.bigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_nll"), 4).as("avg_nll"))
+        .orderBy("doc_id")
     }
   )
 
@@ -792,7 +800,28 @@ object TrainingData {
           | FROM t)
           |SELECT (run - n_tok) // 4000 AS shard_id, count(*) AS n_docs,
           |  CAST(sum(n_tok) AS BIGINT) AS tokens, sum(doc_id) AS id_sum
-          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q73_lm_surprisal" ->
+        """WITH toks AS (
+          | SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
+          | FROM documents),
+          |uni AS (
+          | SELECT w, count(*) AS cu
+          | FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY 1),
+          |vocab AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+          |bgs AS (
+          | SELECT doc_id,
+          |  unnest(list_transform(generate_series(1, len(ws) - 1),
+          |    i -> ws[i] || ' ' || ws[i + 1])) AS bg
+          | FROM toks),
+          |bgc AS (SELECT bg, count(*) AS cb FROM bgs GROUP BY 1)
+          |SELECT doc_id, count(*) AS n_bigrams,
+          | round(avg(-log2((cb + 1) / (cu + v))), 4) AS avg_nll
+          |FROM bgs JOIN bgc USING (bg)
+          |JOIN uni ON uni.w = split_part(bgs.bg, ' ', 1)
+          |CROSS JOIN vocab
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     )
   }
 }

@@ -97,6 +97,20 @@ object StreamingAnalytics {
       col("r_" + timeCol) < col("l_" + timeCol) + expr(s"INTERVAL $windowExpr"))
   }
 
+  /** Watermarked streaming exact dedup — the ingest-time twin of the
+    * batch exact dedup (q24): keep the FIRST arrival of each id, drop
+    * every later duplicate (retries, replays, at-least-once sources).
+    * `dropDuplicatesWithinWatermark` is the scale path: id state older
+    * than the watermark is evicted, so state is bounded by the
+    * duplicate-arrival horizon × id rate instead of growing with the
+    * stream — the documented contract being that duplicates arrive close
+    * together in event time, which is what retry/replay duplication does.
+    */
+  def dedupStream(source: DataFrame, timeCol: String, watermark: String,
+      idCols: Seq[String]): DataFrame =
+    source.withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** One closed session: [start, end] plus its event count. */
   case class Session(key: String, session_start: Timestamp,
       session_end: Timestamp, n: Long)

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AsOfJoin, LanguageModel}
+
+/** As-of join semantics (latest right row at-or-before each left row, per
+  * key) and the bigram-LM surprisal scores against hand-computed values. */
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asOf: latest at-or-before per key, inclusive ties, null when none") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "u1", "2024-01-01 10:00:00"),
+      (2L, "u1", "2024-01-01 12:00:00"),
+      (3L, "u1", "2024-01-01 09:00:00"), // before every right row -> null
+      (4L, "u2", "2024-01-01 11:00:00"), // equal ts -> inclusive match
+      (5L, "u3", "2024-01-01 11:00:00")  // key with no right rows -> null
+    ).toDF("event_id", "key", "t")
+      .select(col("event_id"), col("key"), col("t").cast("timestamp").as("ts"))
+    val right = Seq(
+      ("u1", "2024-01-01 09:30:00", 1.0),
+      ("u1", "2024-01-01 11:30:00", 2.0),
+      ("u2", "2024-01-01 11:00:00", 3.0)
+    ).toDF("key", "t", "state")
+      .select(col("key"), col("t").cast("timestamp").as("ts"), col("state"))
+
+    val out = AsOfJoin.asOf(left, right, Seq("key"), "ts",
+        rightTsAs = Some("state_ts"))
+      .select("event_id", "state", "state_ts")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+
+    assert(out(1L) === (Some(1.0), Some(ts("2024-01-01 09:30:00"))))
+    assert(out(2L) === (Some(2.0), Some(ts("2024-01-01 11:30:00"))))
+    assert(out(3L) === (None, None))
+    assert(out(4L) === (Some(3.0), Some(ts("2024-01-01 11:00:00"))))
+    assert(out(5L) === (None, None))
+  }
+
+  test("asOf rejects ambiguous payload column names") {
+    import spark.implicits._
+    val l = Seq((1L, "k", "2024-01-01 00:00:00", 1.0)).toDF("id", "key", "t", "v")
+      .select(col("id"), col("key"), col("t").cast("timestamp").as("ts"), col("v"))
+    val r = Seq(("k", "2024-01-01 00:00:00", 2.0)).toDF("key", "t", "v")
+      .select(col("key"), col("t").cast("timestamp").as("ts"), col("v"))
+    assertThrows[IllegalArgumentException] {
+      AsOfJoin.asOf(l, r, Seq("key"), "ts")
+    }
+  }
+
+  test("bigramSurprisal matches hand-computed add-one-smoothed values") {
+    import spark.implicits._
+    // corpus: doc1 "a b a", doc2 "b a", doc3 "solo"
+    // unigrams a:3 b:2 solo:1 -> V=3; bigrams "a b":1, "b a":2
+    // nll(a b) = -log2((1+1)/(3+3)) = log2(3)
+    // nll(b a) = -log2((2+1)/(2+3)) = log2(5/3)
+    val docs = Seq((1L, "a b a"), (2L, "b a"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = LanguageModel.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val nllAB = math.log(3.0) / math.log(2)
+    val nllBA = math.log(5.0 / 3.0) / math.log(2)
+    assert(out(1L)._1 === 2L)
+    assert(math.abs(out(1L)._2 - (nllAB + nllBA) / 2) < 1e-12)
+    assert(out(2L)._1 === 1L)
+    assert(math.abs(out(2L)._2 - nllBA) < 1e-12)
+    // single-token doc has no bigrams -> absent
+    assert(!out.contains(3L))
+  }
+}

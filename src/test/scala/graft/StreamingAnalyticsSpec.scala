@@ -59,6 +59,26 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(got.sameElements(want), s"${got.toSeq} vs ${want.toSeq}")
   }
 
+  test("dedupStream drops cross-batch duplicates, keeps each id once") {
+    val src = tmp("graft_dds_src_")
+    // same ids in two separate files = two separate micro-batches; state
+    // must survive the batch boundary for the duplicate to be dropped
+    appendFile(src, evs(Seq(
+      ("1", "2024-03-01 10:00:00"), ("2", "2024-03-01 10:01:00"),
+      ("3", "2024-03-01 10:02:00"))))
+    appendFile(src, evs(Seq(
+      ("2", "2024-03-01 10:01:00"), ("3", "2024-03-01 10:02:00"),
+      ("4", "2024-03-01 10:03:00"))))
+    val q = StreamingAnalytics.dedupStream(fileStream(src), "ts", "1 hour",
+        Seq("key"))
+      .writeStream.format("memory").queryName("dds")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("dds").collect()
+      .map(r => r.getString(0)).sorted.toSeq
+    assert(got == Seq("1", "2", "3", "4"), s"got $got")
+  }
+
   test("continuous aggregate: late in-watermark data corrects buckets as new versions") {
     val src = tmp("graft_cagg_src_")
     val ckpt = tmp("graft_cagg_ckpt_")
