@@ -30,4 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // GC-driven multi-second spikes on arbitrary bench queries once the
   // session accumulated 51 query plans + storage fixtures
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
+  // 70+ queries × whole-stage-codegen classes overflow the default 240m
+  // reserved code cache; once it fills, the sweeper deopts/recompiles hot
+  // methods continuously — the observed random multi-second stalls with
+  // gc+0ms but jit+10s on queries that run 2× faster in a fresh JVM
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -140,7 +140,7 @@ object VectorSearch {
     graft.functions.SignSignature(vec, planeMatrix)
 
   /** IVF (inverted-file) approximate top-k — the brief's "IVF variant as
-    * the scale path": a coarse k-means quantizer (MLlib, trained on a
+    * the scale path": a coarse k-means quantizer (driver-trained on a
     * sample) partitions the corpus into `nLists` cells; each query probes
     * its `nProbe` nearest centroids and exact-reranks only those cells.
     *
@@ -148,40 +148,48 @@ object VectorSearch {
     * assignment is one narrow pass; the probe join is an equi-join on
     * cell id, so a query touches ~nProbe/nLists of the corpus. Recall is
     * set by nProbe (validated against brute force in the spec). */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, dim: Int, nLists: Int = 16,
-      nProbe: Int = 5, seed: Long = 42L): DataFrame = {
-    // cosine neighbors live on the unit sphere: cluster and assign
-    // L2-NORMALIZED vectors so euclidean cells approximate cosine cells
-    // (spherical k-means)
-    def normalized(vec: Column): Column = {
-      val nrm = sqrt(aggregate(vec,
-        lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-      transform(vec, x => x.cast("double") / nrm)
-    }
-    // coarse quantizer trained driver-side on a BOUNDED sample — the
-    // standard IVF pattern at corpus scale (train on ≤~100k sampled
-    // vectors, assign distributed); also avoids a distributed-KMeans
-    // job-scheduling tax that dwarfs the math at any sample size. The
-    // sample is a seeded Bernoulli sample across ALL partitions: a bare
-    // `limit` would take whatever rows Spark reads first — one file ≈ one
-    // ingest batch ≈ one data distribution at fleet scale, and quantizer
-    // quality (hence recall) silently degrades on position-biased training.
+  /** L2-normalize: cosine neighbors live on the unit sphere, so quantizer
+    * training and cell assignment both run on normalized vectors
+    * (spherical k-means). */
+  private def normalizedVec(vec: Column): Column = {
+    val nrm = sqrt(aggregate(vec,
+      lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    transform(vec, x => x.cast("double") / nrm)
+  }
+
+  /** Coarse spherical-k-means quantizer trained driver-side on a BOUNDED
+    * sample — the standard IVF pattern at corpus scale (train on ≤~100k
+    * sampled vectors, assign distributed); also avoids a
+    * distributed-KMeans job-scheduling tax that dwarfs the math at any
+    * sample size. The sample is a seeded Bernoulli sample across ALL
+    * partitions: a bare `limit` would take whatever rows Spark reads
+    * first — one file ≈ one ingest batch ≈ one data distribution at fleet
+    * scale, and quantizer quality (hence recall) silently degrades on
+    * position-biased training. `vecCol` must hold raw (unnormalized)
+    * vectors. */
+  private def sphericalCentroids(corpus: DataFrame, vecCol: String,
+      nLists: Int, seed: Long): Array[Array[Double]] = {
     val maxSample = 20000
     val corpusRows = corpus.count()
     val fraction = if (corpusRows == 0) 1.0
       else math.min(1.0, 3.0 * maxSample / corpusRows)
-    val sample = corpus.select(normalized(col(vecCol)).as("__v"))
+    val sample = corpus.select(normalizedVec(col(vecCol)).as("__v"))
       .sample(withReplacement = false, fraction, seed)
       .limit(maxSample).collect().map(_.getSeq[Double](0).toArray)
-    val centroids = kmeans(sample, nLists, iters = 10, seed)
-    // cell assignment carries the centroids as ONE literal matrix (the same
-    // trick signature() uses for LSH planes): per centroid,
-    // |v̂−c|² = |v̂|² − 2·v̂·c + |c|² with |v̂|²=1 constant, so the argmin
-    // needs only |c|² − 2·(v·c)/|v|, computed by a `transform` lambda over
-    // the matrix literal. Plan size stays O(1) per table — the previous
-    // explicit per-centroid dot expansion inlined nLists×dim terms and
-    // shipped 12 MiB task binaries, which dominated the query cost.
+    kmeans(sample, nLists, iters = 10, seed)
+  }
+
+  /** Explode each row to its `n` nearest quantizer cells (`__cell`); the
+    * input must carry the vector as `__v`. Cell assignment carries the
+    * centroids as ONE literal matrix (the same trick signature() uses for
+    * LSH planes): per centroid, |v̂−c|² = |v̂|² − 2·v̂·c + |c|² with
+    * |v̂|²=1 constant, so the argmin needs only |c|² − 2·(v·c)/|v|,
+    * computed by a `transform` lambda over the matrix literal. Plan size
+    * stays O(1) per table — an explicit per-centroid dot expansion inlines
+    * nLists×dim terms and ships multi-MiB task binaries, which dominated
+    * the query cost before this shape. */
+  private def withCells(df: DataFrame, centroids: Array[Array[Double]],
+      n: Int): DataFrame = {
     val matrixLit = typedLit(centroids.map(_.toSeq).toSeq)
     val normsLit = typedLit(centroids.map(_.map(x => x * x).sum).toSeq)
     def cellDistances(vec: Column): Column = {
@@ -192,20 +200,26 @@ object VectorSearch {
           aggregate(zip_with(vec, c, (x, p) => x.cast("double") * p),
             lit(0.0), (acc, v) => acc + v) / nrm)
     }
-    def withCells(df: DataFrame, n: Int): DataFrame = {
-      val assigned = df.withColumn("__d", cellDistances(col("__v")))
-      val cells =
-        if (n == 1) array(array_position(col("__d"), array_min(col("__d")))
-          .cast("int") - 1)
-        else slice(array_sort(transform(col("__d"), (d, i) =>
-          struct(d.as("d"), i.as("cell")))), 1, n)("cell")
-      assigned.withColumn("__cell", explode(cells)).drop("__d")
-    }
+    val assigned = df.withColumn("__d", cellDistances(col("__v")))
+    val cells =
+      if (n == 1) array(array_position(col("__d"), array_min(col("__d")))
+        .cast("int") - 1)
+      else slice(array_sort(transform(col("__d"), (d, i) =>
+        struct(d.as("d"), i.as("cell")))), 1, n)("cell")
+    assigned.withColumn("__cell", explode(cells)).drop("__d")
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, nLists: Int = 16,
+      nProbe: Int = 5, seed: Long = 42L): DataFrame = {
+    val centroids = sphericalCentroids(corpus, vecCol, nLists, seed)
     val c = withCells(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")), 1)
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")),
+      centroids, 1)
       .withColumnRenamed("__v", "__cv")
     val q = withCells(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("__v")), nProbe)
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__v")),
+      centroids, nProbe)
       .withColumnRenamed("__v", "__qv")
     val scored = q.join(c, Seq("__cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -264,6 +278,45 @@ object VectorSearch {
       .withColumn("cosine", cosine(col("__va"), col("__vb"), dim))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, search
+    * near-duplicate pairs ONLY within each cluster, connected-component
+    * the verified pair graph, keep the min-id member per component.
+    * Returns `(idCol, cluster, keeper, keep)` — one row per input, `keep`
+    * false for every non-keeper member of a dup component.
+    *
+    * Scale design: the cluster id is the blocking key, so candidate
+    * volume is Σ m_c² over cells instead of n² — choose `nClusters`
+    * proportional to corpus size (n / target-cell-size) and the per-cell
+    * quadratic term stays constant as the corpus grows; that is the
+    * SemDeDup bargain (pairs straddling a cell boundary are missed — the
+    * paper's measured loss for within-cluster search is small at ~100×
+    * less work). The exact cosine verifies every candidate, so precision
+    * is 1 by construction. A runaway cell (mass-duplicate template
+    * cluster) can be sub-blocked by running [[cosineNearDupPairs]] inside
+    * the cell; component labeling is O(edges) per round
+    * ([[TextDedup.connectedComponents]]). */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, nClusters: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val centroids = sphericalCentroids(c, "__v", nClusters, seed)
+    // materialized once: the assignment feeds the self-join's both sides,
+    // the component-label id list, and the final cluster projection
+    val assigned = withCells(c, centroids, 1).localCheckpoint()
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.__cell") === col("b.__cell") && col("a.__id") < col("b.__id"))
+      .withColumn("__cos", cosine(col("a.__v"), col("b.__v"), dim))
+      .filter(col("__cos") >= threshold)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+    val labels = TextDedup.connectedComponents(
+      assigned.select(col("__id")), pairs)
+    assigned.select(col("__id"), col("__cell"))
+      .join(labels, "__id")
+      .select(col("__id").as(idCol), col("__cell").as("cluster"),
+        col("__lbl").as("keeper"), (col("__id") === col("__lbl")).as("keep"))
   }
 
   /** Approximate top-k: candidates share an LSH bucket in ≥1 of

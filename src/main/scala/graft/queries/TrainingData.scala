@@ -383,6 +383,16 @@ object TrainingData {
         .select(col("doc_id"), col("n_bigrams"),
           round(col("avg_nll"), 4).as("avg_nll"))
         .orderBy("doc_id")
+    },
+
+    // ---- SemDeDup semantic cluster dedup -----------------------------------
+    // No DuckDB oracle (k-means quantizer); TrainingDataSpec pins the
+    // invariants: planted dup groups collapse to one keeper, keepers are
+    // component minima, far-apart vectors all survive.
+    "q75_semantic_dedup" -> { (s, dir) =>
+      VectorSearch.semanticDedup(nearDupCorpus(s, dir), "vec_id", "v",
+          Dim, 0.95)
+        .orderBy("vec_id")
     }
   )
 

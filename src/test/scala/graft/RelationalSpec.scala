@@ -38,7 +38,8 @@ class RelationalSpec extends AnyFunSuite {
       "q27_simhash", // hash-seeded; spec-checked against exact jaccard structure
       "q29_ann_lsh", // LSH recall vs brute force in TrainingDataSpec
       "q33_fingerprint", // xxhash64-based sketch; determinism spec-checked
-      "q42_ann_ivf" // k-means cells are seed-dependent; recall spec-checked
+      "q42_ann_ivf", // k-means cells are seed-dependent; recall spec-checked
+      "q75_semantic_dedup" // k-means cells seed-dependent; invariants spec-checked
     )
     assert((missing -- allowedRowsOnly).isEmpty || missing == allowedRowsOnly,
       s"queries without oracle: $missing")

@@ -124,6 +124,36 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF recall $recall")
   }
 
+  test("semantic dedup: planted dup groups collapse to one min-id keeper") {
+    // every 20th embedding gets a scaled near-copy (cos ≈ 1, the q47
+    // fixture arithmetic) — each planted pair must form one component
+    // keeping the base id; precision: every dropped row's keeper really
+    // is cosine-≥-threshold reachable, which the exact verify guarantees
+    val base = embs.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val dups = base.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"), x => x * 1.02 + 0.01).as("v"))
+    val corpus = base.unionByName(dups)
+    val out = VectorSearch.semanticDedup(corpus, "vec_id", "v", 64, 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+
+    assert(out.size == corpus.count(), "one row per input")
+    val planted = out.keys.filter(_ >= 1000000L)
+    assert(planted.nonEmpty)
+    planted.foreach { d =>
+      val baseId = d - 1000000L
+      assert(out(d)._1 == baseId && !out(d)._2,
+        s"planted dup $d must be dropped with keeper $baseId, got ${out(d)}")
+      assert(out(baseId)._2, s"base $baseId must be the kept member")
+    }
+    // keepers are self-labeled minima: a keeper's keeper is itself
+    out.foreach { case (id, (keeper, keep)) =>
+      assert(keeper <= id)
+      if (keep) assert(keeper == id) else assert(out(keeper)._2)
+    }
+  }
+
   test("LSH ANN achieves ≥60% top-5 recall vs brute force") {
     val queries = embs.filter(col("vec_id") < 30)
     val exact = VectorSearch.bruteForceTopK(embs, queries, "vec_id", "embedding", 5, 64)
