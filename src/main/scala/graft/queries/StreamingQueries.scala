@@ -132,6 +132,56 @@ object StreamingQueries {
       r
     })
 
+  private val sessBuilt = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** flatMapGroupsWithState sessionization run to completion: events for
+    * user_id<30 (the q41 cohort) as 3 files/micro-batches, then TWO
+    * far-future sentinel files under a dummy key — the first advances the
+    * global watermark past every real session, the second provides the
+    * batch in which the event-time TIMEOUTS fire and close the remaining
+    * open sessions (watermark updates at batch end; timeouts run in the
+    * batch after). The watermark delay (400 days) exceeds BOTH the
+    * fixture's event-time span (events cover a ~31-day window — an 8-day
+    * delay measurably dropped early-timestamped events arriving in later
+    * batches as late) and the sentinel gap, so unordered file arrival can
+    * never drop an event. Oracled by the q41 gaps-and-islands SQL:
+    * streamed custom-state sessions must equal batch `session_window`
+    * row-for-row. */
+  private def sessionOut(s: SparkSession, dir: String): String =
+    sessBuilt.getOrElseUpdate(dir, {
+      val r = graft.tables.TempDirs.create("graft_stream_sess_")
+      val ev = Tables.events(s, dir).filter(col("user_id") < 30)
+        .select(col("user_id").cast("string").as("key"),
+          col("ts").cast("timestamp").as("ts"))
+      ev.repartition(3).write.parquet(r + "/src")
+      // sentinel batches ordered AFTER the data files by mtime (the file
+      // source lists by (modTime, path)); 1.1 s apart so they are distinct
+      // micro-batches in a deterministic order
+      import s.implicits._
+      def sentinel(t: String): Unit = {
+        Thread.sleep(1100)
+        Seq(("__sentinel", t)).toDF("key", "t")
+          .select(col("key"), col("t").cast("timestamp").as("ts"))
+          .coalesce(1).write.mode("append").parquet(r + "/src")
+      }
+      sentinel("2031-01-01 00:00:00")
+      sentinel("2031-01-02 00:00:00")
+      val sch = StructType(Seq(StructField("key", StringType),
+        StructField("ts", TimestampType)))
+      val src = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(r + "/src")
+      val q = StreamingAnalytics.sessionize(src, "key", "ts",
+          gapMillis = 30L * 60 * 1000, watermark = "400 days")
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", r + "/out")
+        .option("checkpointLocation", r + "/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      r
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_streaming_continuous_agg" -> { (s, dir) =>
       aggTable(s, dir).readResolved()
@@ -148,6 +198,17 @@ object StreamingQueries {
           sum(col("view_id")).as("view_id_sum"),
           sum(col("purchase_id")).as("purchase_id_sum"))
         .orderBy("user_id")
+    },
+
+    // ---- flatMapGroupsWithState sessionization (streaming q41) ------------
+    "q76_streaming_sessions" -> { (s, dir) =>
+      s.read.parquet(sessionOut(s, dir) + "/out")
+        .filter(col("key") =!= "__sentinel")
+        .select(col("key").cast("long").as("user_id"),
+          col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("session_end").cast("timestamp_ntz").as("session_end"),
+          col("n").as("n_events"))
+        .orderBy("user_id", "session_start")
     },
 
     // ---- watermarked streaming exact dedup (ingest-time q24) --------------
@@ -183,6 +244,23 @@ object StreamingQueries {
     "q74_streaming_dedup" ->
       """SELECT event_type, count(*) AS n, sum(event_id) AS id_sum,
         | sum(user_id) AS user_sum
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q76_streaming_sessions" ->
+      """WITH ev AS (
+        | SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        | FROM events WHERE user_id < 30),
+        |marked AS (
+        | SELECT *, CASE WHEN ts - lag(ts) OVER w < INTERVAL 30 MINUTE
+        |   THEN 0 ELSE 1 END AS new_session
+        | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        | SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |   ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM marked)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        | count(*) AS n_events
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }

@@ -116,9 +116,12 @@ object StreamingAnalytics {
       session_end: Timestamp, n: Long)
 
   // encoder targets; public because Spark's generated (de)serializer code
-  // lives outside this object and cannot touch private classes
-  case class Ev(key: String, ts: Timestamp)
-  case class OpenSession(start: Long, end: Long, n: Long)
+  // lives outside this object and cannot touch private classes.
+  // `us` carries the event time as exact MICROSECONDS: Timestamp.getTime
+  // is millisecond-truncating, and state arithmetic on it silently rounds
+  // every session boundary to the ms (caught by the q76 oracle compare).
+  case class Ev(key: String, ts: Timestamp, us: Long)
+  case class OpenSession(start: Long, end: Long, n: Long) // bounds in µs
 
   /** Event-time session windows via `flatMapGroupsWithState` — the
     * streaming counterpart of q41 (batch `session_window`), and the brief's
@@ -134,18 +137,24 @@ object StreamingAnalytics {
     val spark = source.sparkSession
     import spark.implicits._
 
+    val gapUs = gapMillis * 1000L
+    def usToTs(us: Long): Timestamp = {
+      val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
     def fn(key: String, evs: Iterator[Ev],
         state: GroupState[List[OpenSession]]): Iterator[Session] = {
-      val wm = state.getCurrentWatermarkMs()
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
       val merged = {
-        val incoming = evs.map(e => OpenSession(e.ts.getTime, e.ts.getTime, 1L))
+        val incoming = evs.map(e => OpenSession(e.us, e.us, 1L))
         val all = (state.getOption.getOrElse(Nil) ++ incoming)
           .sortBy(s => (s.start, s.end))
         // fold sessions whose gap-extended ranges overlap; STRICT < matches
         // Spark's session_window (an event at exactly end+gap opens a new
         // session), which keeps q41 and this operator interchangeable
         all.foldLeft(List.empty[OpenSession]) {
-          case (head :: tail, s) if s.start < head.end + gapMillis =>
+          case (head :: tail, s) if s.start < head.end + gapUs =>
             OpenSession(head.start, math.max(head.end, s.end),
               head.n + s.n) :: tail
           case (acc, s) => s :: acc
@@ -155,16 +164,20 @@ object StreamingAnalytics {
       // arrive anymore, and an event at exactly end+gap would not merge —
       // also guarantees every remaining open session satisfies
       // end+gap > wm, which setTimeoutTimestamp requires
-      val (closed, open) = merged.partition(_.end + gapMillis <= wm)
+      val (closed, open) = merged.partition(_.end + gapUs <= wmUs)
       if (open.isEmpty) state.remove()
       else {
         state.update(open)
         // wake this key when its oldest open session's quiet period can
-        // next close (watermark-driven event-time timeout)
-        state.setTimeoutTimestamp(open.map(_.end).min + gapMillis)
+        // next close (watermark-driven event-time timeout); +1 ms so the
+        // µs→ms floor can never round the timer down to ≤ the current
+        // watermark (which setTimeoutTimestamp rejects) — firing 1 ms
+        // late is harmless, closability is re-checked against wm anyway
+        state.setTimeoutTimestamp(
+          Math.floorDiv(open.map(_.end).min + gapUs, 1000L) + 1L)
       }
       closed.iterator.map(s =>
-        Session(key, new Timestamp(s.start), new Timestamp(s.end), s.n))
+        Session(key, usToTs(s.start), usToTs(s.end), s.n))
     }
 
     source
@@ -174,6 +187,8 @@ object StreamingAnalytics {
       .select(col(keyCol).cast("string").as("key"),
         col(timeCol).cast("timestamp").as("ts"))
       .withWatermark("ts", watermark)
+      // derived AFTER the watermark so `ts` keeps its event-time tag
+      .withColumn("us", unix_micros(col("ts")))
       .as[Ev]
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append,
