@@ -89,9 +89,14 @@ object TrainingData {
     // ~100k candidates and ~4M.
     // rows-only check (no oracle) — no ORDER BY: sorting ~1M output pairs
     // would be pure bench overhead
+    // band shape 10×10 (100 hashes): theoretical recall at J=0.9 is
+    // 1−(1−0.9¹⁰)¹⁰ ≈ 0.986 (vs 0.999 at 12×8), but a moderate J=0.5
+    // pair collides at ~1% instead of ~4.7% — on this clustered corpus
+    // that is ~4× fewer candidates through the exact verifier, which is
+    // where the operator's time goes (5.1M candidates → 9k survivors)
     "q26_minhash_lsh" -> { (s, dir) =>
       TextDedup.verifiedMinhashPairs(Tables.documents(s, dir), "doc_id",
-          "text", bands = 12, rowsPerBand = 8, threshold = 0.9)
+          "text", bands = 10, rowsPerBand = 10, threshold = 0.9)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     },
 
