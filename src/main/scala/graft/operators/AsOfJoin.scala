@@ -46,27 +46,42 @@ object AsOfJoin {
     require(payload.nonEmpty, "right side carries no payload columns")
     val leftCols = left.columns.filterNot(c =>
       keyCols.contains(c) || c == tsCol).toSeq
-    val dup = leftCols.intersect(payload)
-    require(dup.isEmpty, s"ambiguous payload columns: ${dup.mkString(",")}")
+    // every output name must be distinct, INCLUDING the matched-ts alias
+    // and the internal side tag — a collision would otherwise surface as
+    // an opaque ambiguous-reference AnalysisException deep in the window
+    val outNames = keyCols ++ Seq(tsCol) ++ leftCols ++ payload ++
+      rightTsAs.toSeq ++ Seq("__side", "__r")
+    val dup = outNames.diff(outNames.distinct).distinct
+    require(dup.isEmpty, s"ambiguous column names: ${dup.mkString(",")}")
 
-    val matchedTs = rightTsAs.toSeq
-    // tagged union: left rows carry nulls in the right-payload slots and
-    // vice versa; the window then threads right values forward in time
+    // tagged union; the whole right row (payload + its own ts) travels as
+    // ONE struct, null on left rows — last(ignoreNulls) then carries the
+    // latest right ROW forward atomically. Per-column carry would be
+    // wrong: a right row with a genuinely NULL payload value is
+    // indistinguishable from a left placeholder, so that column would
+    // fall through to an OLDER right row while the matched-ts came from
+    // the newer one.
     val l = left.select(
       keyCols.map(col) ++ Seq(col(tsCol), lit(1).as("__side")) ++
-        leftCols.map(col) ++ payload.map(c => lit(null).as(c)) ++
-        matchedTs.map(n => lit(null).cast(left.schema(tsCol).dataType).as(n)): _*)
-    val r = right.select(
+        leftCols.map(col) :+
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          right.select(payload.map(col) :+ col(tsCol).as("__rts"): _*)
+            .schema.fields)).as("__r"): _*)
+    // null-timestamp right rows match NOTHING under as-of semantics
+    // (`r.ts <= l.ts` is null); unfiltered they would sort nulls-first
+    // and fabricate a carried match for every row of their key
+    val r = right.filter(col(tsCol).isNotNull).select(
       keyCols.map(col) ++ Seq(col(tsCol), lit(0).as("__side")) ++
-        leftCols.map(c => lit(null).as(c)) ++ payload.map(col) ++
-        matchedTs.map(n => col(tsCol).as(n)): _*)
+        leftCols.map(c => lit(null).as(c)) :+
+        struct(payload.map(col) :+ col(tsCol).as("__rts"): _*).as("__r"): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
-      .select(keyCols.map(col) ++ Seq(col(tsCol), col("__side")) ++
-        leftCols.map(col) ++
-        (payload ++ matchedTs).map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
-    carried.filter(col("__side") === 1).drop("__side")
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+    carried.filter(col("__side") === 1)
+      .select(keyCols.map(col) ++ Seq(col(tsCol)) ++ leftCols.map(col) ++
+        payload.map(c => col(s"__r.$c").as(c)) ++
+        rightTsAs.map(n => col("__r.__rts").as(n)): _*)
   }
 }

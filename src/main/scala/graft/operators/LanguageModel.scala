@@ -24,30 +24,20 @@ import org.apache.spark.sql.functions._
   */
 object LanguageModel {
 
-  /** Ordered word array — duplicates kept, order kept (an LM is the one
-    * text operator here where token ORDER is the signal). */
-  private def wordArr(text: Column): Column = split(lower(text), "\\s+")
-
-  /** Ordered bigram strings `"w1 w2"`. The token array is bound as a
-    * lambda variable so the regex split evaluates once per row, not once
-    * per element reference (the [[TextDedup.hashedNgramSet]] lesson). */
-  private def bigramArr(text: Column): Column = {
-    val grams = transform(array(wordArr(text)), ws =>
-      when(size(ws) >= 2,
-        transform(sequence(lit(1), size(ws) - 1),
-          i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
-        .otherwise(array().cast("array<string>")))
-    element_at(grams, 1)
-  }
+  // tokenization is shared with the other order-sensitive text ops:
+  // TextAnalysis.wordArr (trimmed lowercase split — padding never mints
+  // empty-string tokens into the vocabulary) and TextAnalysis.wordNgrams
+  // (ordered space-joined n-grams with the bind-once lambda trick)
 
   /** Per-document mean bigram surprisal: `(idCol, n_bigrams, avg_nll)`.
     * Documents with fewer than two tokens have no bigrams and are absent
     * from the output (nothing to score). */
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val uni = df.select(explode(wordArr(col(textCol))).as("__w"))
+    val uni = df.select(explode(TextAnalysis.wordArr(col(textCol))).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__cu"))
     val vocab = uni.agg(count(lit(1)).cast("double").as("__v"))
-    val bg = df.select(col(idCol), explode(bigramArr(col(textCol))).as("__bg"))
+    val bg = df.select(col(idCol),
+      explode(TextAnalysis.wordNgrams(col(textCol), 2)).as("__bg"))
     val bgc = bg.groupBy("__bg").agg(count(lit(1)).as("__cb"))
     bg.join(bgc, "__bg")
       // tokens cannot contain whitespace (they came from a \s+ split), so

@@ -96,7 +96,10 @@ object TextAnalysis {
   // the signals cost exactly one scan.
 
   /** Whitespace word array, lowercased, order preserved (with repeats). */
-  private def wordArr(text: Column): Column = split(lower(trim(text)), "\\s+")
+  /** Ordered lowercase word array (duplicates kept, text trimmed so
+    * padding never yields empty-string tokens) — the shared tokenization
+    * for order-sensitive text ops ([[wordNgrams]], [[LanguageModel]]). */
+  def wordArr(text: Column): Column = split(lower(trim(text)), "\\s+")
 
   /** Evaluate `e` ONCE per row and hand the value to `f` as a bound lambda
     * variable. Sub-expressions referenced many times inside higher-order

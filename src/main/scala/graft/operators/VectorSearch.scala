@@ -176,7 +176,11 @@ object VectorSearch {
     val sample = corpus.select(normalizedVec(col(vecCol)).as("__v"))
       .sample(withReplacement = false, fraction, seed)
       .limit(maxSample).collect().map(_.getSeq[Double](0).toArray)
-    kmeans(sample, nLists, iters = 10, seed)
+    // empty corpus (or a Bernoulli sample that drew nothing from a tiny
+    // one): no quantizer to train — callers return their empty shape
+    // instead of letting kmeans crash on points.head
+    if (sample.isEmpty) Array.empty
+    else kmeans(sample, nLists, iters = 10, seed)
   }
 
   /** Explode each row to its `n` nearest quantizer cells (`__cell`); the
@@ -213,6 +217,10 @@ object VectorSearch {
       vecCol: String, k: Int, dim: Int, nLists: Int = 16,
       nProbe: Int = 5, seed: Long = 42L): DataFrame = {
     val centroids = sphericalCentroids(corpus, vecCol, nLists, seed)
+    if (centroids.isEmpty)
+      return queries.select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(0L).as("rank"),
+        lit(0.0).as("cosine")).filter(lit(false))
     val c = withCells(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")),
       centroids, 1)
@@ -303,6 +311,9 @@ object VectorSearch {
       seed: Long = 42L): DataFrame = {
     val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     val centroids = sphericalCentroids(c, "__v", nClusters, seed)
+    if (centroids.isEmpty)
+      return corpus.select(col(idCol), lit(0).as("cluster"),
+        col(idCol).as("keeper"), lit(true).as("keep")).filter(lit(false))
     // materialized once: the assignment feeds the self-join's both sides,
     // the component-label id list, and the final cluster projection
     val assigned = withCells(c, centroids, 1).localCheckpoint()

@@ -83,13 +83,9 @@ object TrainingData {
     },
 
     // ---- MinHash+LSH near-dup (verified candidates; recall spec-checked) --
-    // Band shape 12×8 (same 96 hashes as 32×3): recall at j=0.9 is still
-    // ≥99.9%, but 8-row bands admit j≈0.5 pairs at ~5% instead of ~100% —
-    // on a near-dup-heavy corpus that is the difference between verifying
-    // ~100k candidates and ~4M.
-    // rows-only check (no oracle) — no ORDER BY: sorting ~1M output pairs
-    // would be pure bench overhead
-    // band shape 10×10 (100 hashes): theoretical recall at J=0.9 is
+    // rows-only check (no oracle) — no ORDER BY: sorting the output pairs
+    // would be pure bench overhead.
+    // Band shape 10×10 (100 hashes): theoretical recall at J=0.9 is
     // 1−(1−0.9¹⁰)¹⁰ ≈ 0.986 (vs 0.999 at 12×8), but a moderate J=0.5
     // pair collides at ~1% instead of ~4.7% — on this clustered corpus
     // that is ~4× fewer candidates through the exact verifier, which is
@@ -819,7 +815,8 @@ object TrainingData {
 
       "q73_lm_surprisal" ->
         """WITH toks AS (
-          | SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
+          | SELECT doc_id,
+          |  regexp_split_to_array(lower(trim(text)), '\s+') AS ws
           | FROM documents),
           |uni AS (
           | SELECT w, count(*) AS cu

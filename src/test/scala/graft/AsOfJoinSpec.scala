@@ -43,6 +43,26 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(5L) === (None, None))
   }
 
+  test("asOf: null payload carries atomically; null-ts right rows never match") {
+    import spark.implicits._
+    val left = Seq((1L, "k", "2024-01-01 12:00:00"))
+      .toDF("event_id", "key", "t")
+      .select(col("event_id"), col("key"), col("t").cast("timestamp").as("ts"))
+    val right = Seq(
+      ("k", Some("2024-01-01 10:00:00"), Some(5.0)),
+      ("k", Some("2024-01-01 11:00:00"), None), // latest match, NULL payload
+      ("k", None, Some(7.0)) // null ts: must match nothing
+    ).toDF("key", "t", "state")
+      .select(col("key"), col("t").cast("timestamp").as("ts"), col("state"))
+    val out = AsOfJoin.asOf(left, right, Seq("key"), "ts",
+        rightTsAs = Some("state_ts"))
+      .select("state", "state_ts").collect().head
+    // the matched row is 11:00 with a genuinely NULL state — per-column
+    // carry-forward would instead leak 10:00's 5.0 (or null-ts's 7.0)
+    assert(out.isNullAt(0), s"expected NULL state, got ${out.get(0)}")
+    assert(out.getTimestamp(1) === ts("2024-01-01 11:00:00"))
+  }
+
   test("asOf rejects ambiguous payload column names") {
     import spark.implicits._
     val l = Seq((1L, "k", "2024-01-01 00:00:00", 1.0)).toDF("id", "key", "t", "v")
