@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, LanguageModel, TextAnalysis, TextDedup, VectorSearch}
+import graft.operators.{Curation, LanguageModel, Retrieval, TextAnalysis, TextDedup, VectorSearch}
 import graft.tables.Tables
 
 /** Training-data pipeline operators over `documents` / `embeddings`
@@ -384,6 +384,12 @@ object TrainingData {
         .select(col("doc_id"), col("n_bigrams"),
           round(col("avg_nll"), 4).as("avg_nll"))
         .orderBy("doc_id")
+    },
+
+    // ---- BM25 ranked retrieval (scoring counterpart of q21 text_match) -----
+    "q77_bm25_topk" -> { (s, dir) =>
+      Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "shuffle", "window"), k = 25)
     },
 
     // ---- SemDeDup semantic cluster dedup -----------------------------------
@@ -833,7 +839,31 @@ object TrainingData {
           |FROM bgs JOIN bgc USING (bg)
           |JOIN uni ON uni.w = split_part(bgs.bg, ' ', 1)
           |CROSS JOIN vocab
-          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q77_bm25_topk" ->
+        """WITH docs AS (
+          | SELECT doc_id,
+          |  regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+          | FROM documents),
+          |lens AS (SELECT doc_id, len(ws) AS dl FROM docs),
+          |stats AS (
+          | SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM lens),
+          |tf AS (
+          | SELECT doc_id, t, count(*) AS tf
+          | FROM (SELECT doc_id, unnest(ws) AS t FROM docs)
+          | WHERE t IN ('spark', 'shuffle', 'window')
+          | GROUP BY doc_id, t),
+          |dfreq AS (
+          | SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t)
+          |SELECT tf.doc_id, count(*) AS n_terms_hit,
+          | round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+          |   * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+          |  4) AS score
+          |FROM tf JOIN dfreq USING (t) JOIN lens USING (doc_id)
+          |CROSS JOIN stats
+          |GROUP BY tf.doc_id
+          |ORDER BY score DESC, tf.doc_id LIMIT 25""".stripMargin
     )
   }
 }
