@@ -74,6 +74,25 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25TopK: hit-count cap, absent terms score nothing, idf favors rarity") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark"), // tf=3 on a common term
+      (2L, "spark shuffle"),     // one common + one rare term
+      (3L, "spark"),
+      (4L, "nothing relevant here")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Retrieval
+      .bm25TopK(docs, "doc_id", "text", Seq("spark", "shuffle"), k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!out.contains(4L), "doc without any query term must not appear")
+    assert(out(2L)._1 == 2L && out(1L)._1 == 1L)
+    // 'shuffle' (df=1) is rarer than 'spark' (df=3): the two-term doc must
+    // outrank any tf pile-up on the common term
+    assert(out(2L)._2 > out(1L)._2,
+      s"rare-term doc must outrank common-term repetition: $out")
+  }
+
   test("bigramSurprisal matches hand-computed add-one-smoothed values") {
     import spark.implicits._
     // corpus: doc1 "a b a", doc2 "b a", doc3 "solo"
