@@ -76,15 +76,19 @@ object Bench {
 
     // SPARK_GRAFT_ONLY=q42_ann_ivf,q29_ann_lsh → time just those (iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // Best-of-2 per query (steady-state latency): a 51-query shared JVM
-    // suffers multi-second background stalls (JIT queue churn, async
-    // cleanup) that land on random queries — telemetry showed the SAME
-    // query swinging 5 s ↔ 39 s between runs with gc+0ms. Two samples
-    // bound the noise; the best is the honest steady-state figure and is
-    // what BASELINE's per-shape latencies measure.
-    val results = SparkEntry.queries.keys.toSeq.sorted
+    // Best-of-2 per query (steady-state latency), taken as two FULL PASSES
+    // over the query list rather than back-to-back repeats: the shared
+    // sandbox VM sees multi-minute host-contention windows (gc+0ms,
+    // jit+0ms, trivial queries at 10× — external CPU steal), and a window
+    // longer than one query swallows both back-to-back samples. With the
+    // passes minutes apart, a burst lands on DIFFERENT queries in each
+    // pass and min() heals it. (In-JVM stall sources were fixed for real:
+    // 1g reserved code cache — see build.sbt.)
+    val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-      .map(n => n -> { val a = run(n); val b = run(n); math.min(a, b) })
+    val pass1 = names.map(n => n -> run(n))
+    val pass2 = names.map(n => n -> run(n)).toMap
+    val results = pass1.map { case (n, a) => n -> math.min(a, pass2(n)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
