@@ -50,4 +50,57 @@ object LanguageModel {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), avg(col("__nll")).as("avg_nll"))
   }
+
+  /** Multinomial Naive Bayes text classifier, trained and applied on the
+    * corpus itself — the trainable counterpart of the fixed-stopword
+    * [[TextAnalysis.langId]] heuristic, and the classic
+    * counts-plus-logarithms supervised scorer every quality/domain
+    * classifier pipeline starts from. Add-one smoothing over the corpus
+    * vocabulary; log-prior from label document frequency.
+    *
+    * Returns `(idCol, labelCol, pred, score)` with `score` the winning
+    * label's rounded log-posterior. Scores are rounded (6 dp) BEFORE the
+    * argmax so tie-breaking (alphabetically smaller label wins) is stable
+    * across summation orders — the same rule the DuckDB oracle replays.
+    *
+    * Scale design: training is two map-side-combinable groupBys (label
+    * priors, per-(token,label) counts); scoring fans each token out to
+    * the label set (a `|labels|`-row broadcast cross join) and left-joins
+    * the count table — the only large shuffle is (token, label) hits,
+    * the word-count shape. Test-on-train here by design: the operator
+    * demonstrates the train/apply plumbing; a real pipeline feeds
+    * [[Curation]]'s hash split. */
+  def naiveBayes(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame = {
+    val toks = df.select(col(idCol), col(labelCol),
+      explode(TextAnalysis.wordArr(col(textCol))).as("__t"))
+    val priors = df.groupBy(col(labelCol).as("__l"))
+      .agg(count(lit(1)).cast("double").as("__nd"))
+    val n = df.agg(count(lit(1)).cast("double").as("__nn"))
+    val cond = toks.groupBy(col(labelCol).as("__l"), col("__t"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val tot = toks.groupBy(col(labelCol).as("__l"))
+      .agg(count(lit(1)).cast("double").as("__tot"))
+    val vocab = toks.agg(countDistinct(col("__t")).cast("double").as("__v"))
+    val scored = toks
+      .crossJoin(broadcast(priors.select(col("__l"))))
+      .join(cond, Seq("__l", "__t"), "left")
+      .join(broadcast(tot), "__l")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__ll",
+        log((coalesce(col("__c"), lit(0.0)) + 1.0) / (col("__tot") + col("__v"))))
+      .groupBy(col(idCol), col(labelCol), col("__l"))
+      .agg(sum(col("__ll")).as("__sum"))
+      .join(broadcast(priors), "__l")
+      .crossJoin(broadcast(n))
+      .withColumn("__score",
+        round(col("__sum") + log(col("__nd") / col("__nn")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("__score").desc, col("__l").asc)
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col(labelCol), col("__l").as("pred"),
+        col("__score").as("score"))
+  }
 }

@@ -386,6 +386,15 @@ object TrainingData {
         .orderBy("doc_id")
     },
 
+    // ---- Naive Bayes language classifier (trainable langId) ----------------
+    "q78_nb_classifier" -> { (s, dir) =>
+      LanguageModel.naiveBayes(Tables.documents(s, dir), "doc_id", "text",
+          "lang")
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n"), round(avg(col("score")), 4).as("avg_score"))
+        .orderBy("lang", "pred")
+    },
+
     // ---- BM25 ranked retrieval (scoring counterpart of q21 text_match) -----
     "q77_bm25_topk" -> { (s, dir) =>
       Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
@@ -840,6 +849,41 @@ object TrainingData {
           |JOIN uni ON uni.w = split_part(bgs.bg, ' ', 1)
           |CROSS JOIN vocab
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q78_nb_classifier" ->
+        """WITH toks AS (
+          | SELECT doc_id, lang,
+          |  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+          | FROM documents),
+          |priors AS (
+          | SELECT lang AS l, CAST(count(*) AS DOUBLE) AS nd
+          | FROM documents GROUP BY 1),
+          |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+          |cond AS (
+          | SELECT lang AS l, t, CAST(count(*) AS DOUBLE) AS c
+          | FROM toks GROUP BY 1, 2),
+          |tot AS (
+          | SELECT lang AS l, CAST(count(*) AS DOUBLE) AS tot
+          | FROM toks GROUP BY 1),
+          |vocab AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v FROM toks),
+          |scored AS (
+          | SELECT tk.doc_id, tk.lang, p.l,
+          |  round(sum(ln((coalesce(c.c, 0) + 1) / (tt.tot + vb.v)))
+          |    + ln(p.nd / nn.n), 6) AS score
+          | FROM toks tk
+          | CROSS JOIN priors p
+          | LEFT JOIN cond c ON c.l = p.l AND c.t = tk.t
+          | JOIN tot tt ON tt.l = p.l
+          | CROSS JOIN vocab vb
+          | CROSS JOIN nn
+          | GROUP BY tk.doc_id, tk.lang, p.l, p.nd, nn.n),
+          |ranked AS (
+          | SELECT *, row_number() OVER (PARTITION BY doc_id
+          |   ORDER BY score DESC, l) AS rk
+          | FROM scored)
+          |SELECT lang, l AS pred, count(*) AS n,
+          | round(avg(score), 4) AS avg_score
+          |FROM ranked WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "q77_bm25_topk" ->
         """WITH docs AS (

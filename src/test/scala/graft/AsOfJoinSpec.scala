@@ -93,6 +93,21 @@ class AsOfJoinSpec extends AnyFunSuite {
       s"rare-term doc must outrank common-term repetition: $out")
   }
 
+  test("naiveBayes separates a cleanly separable corpus and reports truth") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb aa", "x"), (2L, "aa bb", "x"), (3L, "bb aa aa", "x"),
+      (4L, "cc dd cc", "y"), (5L, "dd cc", "y"), (6L, "cc dd dd", "y")
+    ).toDF("doc_id", "text", "lang")
+    val out = graft.operators.LanguageModel
+      .naiveBayes(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out.size == 6)
+    out.foreach { case (id, (truth, pred)) =>
+      assert(pred == truth, s"doc $id: predicted $pred, truth $truth")
+    }
+  }
+
   test("bigramSurprisal matches hand-computed add-one-smoothed values") {
     import spark.implicits._
     // corpus: doc1 "a b a", doc2 "b a", doc3 "solo"
