@@ -51,4 +51,64 @@ object Retrieval {
         round(sum(col("__s")), 4).as("score"))
     scored.orderBy(col("score").desc, col(idCol).asc).limit(k)
   }
+
+  /** Dirichlet-smoothed query-likelihood top-`k` — the language-modeling
+    * retrieval family (vs BM25's probabilistic-relevance family):
+    * `score(d) = Σ_t ln((tf(t,d) + μ·P(t|C)) / (|d| + μ))` with the
+    * collection model `P(t|C) = cf(t) / Σ cf`. Only documents containing
+    * at least one query term are returned (same candidate semantics as
+    * [[bm25TopK]]); absent terms still contribute their smoothed
+    * background mass, so scores are comparable across documents. Same
+    * scale shape as [[bm25TopK]]: hits-only shuffle, broadcast stats,
+    * TakeOrdered top-k; scores rounded to 4 dp for float-stable ordering. */
+  def queryLikelihoodTopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, mu: Double = 300.0): DataFrame = {
+    require(terms.nonEmpty, "query-likelihood needs at least one query term")
+    val docs = df.select(col(idCol),
+      TextAnalysis.wordArr(col(textCol)).as("__ws"))
+    val lens = docs.select(col(idCol), size(col("__ws")).as("__dl"))
+    val total = lens.agg(sum(col("__dl")).cast("double").as("__ct"))
+    val toks = docs.select(col(idCol), explode(col("__ws")).as("__t"))
+      .filter(col("__t").isin(terms: _*))
+    // collection frequency per query term (absent term => cf 0 would zero
+    // the smoothed mass; such a term contributes nothing to ordering and
+    // is dropped from the scoring set)
+    val cf = toks.groupBy("__t").agg(count(lit(1)).cast("double").as("__cf"))
+    val tf = toks.groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
+    // candidate docs × present query terms: every candidate scores every
+    // term (smoothed background when tf=0), so the per-term sum is the
+    // true query likelihood, not a hits-only partial
+    val cands = tf.select(col(idCol)).distinct()
+    val scored = cands
+      .crossJoin(broadcast(cf))
+      .join(tf, Seq(idCol, "__t"), "left")
+      .join(lens, idCol)
+      .crossJoin(broadcast(total))
+      .withColumn("__s", log(
+        (coalesce(col("__tf"), lit(0L)) + col("__cf") / col("__ct") * mu) /
+          (col("__dl") + mu)))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__s")), 4).as("score"))
+    scored.orderBy(col("score").desc, col(idCol).asc).limit(k)
+  }
+
+  /** Reciprocal-rank fusion of two rankings (`1/(k0+rank)` summed where
+    * the document appears; the standard hybrid-retrieval combiner for
+    * e.g. lexical + semantic rankers). Each input must carry `idCol` and
+    * a `score` column; ranks are assigned by `(score desc, id asc)` so
+    * fusion is deterministic. Rankings are top-k lists (small) — the
+    * fusion is a broadcast-scale outer join, never a corpus-scale op. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, k: Int,
+      k0: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ranked(df: DataFrame, name: String) = df.select(col(idCol),
+      row_number().over(Window.orderBy(col("score").desc, col(idCol).asc))
+        .as(name))
+    ranked(a, "rank_a").join(ranked(b, "rank_b"), Seq(idCol), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (col("rank_a") + k0), lit(0.0)) +
+          coalesce(lit(1.0) / (col("rank_b") + k0), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -401,6 +401,16 @@ object TrainingData {
         Seq("spark", "shuffle", "window"), k = 25)
     },
 
+    // ---- hybrid retrieval: BM25 + query-likelihood fused by RRF ------------
+    "q79_hybrid_rrf" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val terms = Seq("spark", "shuffle", "window")
+      Retrieval.rrfFuse(
+        Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 50),
+        Retrieval.queryLikelihoodTopK(docs, "doc_id", "text", terms, k = 50),
+        "doc_id", k = 25)
+    },
+
     // ---- SemDeDup semantic cluster dedup -----------------------------------
     // No DuckDB oracle (k-means quantizer); TrainingDataSpec pins the
     // invariants: planted dup groups collapse to one keeper, keepers are
@@ -884,6 +894,50 @@ object TrainingData {
           |SELECT lang, l AS pred, count(*) AS n,
           | round(avg(score), 4) AS avg_score
           |FROM ranked WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q79_hybrid_rrf" ->
+        """WITH docs AS (
+          | SELECT doc_id,
+          |  regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+          | FROM documents),
+          |lens AS (SELECT doc_id, len(ws) AS dl FROM docs),
+          |stats AS (
+          | SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM lens),
+          |total AS (SELECT CAST(sum(dl) AS DOUBLE) AS ct FROM lens),
+          |hits AS (
+          | SELECT doc_id, t
+          | FROM (SELECT doc_id, unnest(ws) AS t FROM docs)
+          | WHERE t IN ('spark', 'shuffle', 'window')),
+          |tf AS (SELECT doc_id, t, count(*) AS tf FROM hits GROUP BY 1, 2),
+          |dfreq AS (
+          | SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+          |cf AS (SELECT t, CAST(count(*) AS DOUBLE) AS cf FROM hits GROUP BY 1),
+          |bm AS (
+          | SELECT tf.doc_id,
+          |  round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
+          |    / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+          | FROM tf JOIN dfreq USING (t) JOIN lens USING (doc_id)
+          | CROSS JOIN stats
+          | GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 50),
+          |cands AS (SELECT DISTINCT doc_id FROM tf),
+          |ql AS (
+          | SELECT c.doc_id,
+          |  round(sum(ln((coalesce(tf.tf, 0) + cf.cf / t2.ct * 300.0)
+          |    / (l.dl + 300.0))), 4) AS score
+          | FROM cands c CROSS JOIN cf
+          | LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.t = cf.t
+          | JOIN lens l ON l.doc_id = c.doc_id
+          | CROSS JOIN total t2
+          | GROUP BY c.doc_id ORDER BY score DESC, c.doc_id LIMIT 50),
+          |ra AS (SELECT doc_id,
+          |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank_a FROM bm),
+          |rb AS (SELECT doc_id,
+          |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank_b FROM ql)
+          |SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id, rank_a, rank_b,
+          | round(coalesce(1.0 / (rank_a + 60), 0)
+          |   + coalesce(1.0 / (rank_b + 60), 0), 6) AS rrf
+          |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+          |ORDER BY rrf DESC, doc_id LIMIT 25""".stripMargin,
 
       "q77_bm25_topk" ->
         """WITH docs AS (
