@@ -161,6 +161,14 @@ object TimeSeries {
         .orderBy("event_id")
     },
 
+    // ---- ordered conversion funnel (product-analytics shape; beyond the
+    // reference). First-touch anchored, 24h window, greedy-earliest steps.
+    "q80_funnel" -> { (s, dir) =>
+      graft.operators.Funnel.funnel(Tables.events(s, dir), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"), "24 HOUR")
+        .orderBy("user_id")
+    },
+
     // ---- A2/A3: t-digest percentile sketch (README p95 query shape) -------
     // No DuckDB oracle: sketch estimates are approximate and merge-order
     // dependent; PercentileAggSpec pins accuracy against exact percentiles.
@@ -255,6 +263,29 @@ object TimeSeries {
         |FROM clicks c ASOF LEFT JOIN errs e
         | ON c.user_id = e.user_id AND c.ts >= e.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    "q80_funnel" ->
+      """WITH ev AS (
+        | SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        | FROM events),
+        |s1 AS (
+        | SELECT user_id, min(ts) AS step_1_ts FROM ev
+        | WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        | SELECT e.user_id, min(e.ts) AS step_2_ts
+        | FROM ev e JOIN s1 USING (user_id)
+        | WHERE e.event_type = 'click' AND e.ts > s1.step_1_ts
+        |  AND e.ts <= s1.step_1_ts + INTERVAL 24 HOUR
+        | GROUP BY 1),
+        |s3 AS (
+        | SELECT e.user_id, min(e.ts) AS step_3_ts
+        | FROM ev e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        | WHERE e.event_type = 'purchase' AND e.ts > s2.step_2_ts
+        |  AND e.ts <= s1.step_1_ts + INTERVAL 24 HOUR
+        | GROUP BY 1)
+        |SELECT s1.user_id, step_1_ts, step_2_ts, step_3_ts
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY s1.user_id""".stripMargin,
 
     "q39_array_ops" ->
       """WITH toks AS (

@@ -93,6 +93,34 @@ class AsOfJoinSpec extends AnyFunSuite {
       s"rare-term doc must outrank common-term repetition: $out")
   }
 
+  test("funnel: step order enforced, window expiry breaks the chain") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: full in-order funnel inside the window
+      ("u1", "2024-01-01 10:00:00", "view"),
+      ("u1", "2024-01-01 11:00:00", "click"),
+      ("u1", "2024-01-01 12:00:00", "buy"),
+      // u2: click BEFORE the first view — step 2 must not count it
+      ("u2", "2024-01-01 09:00:00", "click"),
+      ("u2", "2024-01-01 10:00:00", "view"),
+      ("u2", "2024-01-01 10:30:00", "buy"), // buy before any valid click
+      // u3: click lands after the 2h window from the first view
+      ("u3", "2024-01-01 10:00:00", "view"),
+      ("u3", "2024-01-01 13:00:00", "click"),
+      // u4: never viewed -> not in the funnel at all
+      ("u4", "2024-01-01 10:00:00", "click")
+    ).toDF("user", "t", "typ")
+      .select(col("user"), col("t").cast("timestamp").as("ts"), col("typ"))
+    val out = graft.operators.Funnel
+      .funnel(ev, "user", "ts", "typ", Seq("view", "click", "buy"), "2 HOUR")
+      .collect().map(r => r.getString(0) ->
+        (r.isNullAt(2), r.isNullAt(3))).toMap
+    assert(out.keySet == Set("u1", "u2", "u3"), s"got ${out.keySet}")
+    assert(out("u1") == (false, false), "u1 completes all steps")
+    assert(out("u2") == (true, true), "u2's pre-view click must not count")
+    assert(out("u3") == (true, true), "u3's click is outside the window")
+  }
+
   test("naiveBayes separates a cleanly separable corpus and reports truth") {
     import spark.implicits._
     val docs = Seq(
