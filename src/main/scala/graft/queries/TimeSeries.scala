@@ -169,6 +169,23 @@ object TimeSeries {
         .orderBy("user_id")
     },
 
+    // ---- cohort retention (product-analytics shape; beyond the reference):
+    // users grouped by first-seen week, distinct-active counts per weekly
+    // offset — one aggregation for the cohort anchor, one distinct-count
+    // over (anchor ⋈ events); both shuffles key on user_id only.
+    "q81_cohort_retention" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("timestamp_ntz").as("wk"))
+      val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (datediff(col("wk"), col("cohort_week")) / 7)
+            .cast("long").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+
     // ---- A2/A3: t-digest percentile sketch (README p95 query shape) -------
     // No DuckDB oracle: sketch estimates are approximate and merge-order
     // dependent; PercentileAggSpec pins accuracy against exact percentiles.
@@ -263,6 +280,19 @@ object TimeSeries {
         |FROM clicks c ASOF LEFT JOIN errs e
         | ON c.user_id = e.user_id AND c.ts >= e.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    "q81_cohort_retention" ->
+      """WITH ev AS (
+        | SELECT user_id,
+        |  date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+        | FROM events),
+        |cohort AS (
+        | SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY 1)
+        |SELECT cohort_week,
+        | date_diff('day', cohort_week, wk) // 7 AS week_offset,
+        | count(DISTINCT user_id) AS n_users
+        |FROM ev JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q80_funnel" ->
       """WITH ev AS (
