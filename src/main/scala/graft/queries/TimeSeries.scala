@@ -169,6 +169,19 @@ object TimeSeries {
         .orderBy("user_id")
     },
 
+    // ---- distribution profile (data-quality monitoring shape): fixed-width
+    // value histogram per event type plus range stats — one aggregation,
+    // map-side combinable; the feature-distribution check training
+    // pipelines run per ingest batch.
+    "q82_value_histogram" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          least(floor(col("value") / 10.0), lit(9.0)).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("event_type", "bin")
+    },
+
     // ---- cohort retention (product-analytics shape; beyond the reference):
     // users grouped by first-seen week, distinct-active counts per weekly
     // offset — one aggregation for the cohort anchor, one distinct-count
@@ -280,6 +293,13 @@ object TimeSeries {
         |FROM clicks c ASOF LEFT JOIN errs e
         | ON c.user_id = e.user_id AND c.ts >= e.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    "q82_value_histogram" ->
+      """SELECT event_type,
+        | CAST(least(floor(value / 10.0), 9.0) AS BIGINT) AS bin,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q81_cohort_retention" ->
       """WITH ev AS (
