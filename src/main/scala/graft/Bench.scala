@@ -88,7 +88,12 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val pass1 = names.map(n => n -> run(n))
     val pass2 = names.map(n => n -> run(n)).toMap
-    val results = pass1.map { case (n, a) => n -> math.min(a, pass2(n)) }
+    // best of the VALID samples: -1 marks a failed run, and min() must not
+    // let one transient failure discard the other pass's real measurement
+    val results = pass1.map { case (n, a) =>
+      val valid = Seq(a, pass2(n)).filter(_ >= 0)
+      n -> (if (valid.isEmpty) -1.0 else valid.min)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -79,9 +79,12 @@ object LanguageModel {
     val n = df.agg(count(lit(1)).cast("double").as("__nn"))
     val cond = toks.groupBy(col(labelCol).as("__l"), col("__t"))
       .agg(count(lit(1)).cast("double").as("__c"))
-    val tot = toks.groupBy(col(labelCol).as("__l"))
-      .agg(count(lit(1)).cast("double").as("__tot"))
-    val vocab = toks.agg(countDistinct(col("__t")).cast("double").as("__v"))
+    // per-label totals and vocabulary FOLD OVER the (label, token) count
+    // table — deriving them from `toks` directly would re-run the corpus
+    // scan + explode once each; cond is vocab×labels rows
+    val tot = cond.groupBy(col("__l")).agg(sum(col("__c")).as("__tot"))
+    val vocab = cond.select(col("__t")).distinct()
+      .agg(count(lit(1)).cast("double").as("__v"))
     val scored = toks
       .crossJoin(broadcast(priors.select(col("__l"))))
       .join(cond, Seq("__l", "__t"), "left")

@@ -5,41 +5,48 @@ import org.apache.spark.sql.functions._
 
 /** Ranked full-text retrieval — the scoring counterpart of the boolean
   * `text_match` (reference `src/tantivy_index/udf.rs`: its FTS surface is
-  * hit/no-hit; ranking is a Spark-first extension). Okapi BM25 with the
-  * standard k1/b parameterization, statistics (document frequency, average
-  * document length) trained on the corpus itself.
+  * hit/no-hit; ranking is a Spark-first extension). Two scoring families
+  * (Okapi BM25 and Dirichlet query-likelihood) over one shared
+  * preparation, plus reciprocal-rank fusion for hybrid ranking.
   *
   * Scale design: the only rows that ever shuffle are (doc, query-term)
   * hits — the per-token filter `isin(terms)` runs map-side against a tiny
   * literal set before the tf groupBy, so corpus volume never reaches an
-  * exchange; df/avgdl are one map-side-combinable aggregation each,
-  * broadcast back as 1-row/`|terms|`-row frames. Top-k lands on
-  * `TakeOrderedAndProject` (per-partition heads + merge, no global sort).
+  * exchange; corpus statistics (document frequency, average/total length)
+  * are map-side-combinable aggregations broadcast back as tiny frames.
+  * Top-k lands on `TakeOrderedAndProject` (per-partition heads + merge,
+  * no global sort).
   */
 object Retrieval {
 
-  /** BM25 top-`k` documents for a bag-of-words query: returns
-    * `(idCol, n_terms_hit, score)` for the `k` best-scoring documents
-    * containing at least one query term; `score` is rounded to 4 decimals
-    * so ordering and the DuckDB oracle replay are float-stable. */
-  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
-      terms: Seq[String], k: Int, k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty, "bm25 needs at least one query term")
+  /** Shared ranker inputs: per-doc lengths and per-(doc, query-term)
+    * frequencies — ONE tokenization pass feeding every scorer, so the
+    * hybrid query never re-scans the corpus per ranker. */
+  private case class Prep(lens: DataFrame, tf: DataFrame)
+
+  private def prep(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): Prep = {
+    require(terms.nonEmpty, "retrieval needs at least one query term")
     val docs = df.select(col(idCol),
       TextAnalysis.wordArr(col(textCol)).as("__ws"))
     val lens = docs.select(col(idCol), size(col("__ws")).as("__dl"))
-    val stats = lens.agg(count(lit(1)).cast("double").as("__n"),
-      avg(col("__dl")).as("__avgdl"))
     // per-(doc, term) frequency — the filter keeps only query-term tokens,
     // so the exploded stream thins to the hit volume before shuffling
     val tf = docs.select(col(idCol), explode(col("__ws")).as("__t"))
       .filter(col("__t").isin(terms: _*))
       .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
-    val dfreq = tf.groupBy("__t").agg(count(lit(1)).cast("double").as("__df"))
-    val scored = tf
+    Prep(lens, tf)
+  }
+
+  private def bm25Scores(p: Prep, idCol: String, k1: Double,
+      b: Double): DataFrame = {
+    val stats = p.lens.agg(count(lit(1)).cast("double").as("__n"),
+      avg(col("__dl")).as("__avgdl"))
+    val dfreq = p.tf.groupBy("__t")
+      .agg(count(lit(1)).cast("double").as("__df"))
+    p.tf
       .join(broadcast(dfreq), "__t")
-      .join(lens, idCol)
+      .join(p.lens, idCol)
       .crossJoin(broadcast(stats))
       .withColumn("__idf",
         log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0))
@@ -49,8 +56,41 @@ object Retrieval {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_terms_hit"),
         round(sum(col("__s")), 4).as("score"))
-    scored.orderBy(col("score").desc, col(idCol).asc).limit(k)
   }
+
+  private def qlScores(p: Prep, idCol: String, mu: Double): DataFrame = {
+    val total = p.lens.agg(sum(col("__dl")).cast("double").as("__ct"))
+    // collection frequency per query term, folded over the small tf table
+    // (absent terms have cf 0 = no smoothed mass and contribute nothing
+    // to ordering; they simply never appear in the scoring set)
+    val cf = p.tf.groupBy("__t").agg(sum(col("__tf")).cast("double").as("__cf"))
+    // candidate docs × present query terms: every candidate scores every
+    // term (smoothed background when tf=0), so the per-term sum is the
+    // true query likelihood, not a hits-only partial
+    val cands = p.tf.select(col(idCol)).distinct()
+    cands
+      .crossJoin(broadcast(cf))
+      .join(p.tf, Seq(idCol, "__t"), "left")
+      .join(p.lens, idCol)
+      .crossJoin(broadcast(total))
+      .withColumn("__s", log(
+        (coalesce(col("__tf"), lit(0L)) + col("__cf") / col("__ct") * mu) /
+          (col("__dl") + mu)))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__s")), 4).as("score"))
+  }
+
+  private def topK(scored: DataFrame, idCol: String, k: Int): DataFrame =
+    scored.orderBy(col("score").desc, col(idCol).asc).limit(k)
+
+  /** BM25 top-`k` documents for a bag-of-words query: returns
+    * `(idCol, n_terms_hit, score)` for the `k` best-scoring documents
+    * containing at least one query term; `score` is rounded to 4 decimals
+    * so ordering and the DuckDB oracle replay are float-stable. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame =
+    topK(bm25Scores(prep(df, idCol, textCol, terms), idCol, k1, b), idCol, k)
 
   /** Dirichlet-smoothed query-likelihood top-`k` — the language-modeling
     * retrieval family (vs BM25's probabilistic-relevance family):
@@ -58,39 +98,10 @@ object Retrieval {
     * collection model `P(t|C) = cf(t) / Σ cf`. Only documents containing
     * at least one query term are returned (same candidate semantics as
     * [[bm25TopK]]); absent terms still contribute their smoothed
-    * background mass, so scores are comparable across documents. Same
-    * scale shape as [[bm25TopK]]: hits-only shuffle, broadcast stats,
-    * TakeOrdered top-k; scores rounded to 4 dp for float-stable ordering. */
+    * background mass, so scores are comparable across documents. */
   def queryLikelihoodTopK(df: DataFrame, idCol: String, textCol: String,
-      terms: Seq[String], k: Int, mu: Double = 300.0): DataFrame = {
-    require(terms.nonEmpty, "query-likelihood needs at least one query term")
-    val docs = df.select(col(idCol),
-      TextAnalysis.wordArr(col(textCol)).as("__ws"))
-    val lens = docs.select(col(idCol), size(col("__ws")).as("__dl"))
-    val total = lens.agg(sum(col("__dl")).cast("double").as("__ct"))
-    val toks = docs.select(col(idCol), explode(col("__ws")).as("__t"))
-      .filter(col("__t").isin(terms: _*))
-    // collection frequency per query term (absent term => cf 0 would zero
-    // the smoothed mass; such a term contributes nothing to ordering and
-    // is dropped from the scoring set)
-    val cf = toks.groupBy("__t").agg(count(lit(1)).cast("double").as("__cf"))
-    val tf = toks.groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
-    // candidate docs × present query terms: every candidate scores every
-    // term (smoothed background when tf=0), so the per-term sum is the
-    // true query likelihood, not a hits-only partial
-    val cands = tf.select(col(idCol)).distinct()
-    val scored = cands
-      .crossJoin(broadcast(cf))
-      .join(tf, Seq(idCol, "__t"), "left")
-      .join(lens, idCol)
-      .crossJoin(broadcast(total))
-      .withColumn("__s", log(
-        (coalesce(col("__tf"), lit(0L)) + col("__cf") / col("__ct") * mu) /
-          (col("__dl") + mu)))
-      .groupBy(col(idCol))
-      .agg(round(sum(col("__s")), 4).as("score"))
-    scored.orderBy(col("score").desc, col(idCol).asc).limit(k)
-  }
+      terms: Seq[String], k: Int, mu: Double = 300.0): DataFrame =
+    topK(qlScores(prep(df, idCol, textCol, terms), idCol, mu), idCol, k)
 
   /** Reciprocal-rank fusion of two rankings (`1/(k0+rank)` summed where
     * the document appears; the standard hybrid-retrieval combiner for
@@ -110,5 +121,18 @@ object Retrieval {
           coalesce(lit(1.0) / (col("rank_b") + k0), lit(0.0)), 6))
       .orderBy(col("rrf").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Hybrid retrieval in one pass: BM25 and query-likelihood rankings
+    * over the SAME [[prep]] (one corpus tokenization, one tf frame — the
+    * two-independent-calls formulation pays the scan per ranker), fused
+    * by [[rrfFuse]]. `kEach` bounds each ranker's list; `k` the fused
+    * output. */
+  def hybridTopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], kEach: Int, k: Int, k1: Double = 1.2,
+      b: Double = 0.75, mu: Double = 300.0, k0: Int = 60): DataFrame = {
+    val p = prep(df, idCol, textCol, terms)
+    rrfFuse(topK(bm25Scores(p, idCol, k1, b), idCol, kEach),
+      topK(qlScores(p, idCol, mu), idCol, kEach), idCol, k, k0)
   }
 }

@@ -403,12 +403,8 @@ object TrainingData {
 
     // ---- hybrid retrieval: BM25 + query-likelihood fused by RRF ------------
     "q79_hybrid_rrf" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val terms = Seq("spark", "shuffle", "window")
-      Retrieval.rrfFuse(
-        Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 50),
-        Retrieval.queryLikelihoodTopK(docs, "doc_id", "text", terms, k = 50),
-        "doc_id", k = 25)
+      Retrieval.hybridTopK(Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "shuffle", "window"), kEach = 50, k = 25)
     },
 
     // ---- SemDeDup semantic cluster dedup -----------------------------------

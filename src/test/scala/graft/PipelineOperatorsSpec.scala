@@ -6,9 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{AsOfJoin, LanguageModel}
 
-/** As-of join semantics (latest right row at-or-before each left row, per
-  * key) and the bigram-LM surprisal scores against hand-computed values. */
-class AsOfJoinSpec extends AnyFunSuite {
+/** Unit pins for the beyond-reference pipeline operators: as-of join
+  * semantics (latest right row at-or-before each left row, per key, with
+  * atomic null handling), conversion-funnel ordering/window rules, BM25
+  * ranking properties, the Naive Bayes classifier on a separable corpus,
+  * and hand-computed bigram-LM surprisal values. */
+class PipelineOperatorsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
