@@ -110,7 +110,8 @@ object Bench {
     //    StreamingIngest commits micro-batches (reference
     //    `bench/query_under_ingest.py`) — measures the read-latency cost of
     //    concurrent commits (extra union legs + snapshot-cache misses).
-    val (ingest, idleMs, underMs) = if (only.isDefined) (-1.0, -1.0, -1.0)
+    val (ingest, compactMs, idleMs, underMs) =
+      if (only.isDefined) (-1.0, -1.0, -1.0, -1.0)
     else try {
       import org.apache.spark.sql.functions._
       val root = graft.tables.TempDirs.create("bench_ingest_")
@@ -128,8 +129,12 @@ object Bench {
       // compact the bulk load before measuring reads — BASELINE's MOR
       // numbers are against a maintained table (336 ms compacted vs 14-31 s
       // fragmented), and a compaction base is what lets the date-bounded
-      // window confine each read's shuffle to the dates the stream touches
+      // window confine each read's shuffle to the dates the stream touches.
+      // Timed and reported: compaction throughput is the maintenance cost
+      // the reference's fragmentation pathology hinges on.
+      val c0 = System.nanoTime()
       t.compact()
+      val cMs = (System.nanoTime() - c0) / 1e6
 
       def q(): Double = {
         val q0 = System.nanoTime()
@@ -167,8 +172,9 @@ object Bench {
         try { sq.stop(); sq.awaitTermination(10000L) }
         catch { case _: Throwable => }
       }
-      (rps, idle, under)
-    } catch { case e: Throwable => e.printStackTrace(); (-1.0, -1.0, -1.0) }
+      (rps, cMs, idle, under)
+    } catch { case e: Throwable =>
+      e.printStackTrace(); (-1.0, -1.0, -1.0, -1.0) }
 
     // Quiesce completely BEFORE printing the record: any straggler stream,
     // then the session itself, then a grace period for async executor /
@@ -180,7 +186,7 @@ object Bench {
     try spark.stop() catch { case _: Throwable => }
     Thread.sleep(750)
     System.out.flush(); System.err.flush()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"ingest_rows_per_sec":${ingest.round},"query_idle_ms":${idleMs.round},"query_under_ingest_ms":${underMs.round},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"ingest_rows_per_sec":${ingest.round},"compact_ms":${compactMs.round},"query_idle_ms":${idleMs.round},"query_under_ingest_ms":${underMs.round},"queries":$qs,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }
