@@ -147,6 +147,65 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** INCREMENTAL near-dup check: exact Jaccard pairs between a NEW batch
+    * and an EXISTING corpus — the production shape for continuous
+    * ingestion, where re-pairing the base against itself per batch would
+    * redo the whole corpus-scale job for every arrival. Same prefix-filter
+    * machinery as [[jaccardPairs]] (rarity order computed over base ∪ new
+    * so both sides prefix consistently), but the candidate join is
+    * new-side prefixes × base-side prefixes only: cost scales with the
+    * BATCH (times the base's posting lists), never with base². Exact —
+    * verification computes true Jaccard on the full hashed token sets, so
+    * the result equals the brute-force cross join at any blocking. */
+  def jaccardPairsAgainst(newDf: DataFrame, baseDf: DataFrame, idCol: String,
+      textCol: String, blockCols: Seq[String], threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccard threshold must be in (0, 1], got $threshold")
+    def sets(df: DataFrame) =
+      df.select(Seq(col(idCol).as("__id"),
+          hashedTokenSet(col(textCol)).as("__ts")) ++ blockCols.map(col): _*)
+        .filter(size(col("__ts")) > 0)
+        .withColumn("__n", size(col("__ts")))
+        .localCheckpoint()
+    val tn = sets(newDf)
+    val tb = sets(baseDf)
+    // document frequency over BOTH corpora: the prefix of a set depends on
+    // the global rarity order, and the two sides must agree on it or a
+    // qualifying pair could put the shared element in one side's prefix
+    // and the other side's suffix and never join
+    val freq = tn.select(explode(col("__ts")).as("__pe"))
+      .unionByName(tb.select(explode(col("__ts")).as("__pe")))
+      .groupBy("__pe").agg(count(lit(1)).as("__f"))
+    def prefixes(toks: DataFrame) = toks
+      .select(col("__id"), col("__n"), explode(col("__ts")).as("__pe"))
+      .join(freq, "__pe")
+      .groupBy("__id").agg(
+        slice(array_sort(collect_list(struct(col("__f"), col("__pe")))),
+          lit(1),
+          (first(col("__n")) - ceil(first(col("__n")) * threshold) + 1)
+            .cast("int")).as("__pref"))
+    def pref(toks: DataFrame) = toks.join(prefixes(toks), "__id")
+      .select(Seq(col("__id"), col("__n"),
+        explode(col("__pref.__pe")).as("__pe")) ++ blockCols.map(col): _*)
+    val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(col("a.__pe") === col("b.__pe") &&
+        least(col("a.__n"), col("b.__n")).cast("double") >=
+          greatest(col("a.__n"), col("b.__n")) * lit(threshold))(_ && _)
+    val cands = pref(tn).as("a").join(pref(tb).as("b"), joinCond)
+      .select(col("a.__id").as("new_id"), col("b.__id").as("base_id"))
+      .distinct()
+    cands
+      .join(tn.select(col("__id").as("new_id"), col("__ts").as("__ta")), "new_id")
+      .join(tb.select(col("__id").as("base_id"), col("__ts").as("__tb")), "base_id")
+      .withColumn("__inter",
+        graft.functions.SortedIntersectCount(col("__ta"), col("__tb"))
+          .cast("double"))
+      .withColumn("jaccard", col("__inter") /
+        (size(col("__ta")) + size(col("__tb")) - col("__inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("base_id"), col("jaccard"))
+  }
+
   /** MinHash signatures as ONE aggregation: tokens exploded once, then
     * `numHashes` `min(xxhash64(seed_i, tokenHash))` aggregates per doc.
     * Values are identical to per-row nested-transform construction

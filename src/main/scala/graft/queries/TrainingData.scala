@@ -386,6 +386,18 @@ object TrainingData {
         .orderBy("doc_id")
     },
 
+    // ---- incremental dedup: NEW batch vs EXISTING corpus (exact) -----------
+    "q83_incremental_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      TextDedup.jaccardPairsAgainst(
+          docs.filter(col("doc_id") % 11 === 0),
+          docs.filter(col("doc_id") % 11 =!= 0),
+          "doc_id", "text", Seq("lang"), 0.9)
+        .select(col("new_id"), col("base_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("new_id", "base_id")
+    },
+
     // ---- Naive Bayes language classifier (trainable langId) ----------------
     "q78_nb_classifier" -> { (s, dir) =>
       LanguageModel.naiveBayes(Tables.documents(s, dir), "doc_id", "text",
@@ -855,6 +867,22 @@ object TrainingData {
           |JOIN uni ON uni.w = split_part(bgs.bg, ' ', 1)
           |CROSS JOIN vocab
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q83_incremental_dedup" ->
+        """WITH toks AS (
+          | SELECT doc_id, lang,
+          |  list_distinct(string_split_regex(lower(text), '\s+')) AS ts
+          | FROM documents),
+          |n AS (SELECT * FROM toks WHERE doc_id % 11 = 0),
+          |b AS (SELECT * FROM toks WHERE doc_id % 11 <> 0)
+          |SELECT n.doc_id AS new_id, b.doc_id AS base_id,
+          | round(len(list_intersect(n.ts, b.ts))::DOUBLE /
+          |  (len(n.ts) + len(b.ts) - len(list_intersect(n.ts, b.ts))), 6)
+          |  AS jaccard
+          |FROM n JOIN b ON n.lang = b.lang
+          |WHERE len(list_intersect(n.ts, b.ts))::DOUBLE /
+          |  (len(n.ts) + len(b.ts) - len(list_intersect(n.ts, b.ts))) >= 0.9
+          |ORDER BY new_id, base_id""".stripMargin,
 
       "q78_nb_classifier" ->
         """WITH toks AS (
