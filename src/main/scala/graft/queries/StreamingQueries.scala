@@ -182,6 +182,61 @@ object StreamingQueries {
       r
     })
 
+  private val asofBuilt = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Streaming as-of enrichment run to completion: clicks (left) and the
+    * per-(user, ts) deduped errors (right) tagged and written as 6 files
+    * consumed one per micro-batch — matches must come out of STATE across
+    * batch boundaries, in whatever order the sides arrive. Two far-future
+    * sentinel batches close out pending lefts (same watermark mechanics
+    * as the q76 fixture; 400-day delay > the 31-day event span). The
+    * batch oracle is the same DuckDB ASOF LEFT JOIN that pins q72 — the
+    * streamed operator must reproduce the batch as-of join row-for-row. */
+  private def asofOut(s: SparkSession, dir: String): String =
+    asofBuilt.getOrElseUpdate(dir, {
+      val r = graft.tables.TempDirs.create("graft_stream_asof_")
+      val ev = Tables.events(s, dir)
+      val left = ev.filter(col("event_type") === "click").select(
+        col("user_id").cast("string").as("key"), lit(1).as("side"),
+        col("ts").cast("timestamp").as("ts"),
+        col("event_id").cast("long").as("id"),
+        lit(null).cast("double").as("value"))
+      val right = ev.filter(col("event_type") === "error")
+        .groupBy("user_id", "ts")
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+        .select(col("user_id").cast("string").as("key"), lit(0).as("side"),
+          col("ts").cast("timestamp").as("ts"),
+          lit(-1L).as("id"), col("value").cast("double").as("value"))
+      left.repartition(3).write.parquet(r + "/src")
+      right.repartition(3).write.mode("append").parquet(r + "/src")
+      import s.implicits._
+      def sentinel(t: String): Unit = {
+        Thread.sleep(1100)
+        Seq(("__sentinel", 1, t, -2L)).toDF("key", "side", "t", "id")
+          .select(col("key"), col("side"),
+            col("t").cast("timestamp").as("ts"), col("id"),
+            lit(null).cast("double").as("value"))
+          .coalesce(1).write.mode("append").parquet(r + "/src")
+      }
+      sentinel("2031-01-01 00:00:00")
+      sentinel("2031-01-02 00:00:00")
+      val sch = StructType(Seq(StructField("key", StringType),
+        StructField("side", org.apache.spark.sql.types.IntegerType),
+        StructField("ts", TimestampType), StructField("id", LongType),
+        StructField("value", org.apache.spark.sql.types.DoubleType)))
+      val src = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(r + "/src")
+      val q = StreamingAnalytics.asOfStream(src, "400 days")
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", r + "/out")
+        .option("checkpointLocation", r + "/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      r
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_streaming_continuous_agg" -> { (s, dir) =>
       aggTable(s, dir).readResolved()
@@ -209,6 +264,18 @@ object StreamingQueries {
           col("session_end").cast("timestamp_ntz").as("session_end"),
           col("n").as("n_events"))
         .orderBy("user_id", "session_start")
+    },
+
+    // ---- streaming as-of enrichment (the q72 join, incrementally) ---------
+    "q84_streaming_asof" -> { (s, dir) =>
+      s.read.parquet(asofOut(s, dir) + "/out")
+        .filter(col("key") =!= "__sentinel")
+        .select(col("id").as("event_id"),
+          col("key").cast("long").as("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("matched_ts").cast("timestamp_ntz").as("err_ts"),
+          col("value").as("err_value"))
+        .orderBy("event_id")
     },
 
     // ---- watermarked streaming exact dedup (ingest-time q24) --------------
@@ -245,6 +312,19 @@ object StreamingQueries {
       """SELECT event_type, count(*) AS n, sum(event_id) AS id_sum,
         | sum(user_id) AS user_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q84_streaming_asof" ->
+      """WITH clicks AS (
+        | SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        | FROM events WHERE event_type = 'click'),
+        |errs AS (
+        | SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  max_by(value, event_id) AS err_value
+        | FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.ts, e.ts AS err_ts, e.err_value
+        |FROM clicks c ASOF LEFT JOIN errs e
+        | ON c.user_id = e.user_id AND c.ts >= e.ts
+        |ORDER BY c.event_id""".stripMargin,
 
     "q76_streaming_sessions" ->
       """WITH ev AS (

@@ -111,6 +111,86 @@ object StreamingAnalytics {
     source.withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  // --- streaming as-of enrichment -----------------------------------------
+
+  /** Input row for [[asOfStream]]: `side` 0 = right (state/build), 1 =
+    * left (probe); `us` is the event time in exact microseconds
+    * ([[sessionize]]'s ms-truncation lesson); `id` identifies left rows
+    * (-1 on right rows); `value` is the right payload (None on left). */
+  case class AsOfIn(key: String, side: Int, ts: Timestamp, us: Long,
+      id: Long, value: Option[Double])
+  /** Buffered per-key state: pending left rows (us, id) not yet final,
+    * and the right rows still able to match a future left. */
+  case class AsOfBuf(lefts: List[(Long, Long)], rights: List[(Long, Double)])
+  /** One enriched left row: the latest right at-or-before its time. */
+  case class AsOfHit(key: String, id: Long, ts: Timestamp,
+      matched_ts: Option[Timestamp], value: Option[Double])
+
+  /** Streaming as-of enrichment — [[graft.operators.AsOfJoin]] run
+    * incrementally with custom state: each left row is emitted exactly
+    * once, enriched with the latest right row at or before its event
+    * time, once the watermark guarantees no earlier right row can still
+    * arrive (a left row is final at `ts <= watermark`, because any
+    * not-yet-arrived right row must carry `ts > watermark`).
+    *
+    * State per key is bounded by the watermark delay: pending lefts drain
+    * as the watermark passes them, and of the right rows at or before the
+    * watermark only the LATEST is retained (it is the only one a future
+    * left can still match — anything older is dominated). Emission on
+    * both paths: new batches for active keys, event-time timeout for keys
+    * whose pending lefts outlive their event flow. */
+  def asOfStream(events: DataFrame, watermark: String): Dataset[AsOfHit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def usToTs(us: Long): Timestamp = {
+      val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    def fn(key: String, evs: Iterator[AsOfIn],
+        state: GroupState[AsOfBuf]): Iterator[AsOfHit] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val st = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+      val (inL, inR) = evs.toList.partition(_.side == 1)
+      val lefts = st.lefts ++ inL.map(e => (e.us, e.id))
+      val rights = (st.rights ++ inR.map(e => (e.us, e.value.get)))
+        .sortBy(_._1)
+      // compute emissions BEFORE pruning — the dominated right rows may
+      // still be the match for a left row being finalized in this call
+      val (emit, pending) = lefts.partition(_._1 <= wmUs)
+      val hits = emit.sortBy(_._1).map { case (lus, id) =>
+        rights.takeWhile(_._1 <= lus).lastOption match {
+          case Some((rus, v)) =>
+            AsOfHit(key, id, usToTs(lus), Some(usToTs(rus)), Some(v))
+          case None => AsOfHit(key, id, usToTs(lus), None, None)
+        }
+      }
+      val (oldR, liveR) = rights.partition(_._1 <= wmUs)
+      val keepR = oldR.lastOption.toList ++ liveR
+      if (pending.isEmpty && keepR.isEmpty) state.remove()
+      else {
+        state.update(AsOfBuf(pending, keepR))
+        // pending lefts finalize purely by watermark advance — wake the
+        // key on the next advance even if no further events arrive
+        if (pending.nonEmpty)
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+      }
+      hits.iterator
+    }
+    events
+      .select(col("key").cast("string").as("key"),
+        col("side").cast("int").as("side"),
+        col("ts").cast("timestamp").as("ts"),
+        col("id").cast("long").as("id"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", watermark)
+      .withColumn("us", unix_micros(col("ts")))
+      .as[AsOfIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** One closed session: [start, end] plus its event count. */
   case class Session(key: String, session_start: Timestamp,
       session_end: Timestamp, n: Long)
