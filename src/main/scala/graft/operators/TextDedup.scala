@@ -309,8 +309,15 @@ object TextDedup {
 
     val cands = minhashCandidates(repDocs, "__id", "__text", bands,
       rowsPerBand, maxBucketSize)
+    // hashed sets materialized ONCE (the setJaccardPairs pattern): the
+    // verify join consumes this frame on both sides, and without the
+    // checkpoint each side re-runs the text scan + collapse joins + the
+    // split/hash/sort set construction. (Checkpointing repDocs/members
+    // themselves — TEXT payloads — measured 3× slower than recompute;
+    // id + long-array rows are the right thing to pin.)
     val toks = repDocs.select(col("__id").as("__tid"),
       hashedTokenSet(col("__text")).as("__ts"))
+      .localCheckpoint()
     val repPairs = cands
       .join(toks.withColumnRenamed("__tid", "id_a").withColumnRenamed("__ts", "ts_a"), "id_a")
       .join(toks.withColumnRenamed("__tid", "id_b").withColumnRenamed("__ts", "ts_b"), "id_b")
