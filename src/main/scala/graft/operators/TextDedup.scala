@@ -94,7 +94,21 @@ object TextDedup {
     * candidates — no surviving pair's score changes, and no qualifying
     * pair is lost (exactness is what the DuckDB oracles pin). */
   private def setJaccardPairs(sets: DataFrame,
-      blockCols: Seq[String], threshold: Double): DataFrame = {
+      blockCols: Seq[String], threshold: Double): DataFrame =
+    setJaccardJoin(sets, None, blockCols, threshold,
+      outA = "id_a", outB = "id_b")
+
+  /** Shared prefix-filter core for the self-join ([[jaccardPairs]] /
+    * [[ngramJaccardPairs]]) and the two-corpus incremental join
+    * ([[jaccardPairsAgainst]]): ONE implementation of the rarity
+    * ordering, prefix build, size-ratio candidate join, and exact
+    * verification — a fix to any of those must not be able to diverge
+    * the two paths. `setsB = None` means self-join (candidates guarded
+    * by `id_a < id_b`); otherwise A-side prefixes join B-side prefixes
+    * only, so cost scales with A (the batch), never B². */
+  private def setJaccardJoin(setsA: DataFrame, setsB: Option[DataFrame],
+      blockCols: Seq[String], threshold: Double,
+      outA: String, outB: String): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccard threshold must be in (0, 1], got $threshold")
     // materialize the hashed sets ONCE: this plan fans out into four
@@ -103,48 +117,58 @@ object TextDedup {
     // the single most expensive projection — without the checkpoint it
     // re-evaluates in every subtree. O(input) rows of longs, the same
     // materialization every exact set-similarity join implementation makes.
-    val toks = sets.filter(size(col("__ts")) > 0)
+    def toks(sets: DataFrame) = sets.filter(size(col("__ts")) > 0)
       .withColumn("__n", size(col("__ts")))
       .localCheckpoint()
+    val ta = toks(setsA)
+    val tb = setsB.map(toks)
     // Rarity order (the PPJoin document-frequency ordering): prefixes are
     // taken from each set sorted by ascending GLOBAL frequency (ties by
     // hash — a true total order), so a template element shared by half the
     // corpus lands in everyone's suffix and never generates a candidate.
-    // One extra aggregation pass over the element instances; with random
-    // (hash) order instead, every common element that lands in a prefix
-    // buckets a quadratic slice of the corpus.
-    val freq = toks.select(explode(col("__ts")).as("__pe"))
-      .groupBy("__pe").agg(count(lit(1)).as("__f"))
-    val prefixes = toks.select(col("__id"), col("__n"),
-        explode(col("__ts")).as("__pe"))
-      .join(freq, "__pe")
-      .groupBy("__id").agg(
-        slice(array_sort(collect_list(struct(col("__f"), col("__pe")))),
-          lit(1),
-          (first(col("__n")) - ceil(first(col("__n")) * threshold) + 1)
-            .cast("int")).as("__pref"))
-    val pref = toks.join(prefixes, "__id")
-      .select(Seq(col("__id"), col("__n"),
-        explode(col("__pref.__pe")).as("__pe")) ++ blockCols.map(col): _*)
-    val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+    // In the two-corpus form the order is computed over BOTH sides — the
+    // sides must agree on it, or a qualifying pair could put the shared
+    // element in one side's prefix and the other side's suffix and never
+    // join — and is materialized because two prefix subtrees consume it.
+    val instances = (ta +: tb.toSeq)
+      .map(_.select(explode(col("__ts")).as("__pe")))
+      .reduce(_ unionByName _)
+    val freq0 = instances.groupBy("__pe").agg(count(lit(1)).as("__f"))
+    val freq = if (tb.isDefined) freq0.localCheckpoint() else freq0
+    def pref(t: DataFrame) = {
+      val prefixes = t.select(col("__id"), col("__n"),
+          explode(col("__ts")).as("__pe"))
+        .join(freq, "__pe")
+        .groupBy("__id").agg(
+          slice(array_sort(collect_list(struct(col("__f"), col("__pe")))),
+            lit(1),
+            (first(col("__n")) - ceil(first(col("__n")) * threshold) + 1)
+              .cast("int")).as("__pref"))
+      t.join(prefixes, "__id")
+        .select(Seq(col("__id"), col("__n"),
+          explode(col("__pref.__pe")).as("__pe")) ++ blockCols.map(col): _*)
+    }
+    val prefA = pref(ta)
+    val prefB = tb.map(pref).getOrElse(prefA)
+    val sizeAndBlocks = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(col("a.__pe") === col("b.__pe") &&
-        col("a.__id") < col("b.__id") &&
         least(col("a.__n"), col("b.__n")).cast("double") >=
           greatest(col("a.__n"), col("b.__n")) * lit(threshold))(_ && _)
-    val cands = pref.as("a").join(pref.as("b"), joinCond)
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+    val joinCond = if (tb.isDefined) sizeAndBlocks
+      else sizeAndBlocks && col("a.__id") < col("b.__id")
+    val cands = prefA.as("a").join(prefB.as("b"), joinCond)
+      .select(col("a.__id").as(outA), col("b.__id").as(outB))
       .distinct() // ids only — set payloads re-join after the dedup
-    val full = toks.select(col("__id"), col("__ts"))
     cands
-      .join(full.select(col("__id").as("id_a"), col("__ts").as("__ta")), "id_a")
-      .join(full.select(col("__id").as("id_b"), col("__ts").as("__tb")), "id_b")
+      .join(ta.select(col("__id").as(outA), col("__ts").as("__ta")), outA)
+      .join(tb.getOrElse(ta).select(col("__id").as(outB), col("__ts").as("__tb")), outB)
       .withColumn("__inter",
         graft.functions.SortedIntersectCount(col("__ta"), col("__tb"))
           .cast("double"))
       .withColumn("jaccard", col("__inter") /
         (size(col("__ta")) + size(col("__tb")) - col("__inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col(outA), col(outB), col("jaccard"))
   }
 
   /** INCREMENTAL near-dup check: exact Jaccard pairs between a NEW batch
@@ -159,51 +183,11 @@ object TextDedup {
     * the result equals the brute-force cross join at any blocking. */
   def jaccardPairsAgainst(newDf: DataFrame, baseDf: DataFrame, idCol: String,
       textCol: String, blockCols: Seq[String], threshold: Double): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0,
-      s"jaccard threshold must be in (0, 1], got $threshold")
     def sets(df: DataFrame) =
       df.select(Seq(col(idCol).as("__id"),
-          hashedTokenSet(col(textCol)).as("__ts")) ++ blockCols.map(col): _*)
-        .filter(size(col("__ts")) > 0)
-        .withColumn("__n", size(col("__ts")))
-        .localCheckpoint()
-    val tn = sets(newDf)
-    val tb = sets(baseDf)
-    // document frequency over BOTH corpora: the prefix of a set depends on
-    // the global rarity order, and the two sides must agree on it or a
-    // qualifying pair could put the shared element in one side's prefix
-    // and the other side's suffix and never join
-    val freq = tn.select(explode(col("__ts")).as("__pe"))
-      .unionByName(tb.select(explode(col("__ts")).as("__pe")))
-      .groupBy("__pe").agg(count(lit(1)).as("__f"))
-    def prefixes(toks: DataFrame) = toks
-      .select(col("__id"), col("__n"), explode(col("__ts")).as("__pe"))
-      .join(freq, "__pe")
-      .groupBy("__id").agg(
-        slice(array_sort(collect_list(struct(col("__f"), col("__pe")))),
-          lit(1),
-          (first(col("__n")) - ceil(first(col("__n")) * threshold) + 1)
-            .cast("int")).as("__pref"))
-    def pref(toks: DataFrame) = toks.join(prefixes(toks), "__id")
-      .select(Seq(col("__id"), col("__n"),
-        explode(col("__pref.__pe")).as("__pe")) ++ blockCols.map(col): _*)
-    val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
-      .foldLeft(col("a.__pe") === col("b.__pe") &&
-        least(col("a.__n"), col("b.__n")).cast("double") >=
-          greatest(col("a.__n"), col("b.__n")) * lit(threshold))(_ && _)
-    val cands = pref(tn).as("a").join(pref(tb).as("b"), joinCond)
-      .select(col("a.__id").as("new_id"), col("b.__id").as("base_id"))
-      .distinct()
-    cands
-      .join(tn.select(col("__id").as("new_id"), col("__ts").as("__ta")), "new_id")
-      .join(tb.select(col("__id").as("base_id"), col("__ts").as("__tb")), "base_id")
-      .withColumn("__inter",
-        graft.functions.SortedIntersectCount(col("__ta"), col("__tb"))
-          .cast("double"))
-      .withColumn("jaccard", col("__inter") /
-        (size(col("__ta")) + size(col("__tb")) - col("__inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("new_id"), col("base_id"), col("jaccard"))
+        hashedTokenSet(col(textCol)).as("__ts")) ++ blockCols.map(col): _*)
+    setJaccardJoin(sets(newDf), Some(sets(baseDf)), blockCols, threshold,
+      outA = "new_id", outB = "base_id")
   }
 
   /** MinHash signatures as ONE aggregation: tokens exploded once, then

@@ -17,6 +17,16 @@ import graft.sources.GraftTable
   */
 object StreamingAnalytics {
 
+  /** Exact µs → Timestamp (state arithmetic runs on microseconds because
+    * `Timestamp.getTime` is ms-truncating — the q76 oracle caught the
+    * rounded session boundaries). Shared by every custom-state operator
+    * here; a precision fix must not be able to diverge them. */
+  private def usToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Watermarked per-bucket counts — the streaming q13/q14 shape.
     * `withWatermark` bounds state: buckets older than the watermark are
     * finalized and evicted, so state size is O(keys × buckets-in-flight)
@@ -121,7 +131,8 @@ object StreamingAnalytics {
       id: Long, value: Option[Double])
   /** Buffered per-key state: pending left rows (us, id) not yet final,
     * and the right rows still able to match a future left. */
-  case class AsOfBuf(lefts: List[(Long, Long)], rights: List[(Long, Double)])
+  case class AsOfBuf(lefts: List[(Long, Long)],
+      rights: List[(Long, Option[Double])])
   /** One enriched left row: the latest right at-or-before its time. */
   case class AsOfHit(key: String, id: Long, ts: Timestamp,
       matched_ts: Option[Timestamp], value: Option[Double])
@@ -142,18 +153,16 @@ object StreamingAnalytics {
   def asOfStream(events: DataFrame, watermark: String): Dataset[AsOfHit] = {
     val spark = events.sparkSession
     import spark.implicits._
-    def usToTs(us: Long): Timestamp = {
-      val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-      t
-    }
     def fn(key: String, evs: Iterator[AsOfIn],
         state: GroupState[AsOfBuf]): Iterator[AsOfHit] = {
       val wmUs = state.getCurrentWatermarkMs() * 1000L
       val st = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
       val (inL, inR) = evs.toList.partition(_.side == 1)
       val lefts = st.lefts ++ inL.map(e => (e.us, e.id))
-      val rights = (st.rights ++ inR.map(e => (e.us, e.value.get)))
+      // a right row's payload may legitimately be NULL — it is still the
+      // match for lefts at-or-after it (same atomic-carry rule as the
+      // batch operator: a null value must not fall through to an older row)
+      val rights = (st.rights ++ inR.map(e => (e.us, e.value)))
         .sortBy(_._1)
       // compute emissions BEFORE pruning — the dominated right rows may
       // still be the match for a left row being finalized in this call
@@ -161,7 +170,7 @@ object StreamingAnalytics {
       val hits = emit.sortBy(_._1).map { case (lus, id) =>
         rights.takeWhile(_._1 <= lus).lastOption match {
           case Some((rus, v)) =>
-            AsOfHit(key, id, usToTs(lus), Some(usToTs(rus)), Some(v))
+            AsOfHit(key, id, usToTs(lus), Some(usToTs(rus)), v)
           case None => AsOfHit(key, id, usToTs(lus), None, None)
         }
       }
@@ -218,11 +227,6 @@ object StreamingAnalytics {
     import spark.implicits._
 
     val gapUs = gapMillis * 1000L
-    def usToTs(us: Long): Timestamp = {
-      val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-      t
-    }
     def fn(key: String, evs: Iterator[Ev],
         state: GroupState[List[OpenSession]]): Iterator[Session] = {
       val wmUs = state.getCurrentWatermarkMs() * 1000L
