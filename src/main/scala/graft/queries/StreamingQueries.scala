@@ -237,6 +237,50 @@ object StreamingQueries {
       r
     })
 
+  private val funnelBuilt = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Streaming conversion funnel run to completion: the three funnel step
+    * types as 3 files/micro-batches (steps arrive interleaved and out of
+    * order — funnels must assemble from state), two far-future 'view'
+    * sentinels under a dummy key to advance the watermark past every
+    * anchor's deadline and fire the finalization timeouts. Oracle = the
+    * q80 batch funnel SQL: the streamed rows must equal the batch
+    * operator's per-user step times exactly. */
+  private def funnelOut2(s: SparkSession, dir: String): String =
+    funnelBuilt.getOrElseUpdate(dir, {
+      val r = graft.tables.TempDirs.create("graft_stream_funnel_")
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id").cast("string").as("key"),
+          col("ts").cast("timestamp").as("ts"), col("event_type"))
+        .repartition(3).write.parquet(r + "/src")
+      import s.implicits._
+      def sentinel(t: String): Unit = {
+        Thread.sleep(1100)
+        Seq(("__sentinel", t, "view")).toDF("key", "t", "event_type")
+          .select(col("key"), col("t").cast("timestamp").as("ts"),
+            col("event_type"))
+          .coalesce(1).write.mode("append").parquet(r + "/src")
+      }
+      sentinel("2031-01-01 00:00:00")
+      sentinel("2031-01-02 00:00:00")
+      val sch = StructType(Seq(StructField("key", StringType),
+        StructField("ts", TimestampType),
+        StructField("event_type", StringType)))
+      val src = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(r + "/src")
+      val q = StreamingAnalytics.funnelStream(src, "key", "ts", "event_type",
+          Seq("view", "click", "purchase"), "24 HOUR", "400 days")
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", r + "/out")
+        .option("checkpointLocation", r + "/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      r
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_streaming_continuous_agg" -> { (s, dir) =>
       aggTable(s, dir).readResolved()
@@ -278,6 +322,17 @@ object StreamingQueries {
         .orderBy("event_id")
     },
 
+    // ---- streaming conversion funnel (the q80 operator, incrementally) ----
+    "q85_streaming_funnel" -> { (s, dir) =>
+      s.read.parquet(funnelOut2(s, dir) + "/out")
+        .filter(col("key") =!= "__sentinel")
+        .select(col("key").cast("long").as("user_id"),
+          element_at(col("steps"), 1).cast("timestamp_ntz").as("step_1_ts"),
+          element_at(col("steps"), 2).cast("timestamp_ntz").as("step_2_ts"),
+          element_at(col("steps"), 3).cast("timestamp_ntz").as("step_3_ts"))
+        .orderBy("user_id")
+    },
+
     // ---- watermarked streaming exact dedup (ingest-time q24) --------------
     "q74_streaming_dedup" -> { (s, dir) =>
       s.read.parquet(dedupOut(s, dir) + "/out")
@@ -307,6 +362,29 @@ object StreamingQueries {
         |SELECT user_id, count(*) AS n_pairs, sum(view_id) AS view_id_sum,
         | sum(purchase_id) AS purchase_id_sum
         |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q85_streaming_funnel" ->
+      """WITH ev AS (
+        | SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        | FROM events),
+        |s1 AS (
+        | SELECT user_id, min(ts) AS step_1_ts FROM ev
+        | WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        | SELECT e.user_id, min(e.ts) AS step_2_ts
+        | FROM ev e JOIN s1 USING (user_id)
+        | WHERE e.event_type = 'click' AND e.ts > s1.step_1_ts
+        |  AND e.ts <= s1.step_1_ts + INTERVAL 24 HOUR
+        | GROUP BY 1),
+        |s3 AS (
+        | SELECT e.user_id, min(e.ts) AS step_3_ts
+        | FROM ev e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        | WHERE e.event_type = 'purchase' AND e.ts > s2.step_2_ts
+        |  AND e.ts <= s1.step_1_ts + INTERVAL 24 HOUR
+        | GROUP BY 1)
+        |SELECT s1.user_id, step_1_ts, step_2_ts, step_3_ts
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY s1.user_id""".stripMargin,
 
     "q74_streaming_dedup" ->
       """SELECT event_type, count(*) AS n, sum(event_id) AS id_sum,

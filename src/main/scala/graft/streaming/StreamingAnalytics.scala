@@ -200,6 +200,102 @@ object StreamingAnalytics {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  // --- streaming conversion funnel ----------------------------------------
+
+  /** Input row for [[funnelStream]]: `step` is the 0-based index of the
+    * event's funnel step (events of other types are filtered before). */
+  case class FunnelIn(key: String, ts: Timestamp, us: Long, step: Int)
+  /** Buffered per-key step events (us, stepIdx) awaiting finalization. */
+  case class FunnelBuf(events: List[(Long, Int)])
+  /** One finalized funnel: the key's anchored step times (null-padded via
+    * Options past the break point). Supports up to the steps declared. */
+  case class FunnelHit(key: String, steps: Seq[Option[Timestamp]])
+
+  /** Streaming conversion funnel — [[graft.operators.Funnel]] run
+    * incrementally: first-touch anchored at the key's earliest step-0
+    * event, greedy-earliest later steps within `windowUs` of the anchor.
+    * A key's funnel FINALIZES when the watermark reaches anchor + window:
+    * at that point the anchor is fixed (no earlier step-0 event can still
+    * arrive — it would be late) and every in-window event has arrived, so
+    * the emitted row equals the batch operator's.
+    *
+    * State is bounded by the watermark delay plus the funnel window:
+    * before an anchor exists, buffered events at or before the watermark
+    * are dropped (no future step-0 event can precede them); once an
+    * anchor exists, events past the anchor's deadline are dropped (the
+    * deadline can only move EARLIER if a still-earlier anchor arrives,
+    * so nothing pruned can become relevant). */
+  def funnelStream(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], windowExpr: String,
+      watermark: String): Dataset[FunnelHit] = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val windowUs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String
+        .fromString(windowExpr)) match {
+      case iv =>
+        require(iv.months == 0, "funnel window must be day/time-based")
+        iv.days * 86400000000L + iv.microseconds
+    }
+    val nSteps = steps.size
+    def fn(key: String, evs: Iterator[FunnelIn],
+        state: GroupState[FunnelBuf]): Iterator[FunnelHit] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val buf = state.getOption.map(_.events).getOrElse(Nil) ++
+        evs.map(e => (e.us, e.step))
+      val anchors = buf.filter(_._2 == 0).map(_._1)
+      val anchor = if (anchors.isEmpty) None else Some(anchors.min)
+      anchor match {
+        case Some(a) if wmUs >= a + windowUs =>
+          // finalized: replay the batch operator's greedy chain on the
+          // complete in-window event set
+          val sorted = buf.sortBy(identity)
+          val times = new Array[Option[Long]](nSteps)
+          times(0) = Some(a)
+          var prev = a
+          var i = 1
+          var broken = false
+          while (i < nSteps) {
+            if (broken) times(i) = None
+            else sorted.collectFirst {
+              case (us, s) if s == i && us > prev && us <= a + windowUs => us
+            } match {
+              case Some(us) => times(i) = Some(us); prev = us
+              case None => times(i) = None; broken = true
+            }
+            i += 1
+          }
+          state.remove()
+          Iterator.single(FunnelHit(key, times.toSeq.map(_.map(usToTs))))
+        case other =>
+          val keep = other match {
+            case Some(a) => buf.filter(_._1 <= a + windowUs)
+            case None => buf.filter(_._1 > wmUs)
+          }
+          if (keep.isEmpty) state.remove()
+          else {
+            state.update(FunnelBuf(keep))
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+          }
+          Iterator.empty
+      }
+    }
+    val stepIdx = steps.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (s, i)) =>
+        when(col(typeCol) === s, lit(i)).otherwise(acc) }
+    events
+      .select(col(keyCol).cast("string").as("key"),
+        col(tsCol).cast("timestamp").as("ts"), stepIdx.as("step"))
+      .filter(col("step") >= 0)
+      .withWatermark("ts", watermark)
+      .withColumn("us", unix_micros(col("ts")))
+      .as[FunnelIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** One closed session: [start, end] plus its event count. */
   case class Session(key: String, session_start: Timestamp,
       session_end: Timestamp, n: Long)
