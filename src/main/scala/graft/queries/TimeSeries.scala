@@ -169,6 +169,29 @@ object TimeSeries {
         .orderBy("user_id")
     },
 
+    // ---- time-weighted average (TimescaleDB toolkit's third pillar next
+    // to time_bucket/percentile_agg): LOCF integral over each user's
+    // observation span — irregular samples weighted by how long they held,
+    // not how often they fired. One window pass + one aggregation.
+    "q86_time_weighted_avg" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("value"))
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .filter(col("next_ts").isNotNull)
+        // unix_micros rejects TIMESTAMP_NTZ; the session is UTC so the
+        // cast is instant-preserving
+        .withColumn("w_us",
+          (unix_micros(col("next_ts").cast("timestamp")) -
+            unix_micros(col("ts").cast("timestamp"))).cast("double"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          round(sum(col("value") * col("w_us")) / sum(col("w_us")), 6)
+            .as("twa"))
+        .orderBy("user_id")
+    },
+
     // ---- distribution profile (data-quality monitoring shape): fixed-width
     // value histogram per event type plus range stats — one aggregation,
     // map-side combinable; the feature-distribution check training
@@ -293,6 +316,18 @@ object TimeSeries {
         |FROM clicks c ASOF LEFT JOIN errs e
         | ON c.user_id = e.user_id AND c.ts >= e.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    "q86_time_weighted_avg" ->
+      """WITH seq AS (
+        | SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |  lead(CAST(ts AS TIMESTAMP)) OVER
+        |    (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS next_ts
+        | FROM events)
+        |SELECT user_id, count(*) AS n_intervals,
+        | round(sum(value * CAST(epoch_us(next_ts) - epoch_us(ts) AS DOUBLE))
+        |   / sum(CAST(epoch_us(next_ts) - epoch_us(ts) AS DOUBLE)), 6) AS twa
+        |FROM seq WHERE next_ts IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q82_value_histogram" ->
       """SELECT event_type,
