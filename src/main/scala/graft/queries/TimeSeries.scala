@@ -169,6 +169,33 @@ object TimeSeries {
         .orderBy("user_id")
     },
 
+    // ---- gap-filled series with LOCF (time_bucket_gapfill + locf — the
+    // dashboard "no holes in the chart" shape): every series densified to
+    // its full hourly range, missing buckets carried forward. sequence()
+    // explodes per-series bucket ranges (no cross join against a global
+    // calendar), LOCF is one window pass.
+    "q87_gapfill_locf" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.events(s, dir)
+        .filter(col("user_id") < 10 &&
+          col("ts") < lit("2024-01-08").cast("timestamp_ntz"))
+        .groupBy(col("user_id"),
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("bucket"))
+        .agg(dsum(col("value")).as("sum_value"), count(lit(1)).as("n"))
+      val series = hourly.groupBy("user_id")
+        .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+        .select(col("user_id"), explode(sequence(col("b0"), col("b1"),
+          expr("INTERVAL 1 HOUR"))).as("bucket"))
+      val w = Window.partitionBy("user_id").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      series.join(hourly, Seq("user_id", "bucket"), "left")
+        .select(col("user_id"), col("bucket"),
+          (col("n").isNull).as("filled"),
+          round(last(col("sum_value") / col("n"), ignoreNulls = true).over(w),
+            6).as("value_locf"))
+        .orderBy("user_id", "bucket")
+    },
+
     // ---- time-weighted average (TimescaleDB toolkit's third pillar next
     // to time_bucket/percentile_agg): LOCF integral over each user's
     // observation span — irregular samples weighted by how long they held,
@@ -316,6 +343,26 @@ object TimeSeries {
         |FROM clicks c ASOF LEFT JOIN errs e
         | ON c.user_id = e.user_id AND c.ts >= e.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    "q87_gapfill_locf" ->
+      """WITH hourly AS (
+        | SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  count(*) AS n
+        | FROM events
+        | WHERE user_id < 10 AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08'
+        | GROUP BY 1, 2),
+        |series AS (
+        | SELECT user_id,
+        |  unnest(generate_series(min(bucket), max(bucket),
+        |    INTERVAL 1 HOUR)) AS bucket
+        | FROM hourly GROUP BY user_id)
+        |SELECT s.user_id, s.bucket, h.n IS NULL AS filled,
+        | round(last_value(h.sum_value / h.n IGNORE NULLS) OVER (
+        |   PARTITION BY s.user_id ORDER BY s.bucket
+        |   ROWS UNBOUNDED PRECEDING), 6) AS value_locf
+        |FROM series s LEFT JOIN hourly h USING (user_id, bucket)
+        |ORDER BY s.user_id, s.bucket""".stripMargin,
 
     "q86_time_weighted_avg" ->
       """WITH seq AS (
