@@ -19,11 +19,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.DeferExpensiveProjection.install(spark)
     new java.io.File(outDir).mkdirs()
+    // Failures must be LOUD: a throwing query used to leave only a stderr
+    // line, the driver omitted the row, and dark queries went unnoticed
+    // for whole rounds. Collect name→error and dump _errors.json so the
+    // round artifacts show every query that produced no result.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        errors(name) =
+          s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}".take(2000)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -41,6 +48,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: " +
+        errors.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -792,7 +792,8 @@ object TrainingData {
           |       WHEN substr(md5('s67:' || doc_id), 1, 4) < 'e666' THEN 'val'
           |       ELSE 'test' END AS split
           | FROM documents)
-          |SELECT source, split, count(*) AS n, sum(doc_id) AS id_sum
+          |SELECT source, split, count(*) AS n,
+          |  CAST(sum(doc_id) AS BIGINT) AS id_sum
           |FROM a GROUP BY source, split ORDER BY source, split""".stripMargin,
 
       "q68_mixture_resample" ->
@@ -811,7 +812,8 @@ object TrainingData {
           | WHERE substr(md5('s68:' || d.doc_id), 1, 4) < thr.h_thr)
           |SELECT thr.lang, thr.n_total, k.n_kept, k.id_sum
           |FROM thr LEFT JOIN (
-          | SELECT lang, count(*) AS n_kept, sum(doc_id) AS id_sum
+          | SELECT lang, count(*) AS n_kept,
+          |  CAST(sum(doc_id) AS BIGINT) AS id_sum
           | FROM kept GROUP BY lang) k USING (lang)
           |ORDER BY lang""".stripMargin,
 
@@ -843,7 +845,8 @@ object TrainingData {
           |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
           | FROM t)
           |SELECT (run - n_tok) // 4000 AS shard_id, count(*) AS n_docs,
-          |  CAST(sum(n_tok) AS BIGINT) AS tokens, sum(doc_id) AS id_sum
+          |  CAST(sum(n_tok) AS BIGINT) AS tokens,
+          |  CAST(sum(doc_id) AS BIGINT) AS id_sum
           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q73_lm_surprisal" ->

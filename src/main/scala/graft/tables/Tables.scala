@@ -24,18 +24,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is nanosecond-precision parquet, which Spark's reader
-    * rejects; read it as raw nanos (legacy long mode) and convert to a
-    * µs TIMESTAMP_NTZ with exact integer division — same truncation
-    * DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP. NTZ matches
-    * the file's isAdjustedToUTC=false semantics (session TZ is UTC).
+  /** `events.ts` has shipped at two precisions across testdata
+    * generations: nanosecond (which Spark's reader only surfaces as a
+    * raw long via the legacy conf) and microsecond TIMESTAMP_NTZ
+    * (isAdjustedToUTC=false, read natively). Dispatch on the loaded
+    * dtype so both generations work: a LongType `ts` is legacy nanos
+    * and gets the exact `div 1000` truncation (same as DuckDB's
+    * TIMESTAMP_NS → TIMESTAMP cast); a timestamp `ts` passes through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$d/events.parquet")
-      .withColumn("ts",
-        org.apache.spark.sql.functions
-          .expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val raw = s.read.parquet(s"$d/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions
+            .expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case _ => raw
+    }
   }
   /** The two training-pipeline corpora fan out to the cluster width
     * before their (compute-heavy) consumers: the fixture files are a
