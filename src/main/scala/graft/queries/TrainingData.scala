@@ -85,14 +85,17 @@ object TrainingData {
     // ---- MinHash+LSH near-dup (verified candidates; recall spec-checked) --
     // rows-only check (no oracle) — no ORDER BY: sorting the output pairs
     // would be pure bench overhead.
-    // Band shape 10×10 (100 hashes): theoretical recall at J=0.9 is
-    // 1−(1−0.9¹⁰)¹⁰ ≈ 0.986 (vs 0.999 at 12×8), but a moderate J=0.5
-    // pair collides at ~1% instead of ~4.7% — on this clustered corpus
-    // that is ~4× fewer candidates through the exact verifier, which is
-    // where the operator's time goes (5.1M candidates → 9k survivors)
+    // Band shape 12×8 (96 hashes), recall 1−(1−0.9⁸)¹² ≈ 0.999 at J=0.9.
+    // Measured head-to-head vs 10×10 on a quiet machine at sf0.1
+    // (best-of-2): 12×8 = 6.2 s, 10×10 = 7.4 s — the hoped-for candidate
+    // reduction from rows=10 never materializes on this clustered corpus
+    // (survivor pairs agree on most bands under either shape), so 12×8
+    // wins on both recall AND latency. (An apparent 4× regression in an
+    // earlier round's bench was host-contention steal: the same binary
+    // re-measured 7.4 s vs the recorded 39.9 s.)
     "q26_minhash_lsh" -> { (s, dir) =>
       TextDedup.verifiedMinhashPairs(Tables.documents(s, dir), "doc_id",
-          "text", bands = 10, rowsPerBand = 10, threshold = 0.9)
+          "text", bands = 12, rowsPerBand = 8, threshold = 0.9)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     },
 
@@ -396,6 +399,31 @@ object TrainingData {
         .select(col("new_id"), col("base_id"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("new_id", "base_id")
+    },
+
+    // ---- Variant constructor family end-to-end (F8): object/list construct
+    // + insert over a real table, plus a parse_json → variant_get round-trip
+    // through the Variant binary encoding. The reference registers these
+    // (src/functions.rs `VariantObjectInsert`/`VariantListInsert`) but its
+    // slt corpus never runs them — this is the oracle-checked exercise.
+    // Raw-text expression output (not the Variant-wrapped SQL surface) so
+    // the serialization is our deterministic compact form: DuckDB's
+    // json_object/json_array emit byte-identical compact JSON. -----------
+    "q88_variant_insert" -> { (s, dir) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column => C, expression => E}
+      import graft.functions.{JsonBuildArray, JsonBuildObject, JsonListInsert, JsonObjectInsert}
+      val meta = C(JsonObjectInsert(
+        E(C(JsonBuildObject(Seq(E(lit("id")), E(col("doc_id")),
+          E(lit("lang")), E(col("lang")))))),
+        E(lit("half")), E(expr("doc_id div 2"))))
+      val arr = C(JsonListInsert(
+        E(C(JsonBuildArray(Seq(E(col("doc_id")), E(col("lang")))))),
+        Some(E(lit(0))), E(col("doc_id") % 7)))
+      Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"), meta.as("meta"), arr.as("arr"))
+        .withColumn("lang2",
+          variant_get(parse_json(col("meta")), "$.lang", "string"))
+        .orderBy("doc_id")
     },
 
     // ---- Naive Bayes language classifier (trainable langId) ----------------
@@ -886,6 +914,14 @@ object TrainingData {
           |WHERE len(list_intersect(n.ts, b.ts))::DOUBLE /
           |  (len(n.ts) + len(b.ts) - len(list_intersect(n.ts, b.ts))) >= 0.9
           |ORDER BY new_id, base_id""".stripMargin,
+
+      "q88_variant_insert" ->
+        """SELECT doc_id,
+          |  json_object('id', doc_id, 'lang', lang,
+          |    'half', doc_id // 2)::VARCHAR AS meta,
+          |  json_array(doc_id % 7, doc_id, lang)::VARCHAR AS arr,
+          |  lang AS lang2
+          |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
 
       "q78_nb_classifier" ->
         """WITH toks AS (

@@ -40,7 +40,12 @@ case class TableSchema(
     // bloom filters opt-IN on point-lookup columns, dictionary opt-OUT on
     // high-entropy free-text
     bloomFilterColumns: Seq[String] = Seq.empty,
-    dictionaryDisabledColumns: Seq[String] = Seq.empty) {
+    dictionaryDisabledColumns: Seq[String] = Seq.empty,
+    // per-field FTS tokenizer (reference `tantivy: {tokenizer: …}` options,
+    // otel_logs_and_spans.yaml:87-131): "ngram3" (substring prefilter,
+    // the default) or "raw" (whole-value terms — point-lookup fields like
+    // id/kind/level, which must NOT trigram-expand)
+    ftsTokenizers: Map[String, String] = Map.empty) {
   require(partitions.forall(c => schema.fieldNames.contains(c) || c == "date"),
     s"partition columns must exist in schema (or be the derived 'date'): $partitions")
 }
@@ -89,7 +94,13 @@ object TableSchemas {
     // schema (id/parent_id/name/context trace+span ids — the point-lookup
     // columns behind BASELINE's trace_lookup shape)
     bloomFilterColumns = Seq("id", "parent_id", "name",
-      "context___trace_id", "context___span_id"))
+      "context___trace_id", "context___span_id"),
+    // the YAML's tokenizer split: identifiers and enums are `raw`
+    // (whole-value terms), free text (`name`, `status_message`, `body`)
+    // is `ngram3` — the default, so only the raw fields are listed
+    ftsTokenizers = Map(
+      "id" -> "raw", "parent_id" -> "raw", "kind" -> "raw",
+      "status_code" -> "raw", "level" -> "raw"))
 
   /** Continuous-aggregate target (StreamingAnalytics.continuousAggregate):
     * one row per (bucket_start, key) whose latest version carries the

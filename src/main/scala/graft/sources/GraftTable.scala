@@ -859,14 +859,27 @@ class GraftTable(
     * resolved view, so later skipping hitless files cannot change which
     * version of an identity survives the dedup window (the correctness
     * trap a raw-version index would fall into). */
+  /** The column's declared FTS tokenizer; `ngram3` unless the schema
+    * opted the field into `raw` (whole-value terms). */
+  private def ftsTokenizer(column: String): String =
+    meta.ftsTokenizers.getOrElse(column, "ngram3")
+
   def buildTextIndex(column: String): Unit = {
     val base = compactBaseDir().getOrElse(throw new IllegalStateException(
       s"${meta.name}: text index requires a compacted-only snapshot"))
     val v = currentVersion()
-    spark.read.schema(liveSchema()).parquet(base)
+    val rows = spark.read.schema(liveSchema()).parquet(base)
       .select(input_file_name().as("file"), col(column).as("t"))
-      .select(col("file"), explode(trigrams(col("t"))).as("gram"))
-      .distinct()
+    // `raw` fields index one term per DISTINCT (file, whole value) — the
+    // identifier/enum shape, where trigram expansion would multiply the
+    // index ~|value| times for no pruning benefit; `ngram3` fields index
+    // the trigram set for substring pruning.
+    val terms =
+      if (ftsTokenizer(column) == "raw")
+        rows.filter(col("t").isNotNull)
+          .select(col("file"), lower(col("t")).as("gram"))
+      else rows.select(col("file"), explode(trigrams(col("t"))).as("gram"))
+    terms.distinct()
       .write.mode(SaveMode.Overwrite).parquet(textIndexDir(v, column))
   }
 
@@ -883,19 +896,32 @@ class GraftTable(
   def textSearch(column: String, query: String): DataFrame = {
     val full = readResolved()
       .filter(graft.functions.F.text_match(col(column), query))
-    val grams = query.toLowerCase.split("\\s+").filter(_.length >= 3)
-      .flatMap(_.sliding(3)).distinct.toSeq
+    val toks = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val grams = toks.filter(_.length >= 3).flatMap(_.sliding(3)).distinct
+    val raw = ftsTokenizer(column) == "raw"
     val indexed = for {
       base <- compactBaseDir()
       idx = textIndexDir(currentVersion(), column)
-      if grams.nonEmpty && fs.exists(new Path(idx))
+      if (if (raw) toks.nonEmpty else grams.nonEmpty) &&
+        fs.exists(new Path(idx))
     } yield {
       import spark.implicits._
-      val files = spark.read.parquet(idx)
-        .filter(col("gram").isin(grams: _*))
-        .groupBy("file").agg(count_distinct(col("gram")).as("n"))
-        .filter(col("n") === grams.length)
-        .select("file").as[String].collect().toSeq
+      // `raw` index rows are whole values, so the candidate test is the
+      // text_match predicate itself evaluated on the index entry — exact
+      // pruning (a file survives iff some distinct value in it matches),
+      // with no minimum token length; `ngram3` rows are trigrams, so a
+      // file survives iff it holds EVERY query trigram (conservative:
+      // grams may straddle different rows).
+      val files = (
+        if (raw) spark.read.parquet(idx)
+          .filter(toks.map(t => col("gram").contains(lit(t))).reduce(_ && _))
+          .select("file").distinct()
+        else spark.read.parquet(idx)
+          .filter(col("gram").isin(grams: _*))
+          .groupBy("file").agg(count_distinct(col("gram")).as("n"))
+          .filter(col("n") === grams.length)
+          .select("file")
+        ).as[String].collect().toSeq
       if (files.isEmpty) full.limit(0)
       else spark.read.option("basePath", base).schema(liveSchema())
         .parquet(files: _*)

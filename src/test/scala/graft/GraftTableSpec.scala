@@ -533,6 +533,52 @@ class GraftTableSpec extends AnyFunSuite {
     assert(ids(post).contains("d0") && post.count() == brute.count() + 1)
   }
 
+  test("raw-tokenized FTS fields index whole values, not trigrams") {
+    import spark.implicits._
+    // docStore with `name` opted into the reference's `raw` tokenizer
+    // (identifier shape — otel_logs_and_spans.yaml:87-91 indexes `id` raw)
+    val schema = TableSchemas.docStore.copy(
+      ftsTokenizers = Map("name" -> "raw"))
+    val t = new GraftTable(spark,
+      Files.createTempDirectory("graft_raw_").toString, schema)
+    val docs = spark.range(120).select(
+      (col("id") % 4).cast("string").as("project_id"),
+      (lit("2024-05-01 00:00:00").cast("timestamp_ntz")
+        + expr("make_interval(0, 0, 0, 0, 0, id, 0)")).as("timestamp"),
+      concat(lit("d"), col("id")).as("id"),
+      // per-tenant identifier vocabulary: svc_<tenant>_aa / _zz
+      concat(lit("svc_"), col("id") % 4,
+        when(col("id") % 2 === 0, lit("_aa")).otherwise(lit("_zz"))).as("name"),
+      lit("body text").as("content"))
+    t.append(docs, t0(0))
+    t.compact()
+    t.buildTextIndex("name")
+
+    // the index holds whole lowercased values — exactly the 4 distinct
+    // names (tenant id%4 fixes the id%2 parity), no 3-char gram expansion
+    val grams = spark.read
+      .parquet(s"${t.root}/${t.meta.name}/_textindex/*/name")
+      .select("gram").distinct().as[String].collect().toSeq.sorted
+    assert(grams.forall(_.startsWith("svc_")) && grams.length == 4,
+      s"expected 4 whole-value terms, got: ${grams.mkString(",")}")
+
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("id").as[String].collect().toSeq.sorted
+    // results identical to the brute-force predicate, and file pruning is
+    // real for a SHORT (<3 char) token — the ngram3 path could never prune
+    // "aa", the raw path matches it against whole index values
+    val brute = t.readResolved()
+      .filter(graft.functions.F.text_match(col("name"), "svc_2 aa"))
+    val hit = t.textSearch("name", "svc_2 aa")
+    assert(ids(hit) == ids(brute) && ids(hit).nonEmpty)
+    val baseFiles = spark.read.schema(t.meta.schema)
+      .parquet(t.compactBaseDir().get).inputFiles.length
+    assert(hit.inputFiles.length < baseFiles,
+      s"read ${hit.inputFiles.length} of $baseFiles files")
+    // hitless query prunes to empty without error
+    assert(t.textSearch("name", "svc_9_aa").count() == 0)
+  }
+
   test("project-id guard rejects unfiltered scans of guarded roots") {
     val t = freshTable()
     t.append(sampleRows(10), t0(0))
