@@ -333,9 +333,16 @@ class GraftTable(
     // makes Catalyst's push-through-window rule see date predicates as
     // partition-subset filters and push them below the window into the
     // scan, where they prune directories (P1's safe complement: version-
-    // mutable predicates still stay above)
+    // mutable predicates still stay above).
+    // The remaining partition columns (the tenant key) join them for the
+    // same reason: rows route to a tenant's directories exactly as the
+    // reference routes to per-tenant storage, so an identity's versions
+    // all live under one (project_id, date) and the extra keys change no
+    // group — while letting Catalyst push `project_id = …` below the
+    // window, turning every tenant-scoped MOR read into a partition-
+    // pruned scan instead of an all-tenant scan filtered post-dedup.
     val w = Window.partitionBy(
-        (meta.dedupKeys :+ "date").distinct.map(col): _*)
+        (meta.dedupKeys ++ meta.partitions :+ "date").distinct.map(col): _*)
       .orderBy(col(meta.dedupTiebreak).desc_nulls_last +:
         meta.tombstoneColumn.map(t => col(t).desc_nulls_last).toSeq: _*)
     df.withColumn("__rn", row_number().over(w))
