@@ -73,7 +73,55 @@ object MergeOnRead {
       graft.schema.TableSchemas.morVersioned)
   }
 
+  /** Fixture for q89: three same-shape UPDATE…FROM waves deferred through
+    * the DML coalescer and drained as ONE group (2 rounds — wave 3 overlaps
+    * wave 1's keys). Sequential-equivalence is the oracle; commit-count
+    * economics are pinned by DmlCoalescerSpec. */
+  private val dmlcBuilt = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def dmlcTable(s: SparkSession, dir: String): graft.sources.GraftTable = {
+    val root = dmlcBuilt.getOrElseUpdate(dir, {
+      val r = graft.tables.TempDirs.create("graft_dmlc_")
+      val t = new graft.sources.GraftTable(s, r,
+        graft.schema.TableSchemas.morVersioned)
+      val ev = Tables.events(s, dir)
+      t.append(ev.select(
+        (col("user_id") % 5).cast("string").as("project_id"),
+        col("ts").as("timestamp"),
+        col("event_id").cast("string").as("id"),
+        col("event_type").as("name")),
+        Some(java.time.LocalDateTime.of(2024, 6, 1, 0, 0)))
+      def wave(cond: org.apache.spark.sql.Column, tag: String) =
+        ev.filter(cond).select(col("event_id").cast("string").as("id"),
+          lit(tag).as("new_name"))
+      val c = new graft.sources.DmlCoalescer()
+      val clamp = Some(
+        col("timestamp") >= lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+          && col("timestamp") < lit("2025-01-01 00:00:00").cast("timestamp_ntz"))
+      val set = Map("name" -> col("s.new_name"))
+      c.enqueue(t, wave(col("event_id") % 11 === 0, "w1"), Seq("id"), set, clamp)
+      c.enqueue(t, wave(col("event_id") % 13 === 0, "w2"), Seq("id"), set, clamp)
+      c.enqueue(t, wave(col("event_id") % 11 === 0 &&
+        col("event_id") % 2 === 0, "w3"), Seq("id"), set, clamp)
+      val (groups, stmts) = c.drain(
+        Some(java.time.LocalDateTime.of(2024, 6, 1, 1, 0)))
+      require(groups == 1 && stmts == 3,
+        s"coalescer fixture: expected one 3-statement group, got ($groups, $stmts)")
+      r
+    })
+    new graft.sources.GraftTable(s, root,
+      graft.schema.TableSchemas.morVersioned)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // deferred DML coalescing (X2 / reference dml_coalescer.rs): three
+    // statements fold into one group, rounds keep last-statement-wins
+    "q89_dml_coalesce" -> { (s, dir) =>
+      dmlcTable(s, dir).readResolved()
+        .groupBy("name").agg(count(lit(1)).as("n"))
+        .orderBy("name")
+    },
+
     // incremental maintenance (W6 "date consolidation"): resolved read over
     // full base + partial base + post-compaction appends
     "q55_partial_compaction" -> { (s, dir) =>
@@ -95,6 +143,18 @@ object MergeOnRead {
   )
 
   val oracle: Map[String, String] = Map(
+    // last-statement-wins across the three coalesced waves: w3 (wave 3)
+    // overrides w1, w2 overrides w1 for keys in both, w3 overrides w2
+    "q89_dml_coalesce" ->
+      """SELECT CASE
+        |  WHEN event_id % 11 = 0 AND event_id % 2 = 0 THEN 'w3'
+        |  WHEN event_id % 13 = 0 THEN 'w2'
+        |  WHEN event_id % 11 = 0 THEN 'w1'
+        |  ELSE event_type END AS name,
+        | count(*) AS n
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q55_partial_compaction" ->
       """SELECT CASE
         |  WHEN event_id % 7 = 0 THEN 'u2'

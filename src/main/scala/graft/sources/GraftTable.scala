@@ -959,11 +959,19 @@ class GraftTable(
     * assignments may reference both sides (`col("s.x")`). Only matched
     * identities get new versions. Unlike the reference there is no
     * MAX_UPDATE_SOURCE_ROWS cap — the join is distributed, and Catalyst
-    * broadcasts the source side when it is small. */
+    * broadcasts the source side when it is small.
+    *
+    * `targetClamp` is the reference's flush-watermark predicate clamp
+    * (`src/dml_coalescer.rs:420-424`): a target-side prune (time window)
+    * that pushes below the dedup window so the scan reads only the
+    * clamped partitions. Caller contract: it must cover every row the
+    * join can match, or those rows silently keep their old versions. */
   def updateFrom(source: DataFrame, on: Column,
       assignments: Map[String, Column],
-      versionTime: Option[java.time.LocalDateTime] = None): Unit = {
-    val joined = readResolved().alias("t").join(source.alias("s"), on, "inner")
+      versionTime: Option[java.time.LocalDateTime] = None,
+      targetClamp: Option[Column] = None): Unit = {
+    val target = targetClamp.foldLeft(readResolved())(_ filter _)
+    val joined = target.alias("t").join(source.alias("s"), on, "inner")
     val projected = targetCols.map { c =>
       assignments.get(c).map(_.as(c)).getOrElse(col(s"t.$c").as(c))
     }
