@@ -119,7 +119,7 @@ object TextDedup {
     // materialization every exact set-similarity join implementation makes.
     def toks(sets: DataFrame) = sets.filter(size(col("__ts")) > 0)
       .withColumn("__n", size(col("__ts")))
-      .localCheckpoint()
+      .transform(Pin(_))
     val ta = toks(setsA)
     val tb = setsB.map(toks)
     // Rarity order (the PPJoin document-frequency ordering): prefixes are
@@ -134,7 +134,7 @@ object TextDedup {
       .map(_.select(explode(col("__ts")).as("__pe")))
       .reduce(_ unionByName _)
     val freq0 = instances.groupBy("__pe").agg(count(lit(1)).as("__f"))
-    val freq = if (tb.isDefined) freq0.localCheckpoint() else freq0
+    val freq = if (tb.isDefined) Pin(freq0) else freq0
     def pref(t: DataFrame) = {
       val prefixes = t.select(col("__id"), col("__n"),
           explode(col("__ts")).as("__pe"))
@@ -224,11 +224,16 @@ object TextDedup {
       bands: Int, rowsPerBand: Int,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, bands * rowsPerBand)
+    // pin (__id, __keys) — id + `bands` longs per doc — so the bucket
+    // SELF-join's two sides share one signature pass instead of each
+    // re-hashing every token numHashes times (the dominant cost; same
+    // small-rows-only checkpoint policy as the verify join's token sets)
     val keyed = sigs.select(col("__id"),
       array((0 until bands).map { bnd =>
         xxhash64(slice(col("__sig"), bnd * rowsPerBand + 1, rowsPerBand)
           .cast("string"))
       }: _*).as("__keys"))
+      .transform(Pin(_))
     val banded = keyed.select(col("__id"), col("__keys"),
       posexplode(col("__keys")).as(Seq("band", "key")))
     if (maxBucketSize == Int.MaxValue) {
@@ -301,7 +306,7 @@ object TextDedup {
     // id + long-array rows are the right thing to pin.)
     val toks = repDocs.select(col("__id").as("__tid"),
       hashedTokenSet(col("__text")).as("__ts"))
-      .localCheckpoint()
+      .transform(Pin(_))
     val repPairs = cands
       .join(toks.withColumnRenamed("__tid", "id_a").withColumnRenamed("__ts", "ts_a"), "id_a")
       .join(toks.withColumnRenamed("__tid", "id_b").withColumnRenamed("__ts", "ts_b"), "id_b")
@@ -339,9 +344,9 @@ object TextDedup {
     // propagation round
     val sym = edges.select(col("id_a").as("__src"), col("id_b").as("__dst"))
       .unionByName(edges.select(col("id_b").as("__src"), col("id_a").as("__dst")))
-      .localCheckpoint()
+      .transform(Pin(_))
     var labels = ids.select(col("__id"), col("__id").as("__lbl"))
-      .localCheckpoint()
+      .transform(Pin(_))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -354,7 +359,7 @@ object TextDedup {
         .unionByName(viaNeighbors)
         .groupBy("__id").agg(min("__lbl").as("__lbl"),
           min(when(col("__own"), col("__lbl"))).as("__prev"))
-        .localCheckpoint()
+        .transform(Pin(_))
       converged = next.filter(col("__lbl") =!= col("__prev")).isEmpty
       labels = next.select(col("__id"), col("__lbl"))
       iter += 1

@@ -167,15 +167,20 @@ object VectorSearch {
     * scale, and quantizer quality (hence recall) silently degrades on
     * position-biased training. `vecCol` must hold raw (unnormalized)
     * vectors. */
-  private def sphericalCentroids(corpus: DataFrame, vecCol: String,
-      nLists: Int, seed: Long): Array[Array[Double]] = {
+  private def normalizedSample(corpus: DataFrame, vecCol: String,
+      seed: Long): Array[Array[Double]] = {
     val maxSample = 20000
     val corpusRows = corpus.count()
     val fraction = if (corpusRows == 0) 1.0
       else math.min(1.0, 3.0 * maxSample / corpusRows)
-    val sample = corpus.select(normalizedVec(col(vecCol)).as("__v"))
+    corpus.select(normalizedVec(col(vecCol)).as("__v"))
       .sample(withReplacement = false, fraction, seed)
       .limit(maxSample).collect().map(_.getSeq[Double](0).toArray)
+  }
+
+  private def sphericalCentroids(corpus: DataFrame, vecCol: String,
+      nLists: Int, seed: Long): Array[Array[Double]] = {
+    val sample = normalizedSample(corpus, vecCol, seed)
     // empty corpus (or a Bernoulli sample that drew nothing from a tiny
     // one): no quantizer to train — callers return their empty shape
     // instead of letting kmeans crash on points.head
@@ -316,7 +321,7 @@ object VectorSearch {
         col(idCol).as("keeper"), lit(true).as("keep")).filter(lit(false))
     // materialized once: the assignment feeds the self-join's both sides,
     // the component-label id list, and the final cluster projection
-    val assigned = withCells(c, centroids, 1).localCheckpoint()
+    val assigned = Pin(withCells(c, centroids, 1))
     val pairs = assigned.as("a").join(assigned.as("b"),
         col("a.__cell") === col("b.__cell") && col("a.__id") < col("b.__id"))
       .withColumn("__cos", cosine(col("a.__v"), col("b.__v"), dim))
@@ -357,6 +362,85 @@ object VectorSearch {
     val scored = cands
       .join(broadcast(q), "query_id")
       .join(c, "neighbor_id")
+      .withColumn("cosine", cosine(col("__qv"), col("__cv"), dim))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Product-quantization ANN (Jégou/Douze/Schmid, "Product Quantization
+    * for Nearest Neighbor Search", IEEE TPAMI 2011) — the memory-bound
+    * scale path: each corpus vector is stored as `m` sub-codes (m small
+    * ints; at dim=64, m=8, ksub=16 that is ~32× smaller than raw floats),
+    * one per subspace codebook. Queries stay EXACT: per (query, subspace)
+    * an `ksub`-entry distance table is computed once, and every corpus
+    * vector scores as the sum of `m` table lookups (asymmetric distance,
+    * ADC) — no full-vector arithmetic per candidate. The ADC top
+    * `rerank·k` then re-joins the raw corpus vectors for an exact-cosine
+    * re-rank (the standard PQ+re-rank pipeline), so returned scores are
+    * true cosines and only RECALL is approximate (spec-validated vs brute
+    * force, same policy as [[lshTopK]]/[[ivfTopK]]).
+    *
+    * Scale shape: codebooks train driver-side on the same seeded
+    * Bernoulli sample as IVF; encoding is one codegen'd scan; scoring
+    * broadcasts (queries × m × ksub) doubles of distance tables against
+    * the code-only corpus frame — the big side touches only its codes
+    * until the bounded re-rank join. Cosine geometry: vectors are
+    * L2-normalized before quantization, so squared-L2 ADC order is
+    * exactly descending-cosine order (|â−b̂|² = 2−2cos). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, m: Int = 8, ksub: Int = 32,
+      rerank: Int = 10, seed: Long = 42L): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val sub = dim / m
+    val sample = normalizedSample(corpus, vecCol, seed)
+    if (sample.isEmpty)
+      return queries.select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(0L).as("rank"),
+        lit(0.0).as("cosine")).filter(lit(false))
+    // one k-means per subspace over the sample's sub-vectors
+    val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
+      kmeans(sample.map(_.slice(j * sub, (j + 1) * sub)),
+        math.min(ksub, sample.length), iters = 10, seed + j)
+        .map(_.toSeq).toSeq
+    }
+    // m × ksub × sub as ONE literal matrix (the withCells plan-size trick)
+    val cbLit = typedLit(codebooks)
+    def subDists(vec: Column, j: Column): Column = {
+      val sv = slice(vec, j * sub + 1, lit(sub))
+      transform(element_at(cbLit, j + 1), c =>
+        aggregate(zip_with(sv, c, (x, p) => (x - p) * (x - p)),
+          lit(0.0), (acc, d) => acc + d))
+    }
+    // corpus → 1-based argmin code per subspace; query → full tables
+    def encode(vec: Column): Column =
+      transform(sequence(lit(0), lit(m - 1)), j => {
+        val d = subDists(vec, j)
+        array_position(d, array_min(d)).cast("int")
+      })
+    def tables(vec: Column): Column =
+      transform(sequence(lit(0), lit(m - 1)), j => subDists(vec, j))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      encode(normalizedVec(col(vecCol))).as("__codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      tables(normalizedVec(col(vecCol))).as("__dt"))
+    val est = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("__est", aggregate(
+        zip_with(col("__codes"), col("__dt"),
+          (cd, tbl) => element_at(tbl, cd)),
+        lit(0.0), (acc, d) => acc + d))
+    val wEst = Window.partitionBy(col("query_id"))
+      .orderBy(col("__est").asc, col("neighbor_id").asc)
+    val cands = est.withColumn("__r", row_number().over(wEst))
+      .filter(col("__r") <= rerank * k)
+      .select("query_id", "neighbor_id")
+    // exact re-rank on the bounded candidate set: raw vectors re-joined
+    // by id, so the ADC scan above never carries embedding payloads
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = cands.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
       .withColumn("cosine", cosine(col("__qv"), col("__cv"), dim))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, LanguageModel, Retrieval, TextAnalysis, TextDedup, VectorSearch}
+import graft.operators.{BpeTrainer, Curation, LanguageModel, Retrieval, TextAnalysis, TextDedup, VectorSearch}
 import graft.tables.Tables
 
 /** Training-data pipeline operators over `documents` / `embeddings`
@@ -143,6 +143,18 @@ object TrainingData {
     "q42_ann_ivf" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       VectorSearch.ivfTopK(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, dim = Dim)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- product-quantization approximate top-k (recall spec-checked) ------
+    // codes-only ADC scan + bounded exact re-rank; rows-only (hash-seeded
+    // codebooks), recall pinned vs brute force in TrainingDataSpec
+    "q91_ann_pq" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      VectorSearch.pqTopK(emb, emb.filter(col("vec_id") < 20),
           "vec_id", "embedding", k = 5, dim = Dim)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("cosine"), 6).as("cosine"))
@@ -387,6 +399,15 @@ object TrainingData {
         .select(col("doc_id"), col("n_bigrams"),
           round(col("avg_nll"), 4).as("avg_nll"))
         .orderBy("doc_id")
+    },
+
+    // ---- BPE tokenizer training: first-iteration pair statistics ----------
+    // (the corpus-scan half of BpeTrainer.train; the iterative merge loop
+    // is pinned by BpeTrainerSpec against hand-computed merges)
+    "q90_bpe_pairs" -> { (s, dir) =>
+      BpeTrainer.initialPairCounts(Tables.documents(s, dir), "text")
+        .orderBy(col("n").desc, col("lhs"), col("rhs"))
+        .limit(50)
     },
 
     // ---- incremental dedup: NEW batch vs EXISTING corpus (exact) -----------
@@ -898,6 +919,20 @@ object TrainingData {
           |JOIN uni ON uni.w = split_part(bgs.bg, ' ', 1)
           |CROSS JOIN vocab
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q90_bpe_pairs" ->
+        """WITH words AS (
+          | SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+          | FROM documents),
+          |freq AS (
+          | SELECT w, count(*) AS f FROM words WHERE w <> '' GROUP BY w),
+          |positions AS (
+          | SELECT w, f, unnest(range(1, length(w))) AS i
+          | FROM freq WHERE length(w) >= 2)
+          |SELECT substr(w, i, 1) AS lhs, substr(w, i + 1, 1) AS rhs,
+          | CAST(sum(f) AS BIGINT) AS n
+          |FROM positions GROUP BY 1, 2
+          |ORDER BY n DESC, lhs, rhs LIMIT 50""".stripMargin,
 
       "q83_incremental_dedup" ->
         """WITH toks AS (

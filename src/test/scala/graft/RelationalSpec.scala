@@ -39,7 +39,8 @@ class RelationalSpec extends AnyFunSuite {
       "q29_ann_lsh", // LSH recall vs brute force in TrainingDataSpec
       "q33_fingerprint", // xxhash64-based sketch; determinism spec-checked
       "q42_ann_ivf", // k-means cells are seed-dependent; recall spec-checked
-      "q75_semantic_dedup" // k-means cells seed-dependent; invariants spec-checked
+      "q75_semantic_dedup", // k-means cells seed-dependent; invariants spec-checked
+      "q91_ann_pq" // PQ codebooks seed-dependent; recall + exact-scores spec-checked
     )
     assert((missing -- allowedRowsOnly).isEmpty || missing == allowedRowsOnly,
       s"queries without oracle: $missing")

@@ -154,6 +154,51 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ ANN achieves ≥60% top-5 recall vs brute force") {
+    val queries = embs.filter(col("vec_id") < 30)
+    val exact = VectorSearch.bruteForceTopK(embs, queries, "vec_id", "embedding", 5, 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = VectorSearch.pqTopK(embs, queries, "vec_id", "embedding", 5, 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"PQ recall $recall")
+  }
+
+  test("PQ ADC scan is code-only: no join input carries raw embeddings") {
+    // the memory-compression claim — the scored big side must ship codes
+    // (m ints), never the dim-float vectors; raw vectors re-enter only in
+    // the bounded re-rank join by id
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val queries = embs.filter(col("vec_id") < 5)
+    val plan = VectorSearch.pqTopK(embs, queries, "vec_id", "embedding", 5, 64)
+      .queryExecution.sparkPlan // pre-AQE: joins still visible to collect
+    val adcJoins = plan.collect {
+      case j: BroadcastNestedLoopJoinExec => j.output.map(_.name)
+    }
+    assert(adcJoins.nonEmpty, "expected the ADC broadcast join in the plan")
+    adcJoins.foreach { cols =>
+      assert(cols.contains("__codes") && !cols.contains("embedding"),
+        s"ADC join must be code-only, got $cols")
+    }
+  }
+
+  test("PQ re-rank returns true cosines: scores match brute force on shared pairs") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val exact = VectorSearch.bruteForceTopK(embs, queries, "vec_id", "embedding", 5, 64)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pq = VectorSearch.pqTopK(embs, queries, "vec_id", "embedding", 5, 64)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val shared = exact.keySet intersect pq.keySet
+    assert(shared.nonEmpty)
+    shared.foreach { p =>
+      assert(exact(p) == pq(p), s"pair $p: exact ${exact(p)} vs pq ${pq(p)}")
+    }
+  }
+
   test("LSH ANN achieves ≥60% top-5 recall vs brute force") {
     val queries = embs.filter(col("vec_id") < 30)
     val exact = VectorSearch.bruteForceTopK(embs, queries, "vec_id", "embedding", 5, 64)
