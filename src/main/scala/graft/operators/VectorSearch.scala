@@ -401,31 +401,19 @@ object VectorSearch {
         col(idCol).as("neighbor_id"), lit(0L).as("rank"),
         lit(0.0).as("cosine")).filter(lit(false))
     // one k-means per subspace over the sample's sub-vectors
-    val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
+    val codebooks: Array[Array[Array[Double]]] = (0 until m).map { j =>
       kmeans(sample.map(_.slice(j * sub, (j + 1) * sub)),
         math.min(ksub, sample.length), iters = 10, seed + j)
-        .map(_.toSeq).toSeq
-    }
-    // m × ksub × sub as ONE literal matrix (the withCells plan-size trick)
-    val cbLit = typedLit(codebooks)
-    def subDists(vec: Column, j: Column): Column = {
-      val sv = slice(vec, j * sub + 1, lit(sub))
-      transform(element_at(cbLit, j + 1), c =>
-        aggregate(zip_with(sv, c, (x, p) => (x - p) * (x - p)),
-          lit(0.0), (acc, d) => acc + d))
-    }
-    // corpus → 1-based argmin code per subspace; query → full tables
-    def encode(vec: Column): Column =
-      transform(sequence(lit(0), lit(m - 1)), j => {
-        val d = subDists(vec, j)
-        array_position(d, array_min(d)).cast("int")
-      })
-    def tables(vec: Column): Column =
-      transform(sequence(lit(0), lit(m - 1)), j => subDists(vec, j))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      encode(normalizedVec(col(vecCol))).as("__codes"))
-    val q = queries.select(col(idCol).as("query_id"),
-      tables(normalizedVec(col(vecCol))).as("__dt"))
+    }.toArray
+    // quantization runs in the codegen'd PqQuantize kernel (a nested-HOF
+    // formulation measured 35 ms/row interpreted — 72 s for a 2k corpus);
+    // pin both sides so the encode pass runs once, not per join pair.
+    // Pinned rows are (id, m ints) / (id, m×ksub doubles): exactly the
+    // compressed index PQ exists to hold.
+    val c = Pin(corpus.select(col(idCol).as("neighbor_id"),
+      graft.functions.PqQuantize.codes(col(vecCol), codebooks).as("__codes")))
+    val q = Pin(queries.select(col(idCol).as("query_id"),
+      graft.functions.PqQuantize.distTables(col(vecCol), codebooks).as("__dt")))
     val est = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("__est", aggregate(
         zip_with(col("__codes"), col("__dt"),

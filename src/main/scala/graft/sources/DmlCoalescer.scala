@@ -138,8 +138,10 @@ final class DmlCoalescer(autoDrainAfter: Int = 64) {
           .withColumn("_coalesce_round", row_number().over(w))
           .persist()
         try {
-          val nRounds = rounds.agg(max(col("_coalesce_round")))
-            .head().getInt(0)
+          // null max ⇒ every source in the group was empty: zero rounds,
+          // the statement folds away as a no-op instead of NPEing
+          val maxRow = rounds.agg(max(col("_coalesce_round"))).head()
+          val nRounds = if (maxRow.isNullAt(0)) 0 else maxRow.getInt(0)
           val clamp =
             if (g.clamps.exists(_.isEmpty)) None
             else g.clamps.flatten.reduceOption(_ || _)

@@ -120,6 +120,17 @@ class DmlCoalescerSpec extends AnyFunSuite {
     assert(c.pendingStatements == 0 && c.quarantined.isEmpty)
   }
 
+  test("empty source statements drain as a no-op, not an error") {
+    val t = freshTable(); seed(t)
+    val c = new DmlCoalescer()
+    c.enqueue(t, src().limit(0), Seq("id"), setName)
+    c.enqueue(t, src("row-1" -> "x").filter(lit(false)), Seq("id"), setName)
+    val v0 = t.currentVersion()
+    assert(c.drain() == (1, 2)) // one group, both statements folded away
+    assert(t.currentVersion() == v0) // zero rounds -> zero commits
+    assert(c.quarantined.isEmpty && c.pendingStatements == 0)
+  }
+
   test("autoDrainAfter triggers a drain on enqueue") {
     val t = freshTable(); seed(t)
     val c = new DmlCoalescer(autoDrainAfter = 2)
