@@ -56,6 +56,54 @@ object Curation {
           .as("shared_frac"))
   }
 
+  /** Cross-document EXACT-SUBSTRING span removal — the ExactSubstr dedup
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL 2022), at word granularity: every word position covered
+    * by an `n`-gram that also occurs in ANOTHER document is deleted, and
+    * the surviving words re-join in order. Unlike document-level dedup
+    * this strips boilerplate, licenses, and template blocks embedded in
+    * otherwise-unique documents while keeping the unique remainder.
+    * Within-doc repeats are deliberately NOT spans here (cross-doc
+    * occurrence is the signal; the repetition operators in TextAnalysis
+    * cover intra-doc duplication).
+    *
+    * Scale shape: only (id, position, word) and (id, gram-start) pairs
+    * ever shuffle — document payloads stay at the scan. The dup-gram
+    * table is a gram-keyed groupBy (distinct-doc count ≥ 2), covered
+    * positions explode each matched gram's n-width span, survivors
+    * anti-join on (id, position), and reassembly is one id-shuffle of
+    * word-sized rows with an in-group sort. Returns
+    * (id, n_tokens, n_removed, kept_text). */
+  def exactSubstrRemove(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    val words = df.select(col(idCol),
+      posexplode(TextAnalysis.wordArr(col(textCol))).as(Seq("__pos", "__w")))
+    val grams = df.select(col(idCol),
+      posexplode(TextAnalysis.wordNgrams(col(textCol), n))
+        .as(Seq("__gpos", "__gram")))
+    val shared = grams.groupBy("__gram")
+      .agg(count_distinct(col(idCol)).as("__docs"))
+      .filter(col("__docs") >= 2)
+      .select("__gram")
+    val covered = grams.join(shared, "__gram")
+      .select(col(idCol),
+        explode(sequence(col("__gpos"), col("__gpos") + (n - 1))).as("__pos"))
+      .distinct()
+    val kept = words.join(covered, Seq(idCol, "__pos"), "left_anti")
+    val rebuilt = kept.groupBy(idCol).agg(
+      count(lit(1)).as("__n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("__pos").as("p"), col("__w").as("w")))),
+        s => s.getField("w")), " ").as("__kept_text"))
+    df.select(col(idCol),
+        size(TextAnalysis.wordArr(col(textCol))).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("__kept_text"), lit("")).as("kept_text"))
+  }
+
   /** Deterministic sampling hash in ["0000", "ffff"]: the first 4 hex chars
     * of `md5(salt || id)`. Lexicographic compare against a 4-hex-digit
     * threshold selects a `threshold/0x10000` fraction, identically in any

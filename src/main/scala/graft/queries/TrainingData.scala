@@ -410,6 +410,13 @@ object TrainingData {
         .limit(50)
     },
 
+    // ---- ExactSubstr span removal (Lee et al. 2022): delete word spans
+    // covered by cross-document duplicated 5-grams, keep the remainder ----
+    "q92_exact_substr_remove" -> { (s, dir) =>
+      Curation.exactSubstrRemove(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // ---- incremental dedup: NEW batch vs EXISTING corpus (exact) -----------
     "q83_incremental_dedup" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
@@ -933,6 +940,38 @@ object TrainingData {
           | CAST(sum(f) AS BIGINT) AS n
           |FROM positions GROUP BY 1, 2
           |ORDER BY n DESC, lhs, rhs LIMIT 50""".stripMargin,
+
+      "q92_exact_substr_remove" ->
+        """WITH toks AS (
+          | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+          | FROM documents),
+          |pos AS (
+          | SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM toks),
+          |grams AS (
+          | SELECT doc_id, i AS gpos,
+          |  ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+          |  ws[i+3] || ' ' || ws[i+4] AS gram
+          | FROM pos WHERE i + 4 <= len(ws)),
+          |shared AS (
+          | SELECT gram FROM grams GROUP BY gram
+          | HAVING count(DISTINCT doc_id) >= 2),
+          |covered AS (
+          | SELECT DISTINCT g.doc_id, g.gpos + t.off AS i
+          | FROM grams g JOIN shared USING (gram)
+          | CROSS JOIN (SELECT unnest(range(0, 5)) AS off) t),
+          |kept AS (
+          | SELECT p.doc_id, p.i, p.ws[p.i] AS w
+          | FROM pos p ANTI JOIN covered c
+          |   ON p.doc_id = c.doc_id AND p.i = c.i),
+          |agg AS (
+          | SELECT doc_id, count(*) AS n_kept,
+          |  string_agg(w, ' ' ORDER BY i) AS kept_text
+          | FROM kept GROUP BY 1)
+          |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+          | CAST(len(t.ws) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+          | coalesce(a.kept_text, '') AS kept_text
+          |FROM toks t LEFT JOIN agg a USING (doc_id)
+          |ORDER BY t.doc_id""".stripMargin,
 
       "q83_incremental_dedup" ->
         """WITH toks AS (

@@ -158,4 +158,23 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     // single-token doc has no bigrams -> absent
     assert(!out.contains(3L))
   }
+
+  test("exactSubstrRemove cuts cross-doc spans, keeps unique text, merges overlaps") {
+    import spark.implicits._
+    // license block "l1..l6" shared by docs 1/2 (overlapping 5-grams merge
+    // into one 6-word span); doc 3 is fully unique; doc 4 IS the block
+    val docs = Seq(
+      (1L, "u1 u2 l1 l2 l3 l4 l5 l6 u3"),
+      (2L, "v1 l1 l2 l3 l4 l5 l6"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7"),
+      (4L, "l1 l2 l3 l4 l5 l6")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Curation.exactSubstrRemove(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((9L, 6L, "u1 u2 u3")))
+    assert(out(2L) == ((7L, 6L, "v1")))
+    assert(out(3L) == ((7L, 0L, "w1 w2 w3 w4 w5 w6 w7")))
+    assert(out(4L) == ((6L, 6L, ""))) // fully covered -> empty remainder
+  }
 }
