@@ -104,6 +104,60 @@ object Curation {
         coalesce(col("__kept_text"), lit("")).as("kept_text"))
   }
 
+  /** DSIR importance weights (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): score every raw
+    * document by how target-like it is under bag-of-hashed-ngram models —
+    * `w(doc) = Σ_features log2 p_target(bucket) / p_raw(bucket)` with
+    * unigram+bigram features hashed into 256 buckets (the first two hex
+    * chars of md5 — engine-replayable, unlike seeded numeric hashes) and
+    * add-one smoothing. High weight = target-like; resample the raw
+    * corpus by these weights to match a target distribution.
+    *
+    * Scale shape: two corpus scans (feature explode → 256-bucket counts —
+    * the model is 256 rows regardless of corpus size), then one per-doc
+    * pass joining features against the broadcast ratio table. Per-doc
+    * instances collapse to (doc, bucket) counts BEFORE the weighted sum,
+    * so the float accumulation runs over ≤256 exact count×ratio terms —
+    * deterministic to well past the rounded precision in any engine.
+    * Returns (id, n_features, dsir_weight). */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val B = 256
+    def feats(df: DataFrame) = df.select(col(idCol),
+      explode(concat(TextAnalysis.wordArr(col(textCol)),
+        TextAnalysis.wordNgrams(col(textCol), 2))).as("__g"))
+      .select(col(idCol), substring(md5(col("__g")), 1, 2).as("__b"))
+    val rawFeats = feats(raw)
+    val tgtFeats = feats(target)
+    val rawCounts = rawFeats.groupBy("__b").agg(count(lit(1)).as("__cr"))
+    val tgtCounts = tgtFeats.groupBy("__b").agg(count(lit(1)).as("__ct"))
+    val rawTotal = rawFeats.agg(count(lit(1)).as("__tr"))
+    val tgtTotal = tgtFeats.agg(count(lit(1)).as("__tt"))
+    // 256-row model: log-ratio per bucket, totals folded in as 1-row
+    // broadcast stat frames (the LanguageModel pattern)
+    val ratios = rawCounts.join(tgtCounts, Seq("__b"), "full")
+      .crossJoin(rawTotal).crossJoin(tgtTotal)
+      .select(col("__b"),
+        (log2((coalesce(col("__ct"), lit(0L)) + 1).cast("double") /
+            (col("__tt") + B).cast("double")) -
+          log2((coalesce(col("__cr"), lit(0L)) + 1).cast("double") /
+            (col("__tr") + B).cast("double"))).as("__lr"))
+    val perDoc = rawFeats.groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .join(broadcast(ratios), "__b")
+      .groupBy(idCol)
+      .agg(sum(col("__n")).as("__nf"),
+        sum(col("__n").cast("double") * col("__lr")).as("__w"))
+    raw.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nf"), lit(0L)).as("n_features"),
+        // round(3): log2 may differ by an ulp across engines and the
+        // ≤256-term sum is order-sensitive; at 1e-3 grid the cumulative
+        // ~1e-11 discrepancy cannot flip a rounding boundary
+        round(coalesce(col("__w"), lit(0.0)), 3).as("dsir_weight"))
+  }
+
   /** Deterministic sampling hash in ["0000", "ffff"]: the first 4 hex chars
     * of `md5(salt || id)`. Lexicographic compare against a 4-hex-digit
     * threshold selects a `threshold/0x10000` fraction, identically in any

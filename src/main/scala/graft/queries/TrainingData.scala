@@ -417,6 +417,15 @@ object TrainingData {
         .orderBy("doc_id")
     },
 
+    // ---- DSIR importance weights (Xie et al. 2023): rank every doc by
+    // target-likeness under 256-bucket hashed-ngram models (target = en) ----
+    "q93_dsir_weights" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Curation.dsirWeights(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // ---- incremental dedup: NEW batch vs EXISTING corpus (exact) -----------
     "q83_incremental_dedup" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
@@ -972,6 +981,39 @@ object TrainingData {
           | coalesce(a.kept_text, '') AS kept_text
           |FROM toks t LEFT JOIN agg a USING (doc_id)
           |ORDER BY t.doc_id""".stripMargin,
+
+      "q93_dsir_weights" ->
+        """WITH toks AS (
+          | SELECT doc_id, lang,
+          |  string_split_regex(lower(trim(text)), '\s+') AS ws
+          | FROM documents),
+          |feats AS (
+          | SELECT doc_id, lang, substr(md5(g), 1, 2) AS b FROM (
+          |  SELECT doc_id, lang, unnest(ws) AS g FROM toks
+          |  UNION ALL
+          |  SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS g
+          |  FROM (SELECT doc_id, lang, ws, unnest(range(1, len(ws))) AS i
+          |        FROM toks))),
+          |rc AS (SELECT b, count(*) AS cr FROM feats GROUP BY 1),
+          |tc AS (SELECT b, count(*) AS ct FROM feats WHERE lang = 'en'
+          |       GROUP BY 1),
+          |rt AS (SELECT count(*) AS tr FROM feats),
+          |tt AS (SELECT count(*) AS tt FROM feats WHERE lang = 'en'),
+          |ratio AS (
+          | SELECT b,
+          |  log2((coalesce(ct, 0) + 1) / (tt + 256.0))
+          |   - log2((coalesce(cr, 0) + 1) / (tr + 256.0)) AS lr
+          | FROM rc FULL JOIN tc USING (b) CROSS JOIN rt CROSS JOIN tt),
+          |perdoc AS (
+          | SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_features,
+          |  sum(n * lr) AS w
+          | FROM (SELECT doc_id, b, count(*) AS n FROM feats GROUP BY 1, 2)
+          | JOIN ratio USING (b) GROUP BY 1)
+          |SELECT d.doc_id, coalesce(p.n_features, 0) AS n_features,
+          | round(coalesce(p.w, 0), 3) AS dsir_weight
+          |FROM (SELECT doc_id FROM documents) d
+          |LEFT JOIN perdoc p USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin,
 
       "q83_incremental_dedup" ->
         """WITH toks AS (

@@ -159,6 +159,23 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(!out.contains(3L))
   }
 
+  test("dsirWeights: target-like docs outrank off-target; counts = uni+bi grams") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "alpha beta alpha beta"), // target-like
+      (2L, "gamma delta gamma delta epsilon"), // off-target
+      (3L, "alpha beta gamma") // mixed
+    ).toDF("doc_id", "text")
+    val target = Seq((10L, "alpha beta alpha"), (11L, "beta alpha beta"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Curation.dsirWeights(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // n_features = words + bigrams: 4+3, 5+4, 3+2
+    assert(out(1L)._1 == 7L && out(2L)._1 == 9L && out(3L)._1 == 5L)
+    assert(out(1L)._2 > out(3L)._2 && out(3L)._2 > out(2L)._2,
+      s"expected target-like > mixed > off-target, got $out")
+  }
+
   test("exactSubstrRemove cuts cross-doc spans, keeps unique text, merges overlaps") {
     import spark.implicits._
     // license block "l1..l6" shared by docs 1/2 (overlapping 5-grams merge
