@@ -49,7 +49,8 @@ object DmlCoalescer {
       keys: Seq[String], assignShape: String, sourceSchema: String)
 }
 
-final class DmlCoalescer(autoDrainAfter: Int = 64) {
+final class DmlCoalescer(autoDrainAfter: Int = 64,
+    maxAgeMillis: Long = Long.MaxValue) {
   import DmlCoalescer.GroupKey
 
   private final class Group(
@@ -64,6 +65,7 @@ final class DmlCoalescer(autoDrainAfter: Int = 64) {
   private val groups = mutable.LinkedHashMap[GroupKey, Group]()
   private var seq = 0
   private var nStatements = 0
+  private var oldestPendingAt = Long.MaxValue
 
   // Column.toString is the unresolved expression tree's text — identically
   // CONSTRUCTED assignments (the coalescing case: one code path emitting
@@ -91,7 +93,21 @@ final class DmlCoalescer(autoDrainAfter: Int = 64) {
     g.clamps += targetClamp
     seq += 1
     nStatements += 1
-    if (nStatements >= autoDrainAfter) drain()
+    if (oldestPendingAt == Long.MaxValue) oldestPendingAt = System.nanoTime()
+    // count trigger OR age trigger (the reference's d_dml_coalesce_secs
+    // timer, checked at enqueue since there is no background thread here —
+    // callers with idle gaps call drainIfDue() from their own loop)
+    if (nStatements >= autoDrainAfter || ageExceeded) drain()
+  }
+
+  private def ageExceeded: Boolean =
+    maxAgeMillis != Long.MaxValue && oldestPendingAt != Long.MaxValue &&
+      (System.nanoTime() - oldestPendingAt) / 1000000L >= maxAgeMillis
+
+  /** Drain iff the oldest pending statement has waited ≥ maxAgeMillis —
+    * the scheduler-facing entry point for a periodic maintenance tick. */
+  def drainIfDue(): (Int, Int) = synchronized {
+    if (ageExceeded) drain() else (0, 0)
   }
 
   def pendingStatements: Int = synchronized(nStatements)
@@ -112,6 +128,7 @@ final class DmlCoalescer(autoDrainAfter: Int = 64) {
       nStatements -= groups(k).sources.size
       groups.remove(k)
     }
+    if (groups.isEmpty) oldestPendingAt = Long.MaxValue
     parked.size
   }
 
@@ -168,6 +185,9 @@ final class DmlCoalescer(autoDrainAfter: Int = 64) {
             Option(e.getMessage).getOrElse(""))
       }
     }
+    // parked groups stay pending (their age keeps the retry timer armed);
+    // a fully-drained queue disarms it
+    if (groups.isEmpty) oldestPendingAt = Long.MaxValue
     (okGroups, okStatements)
   }
 }

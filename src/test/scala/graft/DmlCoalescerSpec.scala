@@ -131,6 +131,23 @@ class DmlCoalescerSpec extends AnyFunSuite {
     assert(c.quarantined.isEmpty && c.pendingStatements == 0)
   }
 
+  test("maxAgeMillis: an aged queue drains on the next enqueue or drainIfDue tick") {
+    val t = freshTable(); seed(t)
+    val c = new DmlCoalescer(maxAgeMillis = 0) // everything is instantly due
+    // age 0 is due the instant the timer arms — every enqueue drains
+    c.enqueue(t, src("row-1" -> "x"), Seq("id"), setName)
+    c.enqueue(t, src("row-2" -> "y"), Seq("id"), setName)
+    assert(c.pendingStatements == 0)
+    val idle = new DmlCoalescer(maxAgeMillis = 0)
+    idle.enqueue(t, src("row-3" -> "z"), Seq("id"), setName)
+    assert(idle.pendingStatements == 0 || idle.drainIfDue() == (1, 1))
+    assert(idle.pendingStatements == 0)
+    // an un-aged queue does NOT drain on the tick
+    val young = new DmlCoalescer(maxAgeMillis = 3600000)
+    young.enqueue(t, src("row-4" -> "q"), Seq("id"), setName)
+    assert(young.drainIfDue() == (0, 0) && young.pendingStatements == 1)
+  }
+
   test("autoDrainAfter triggers a drain on enqueue") {
     val t = freshTable(); seed(t)
     val c = new DmlCoalescer(autoDrainAfter = 2)
