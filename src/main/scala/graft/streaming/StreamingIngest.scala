@@ -103,11 +103,18 @@ object StreamingIngest {
     * the ingest cadence (W6): the trailing days a stream fragments fold
     * back into partial bases while the stream runs, so read latency under
     * ingest stays flat instead of growing with the commit count. The sweep
-    * replays safely (compaction is view-invariant and idempotent). */
+    * replays safely (compaction is view-invariant and idempotent).
+    *
+    * `coalescer`: deferred-DML drain riding the same cadence — after each
+    * batch commit, `drainIfDue()` folds any aged update groups into the
+    * table (the reference's coalescer drain loop runs beside ingest the
+    * same way; see [[graft.sources.DmlCoalescer]]). Coalesced updates are
+    * idempotent under replay by the coalescer's own contract. */
   def start(table: GraftTable, source: DataFrame, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime(0L),
       stamp: Option[Long => java.time.LocalDateTime] = None,
-      sweepEvery: Int = 0): StreamingQuery =
+      sweepEvery: Int = 0,
+      coalescer: Option[graft.sources.DmlCoalescer] = None): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -119,6 +126,7 @@ object StreamingIngest {
           table.maintenanceSweep()
           ()
         }
+        coalescer.foreach(_.drainIfDue())
       }
       .start()
 }

@@ -198,4 +198,35 @@ class StreamingIngestSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("coalescer drains aged deferred updates on the batch cadence") {
+    import spark.implicits._
+    val tableDir = tmp("graft_coal_tbl_")
+    val srcDir = tmp("graft_coal_src_")
+    val ckpt = tmp("graft_coal_ckpt_")
+    val table = new GraftTable(spark, tableDir, TableSchemas.morVersioned)
+    val c = new graft.sources.DmlCoalescer(
+      autoDrainAfter = Int.MaxValue, maxAgeMillis = 0)
+
+    writeSourceFile(srcDir, rows(0, 20))
+    val source = spark.readStream
+      .schema(rows(0, 1).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = StreamingIngest.start(table, source, ckpt, coalescer = Some(c))
+    q.processAllAvailable()
+    // defer an update while the stream runs; age 0 => due immediately,
+    // so the NEXT batch's ride-along drain applies it
+    c.enqueue(table, Seq(("ev-3", "patched")).toDF("id", "new_name"),
+      Seq("id"), Map("name" -> org.apache.spark.sql.functions.col("s.new_name")))
+    writeSourceFile(srcDir, rows(20, 30))
+    q.processAllAvailable()
+    q.stop()
+    assert(c.pendingStatements == 0, "ride-along drain must have fired")
+    val got = table.readResolved().filter(col("id") === "ev-3")
+      .select("name").head().getString(0)
+    assert(got == "patched")
+    assert(table.readResolved().count() == 30)
+  }
+
 }
