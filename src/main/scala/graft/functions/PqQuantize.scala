@@ -34,6 +34,12 @@ case class PqQuantize(child: Expression,
 
   override def prettyName: String = "pq_quantize"
 
+  // returns NULL for undersized vectors and null elements even when the
+  // child is non-nullable — without this override nullSafeCodeGen pins
+  // ev.isNull to a FalseLiteral and the generated `false = true;` branch
+  // fails to compile (silent per-batch interpreted fallback)
+  override def nullable: Boolean = true
+
   override def dataType: DataType =
     if (emitCodes) ArrayType(IntegerType, containsNull = false)
     else ArrayType(ArrayType(DoubleType, containsNull = false),

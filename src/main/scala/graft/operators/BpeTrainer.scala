@@ -87,8 +87,12 @@ object BpeTrainer {
         val r = top.head
         val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
         learned += ((learned.size + 1, a, b, a + b, n))
+        val prev = segmented
         segmented = Pin(segmented.withColumn("segs",
           applyMerge(col("segs"), a, b)))
+        // Pin is eager, so the previous iteration's vocab copy is no
+        // longer needed — release it or k merges hold k cached vocabs
+        prev.unpersist()
         rank += 1
       }
     }

@@ -131,8 +131,10 @@ object Curation {
     val tgtFeats = feats(target)
     val rawCounts = rawFeats.groupBy("__b").agg(count(lit(1)).as("__cr"))
     val tgtCounts = tgtFeats.groupBy("__b").agg(count(lit(1)).as("__ct"))
-    val rawTotal = rawFeats.agg(count(lit(1)).as("__tr"))
-    val tgtTotal = tgtFeats.agg(count(lit(1)).as("__tt"))
+    // totals fold off the 256-row count frames — NOT off the feature
+    // frames, which would re-scan and re-explode the whole corpus
+    val rawTotal = rawCounts.agg(coalesce(sum(col("__cr")), lit(0L)).as("__tr"))
+    val tgtTotal = tgtCounts.agg(coalesce(sum(col("__ct")), lit(0L)).as("__tt"))
     // 256-row model: log-ratio per bucket, totals folded in as 1-row
     // broadcast stat frames (the LanguageModel pattern)
     val ratios = rawCounts.join(tgtCounts, Seq("__b"), "full")

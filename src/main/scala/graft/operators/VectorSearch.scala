@@ -395,7 +395,10 @@ object VectorSearch {
       rerank: Int = 10, seed: Long = 42L): DataFrame = {
     require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
     val sub = dim / m
-    val sample = normalizedSample(corpus, vecCol, seed)
+    // undersized vectors would OOB the subspace slices inside kmeans —
+    // they carry no usable geometry, so they train nothing (and encode
+    // to NULL below)
+    val sample = normalizedSample(corpus, vecCol, seed).filter(_.length >= dim)
     if (sample.isEmpty)
       return queries.select(col(idCol).as("query_id"),
         col(idCol).as("neighbor_id"), lit(0L).as("rank"),
@@ -410,17 +413,22 @@ object VectorSearch {
     // pin both sides so the encode pass runs once, not per join pair.
     // Pinned rows are (id, m ints) / (id, m×ksub doubles): exactly the
     // compressed index PQ exists to hold.
+    // malformed vectors (undersized / null elements) quantize to NULL —
+    // drop them here: a NULL __est would otherwise sort FIRST under asc
+    // (Spark default nulls_first) and eat the whole candidate budget
     val c = Pin(corpus.select(col(idCol).as("neighbor_id"),
-      graft.functions.PqQuantize.codes(col(vecCol), codebooks).as("__codes")))
+      graft.functions.PqQuantize.codes(col(vecCol), codebooks).as("__codes"))
+      .filter(col("__codes").isNotNull))
     val q = Pin(queries.select(col(idCol).as("query_id"),
-      graft.functions.PqQuantize.distTables(col(vecCol), codebooks).as("__dt")))
+      graft.functions.PqQuantize.distTables(col(vecCol), codebooks).as("__dt"))
+      .filter(col("__dt").isNotNull))
     val est = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("__est", aggregate(
         zip_with(col("__codes"), col("__dt"),
           (cd, tbl) => element_at(tbl, cd)),
         lit(0.0), (acc, d) => acc + d))
     val wEst = Window.partitionBy(col("query_id"))
-      .orderBy(col("__est").asc, col("neighbor_id").asc)
+      .orderBy(col("__est").asc_nulls_last, col("neighbor_id").asc)
     val cands = est.withColumn("__r", row_number().over(wEst))
       .filter(col("__r") <= rerank * k)
       .select("query_id", "neighbor_id")

@@ -112,10 +112,14 @@ final class DmlCoalescer(autoDrainAfter: Int = 64,
 
   def pendingStatements: Int = synchronized(nStatements)
 
-  /** Parked groups → last error, keyed `table[keys]`. */
+  /** Parked groups → last error. The key carries the full group identity
+    * (root + assignment-shape digest) — two parked groups on the same
+    * table name must not collapse into one visible entry. */
   def quarantined: Map[String, String] = synchronized {
     groups.collect { case (k, g) if g.lastError.isDefined =>
-      s"${k.table}[${k.keys.mkString(",")}]" -> g.lastError.get
+      s"${k.table}[${k.keys.mkString(",")}]" +
+        s"@${Integer.toHexString((k.root, k.assignShape, k.sourceSchema).hashCode)}" ->
+        g.lastError.get
     }.toMap
   }
 

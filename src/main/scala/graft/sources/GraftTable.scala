@@ -943,10 +943,27 @@ class GraftTable(
     liveSchema().fieldNames.toSeq.filterNot(c =>
       c == meta.dedupTiebreak || c == "date")
 
+  /** Version-append DML must write a row's new version into the SAME
+    * (identity, partition) group the old versions occupy — the dedup
+    * window partitions by (dedupKeys, partitions, date), so an assignment
+    * that moved a row to another tenant/identity would leave the old
+    * version visible beside the new one instead of superseding it. The
+    * reference has the same contract structurally: DML routes within a
+    * (project, table) and never rewrites routing keys. */
+  private def requireValueAssignments(assignments: Map[String, Column],
+      op: String): Unit = {
+    val frozen = (meta.dedupKeys ++ meta.partitions).toSet
+    val bad = assignments.keySet intersect frozen
+    require(bad.isEmpty,
+      s"$op cannot assign identity/partition columns [${bad.mkString(", ")}]" +
+        ": version-append resolution would keep both old and new versions")
+  }
+
   /** Version-append UPDATE (X2): append fresh versions of the matching
     * resolved rows with `assignments` applied. */
   def update(predicate: Column, assignments: Map[String, Column],
       versionTime: Option[java.time.LocalDateTime] = None): Unit = {
+    requireValueAssignments(assignments, "UPDATE")
     val matched = readResolved().filter(predicate)
     val updated = assignments.foldLeft(matched) { case (d, (c, v)) =>
       d.withColumn(c, v)
@@ -970,6 +987,7 @@ class GraftTable(
       assignments: Map[String, Column],
       versionTime: Option[java.time.LocalDateTime] = None,
       targetClamp: Option[Column] = None): Unit = {
+    requireValueAssignments(assignments, "UPDATE FROM")
     val target = targetClamp.foldLeft(readResolved())(_ filter _)
     val joined = target.alias("t").join(source.alias("s"), on, "inner")
     val projected = targetCols.map { c =>
@@ -986,6 +1004,7 @@ class GraftTable(
       whenMatched: Map[String, Column],
       insertUnmatched: Boolean = true,
       versionTime: Option[java.time.LocalDateTime] = None): Unit = {
+    requireValueAssignments(whenMatched, "MERGE")
     val resolved = readResolved()
     val matched = resolved.alias("t")
       .join(source.alias("s"), keys, "inner")

@@ -40,7 +40,12 @@ object Tables {
         raw.withColumn("ts",
           org.apache.spark.sql.functions
             .expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-      case _ => raw
+      case org.apache.spark.sql.types.TimestampNTZType => raw
+      // NO silent catch-all: a tz-adjusted TIMESTAMP generation would
+      // shift values against DuckDB's naive-µs oracle under any non-UTC
+      // session — fail loudly so the bad generation is visible
+      case other => throw new IllegalStateException(
+        s"events.ts must be legacy-nanos LONG or TIMESTAMP_NTZ, got $other")
     }
   }
   /** The two training-pipeline corpora fan out to the cluster width

@@ -56,6 +56,29 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.readResolved().count() == 100)
   }
 
+  test("DML rejects assignments to identity/partition columns") {
+    // the dedup window partitions by (dedupKeys, partitions, date): a new
+    // version written under a different tenant/identity would not
+    // supersede the old one — both would survive resolution
+    val t = freshTable()
+    t.append(sampleRows(10), t0(0))
+    import spark.implicits._
+    val src = Seq(("row-1", "2")).toDF("id", "new_pid")
+    val err1 = intercept[IllegalArgumentException] {
+      t.update(col("id") === "row-1", Map("project_id" -> lit("2")), t0(1))
+    }
+    assert(err1.getMessage.contains("project_id"))
+    val err2 = intercept[IllegalArgumentException] {
+      t.updateFrom(src, col("t.id") === col("s.id"),
+        Map("timestamp" -> col("t.timestamp"), "name" -> lit("x")), t0(1))
+    }
+    assert(err2.getMessage.contains("timestamp"))
+    val err3 = intercept[IllegalArgumentException] {
+      t.merge(src, Seq("id"), Map("id" -> col("s.id")), insertUnmatched = false)
+    }
+    assert(err3.getMessage.contains("id"))
+  }
+
   test("update is version-append and readers see last write") {
     val t = freshTable()
     t.append(sampleRows(50), t0(0))

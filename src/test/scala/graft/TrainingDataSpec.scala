@@ -184,6 +184,20 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ drops malformed vectors instead of letting NULL estimates rank first") {
+    import spark.implicits._
+    // an undersized vector quantizes to NULL; unfiltered it would sort
+    // first under asc (nulls_first) and eat the whole candidate budget
+    val bad = Seq((999999L, Seq(1.0f))).toDF("vec_id", "embedding")
+    val corpus = embs.select("vec_id", "embedding").unionByName(bad)
+    val queries = embs.filter(col("vec_id") < 5)
+    val out = VectorSearch.pqTopK(corpus, queries, "vec_id", "embedding", 5, 64)
+      .collect()
+    assert(out.nonEmpty)
+    assert(!out.exists(_.getLong(1) == 999999L),
+      "malformed vector must not appear as a neighbor")
+  }
+
   test("PQ re-rank returns true cosines: scores match brute force on shared pairs") {
     val queries = embs.filter(col("vec_id") < 10)
     val exact = VectorSearch.bruteForceTopK(embs, queries, "vec_id", "embedding", 5, 64)
