@@ -148,6 +148,34 @@ class DmlCoalescerSpec extends AnyFunSuite {
     assert(young.drainIfDue() == (0, 0) && young.pendingStatements == 1)
   }
 
+  test("randomized: coalesced drain == sequential application (5 seeds)") {
+    // property pin for the ordered-rounds semantics: any batch of
+    // same-shape statements with arbitrary key overlap must resolve to
+    // exactly the state sequential application produces
+    for (seedVal <- 1 to 5) {
+      val rnd = new scala.util.Random(seedVal)
+      val t = freshTable(); seed(t, 30)
+      val ref = freshTable(); seed(ref, 30)
+      val c = new DmlCoalescer()
+      val statements = (0 until 4).map { si =>
+        val keys = Seq.fill(rnd.nextInt(6) + 1)(rnd.nextInt(30))
+          .distinct.map(i => s"row-$i")
+        src(keys.map(k => k -> s"s$si-$k"): _*)
+      }
+      statements.foreach(st => c.enqueue(t, st, Seq("id"), setName))
+      c.drain(Some(java.time.LocalDateTime.of(2024, 3, 2, 1, 0)))
+      val on = col("t.id") === col("s.id")
+      statements.zipWithIndex.foreach { case (st, i) =>
+        ref.updateFrom(st, on, setName,
+          Some(java.time.LocalDateTime.of(2024, 3, 2, 1, i + 1)))
+      }
+      val got = t.readResolved().select("id", "name")
+      val exp = ref.readResolved().select("id", "name")
+      assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty,
+        s"divergence at seed $seedVal")
+    }
+  }
+
   test("autoDrainAfter triggers a drain on enqueue") {
     val t = freshTable(); seed(t)
     val c = new DmlCoalescer(autoDrainAfter = 2)
