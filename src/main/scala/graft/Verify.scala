@@ -24,7 +24,13 @@ object Verify {
     // for whole rounds. Collect name→error and dump _errors.json so the
     // round artifacts show every query that produced no result.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q94_kmeans → dump just those (iteration aid, same
+    // contract as Bench's); the driver never sets it, so round artifacts
+    // always carry the full sweep
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -444,4 +444,88 @@ object VectorSearch {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
+
+  // -------------------------------------------------------------------------
+  // Distributed k-means: full-corpus Lloyd iterations. The sample-trained
+  // quantizers above are the right tool for IVF/PQ recall; this is the
+  // scale path when the CLUSTERING ITSELF is the product — cluster-balanced
+  // curation, SemDeDup at fleet cell counts, corpus cartography — and a
+  // 20k-row sample can't see the tail. Driver traffic is k×dim doubles per
+  // iteration (the centroid matrix), never data rows.
+
+  /** Deterministic seed centroids: the vectors of the `k` smallest ids
+    * (double-cast). A k-row bounded collect, same budget class as the
+    * quantizer samples above. */
+  def kmeansSeeds(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): Array[Array[Double]] =
+    corpus.orderBy(col(idCol)).limit(k)
+      .select(transform(col(vecCol), _.cast("double")).as("__v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+
+  /** Argmin cluster index for `vec` against a fixed centroid matrix.
+    * Centroids ship as ONE literal matrix + one precomputed |c|² vector
+    * (plan size O(1), no per-centroid inlined terms); per centroid the
+    * comparable distance is |c|² − 2·v·c — the row-constant |v|² term is
+    * dropped, so the argmin needs one dot product per centroid. FP ties
+    * resolve to the LOWEST cluster index (`array_position` finds the first
+    * minimum), which the oracle replays as `ORDER BY dist, cluster`. */
+  private def nearestCluster(vec: Column,
+      centroids: Array[Array[Double]]): Column = {
+    val matrixLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val normsLit = typedLit(centroids.map(_.map(x => x * x).sum).toSeq)
+    val dists = transform(matrixLit, (c, i) =>
+      element_at(normsLit, (i + 1).cast("int")) - lit(2.0) *
+        aggregate(zip_with(vec, c, (x, p) => x.cast("double") * p),
+          lit(0.0), (acc, v) => acc + v))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** `(id, cluster)` assignment against fixed centroids — one narrow pass,
+    * no shuffle. */
+  def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    corpus.select(col(idCol),
+      nearestCluster(col(vecCol), centroids).as("cluster"))
+
+  /** One Lloyd step as a DataFrame: per-cluster size and per-dimension mean
+    * → `(cluster, n, mean: array<double>)`.
+    *
+    * Scale shape: the update is a single hash aggregation with `dim`+1
+    * codegen'd SUM/COUNT columns — partial aggregation reduces every map
+    * task to ≤k rows before the exchange, so the shuffle carries
+    * k×(dim+1) doubles per task no matter how many rows the corpus has,
+    * and AQE coalesces the k-row reduce side. No posexplode (which would
+    * shuffle dim× the row count), no driver-side data path. */
+  def kmeansIteration(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], dim: Int): DataFrame = {
+    val assigned = corpus.select(
+      nearestCluster(col(vecCol), centroids).as("cluster"),
+      col(vecCol).as("__v"))
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col("__v"), i + 1).cast("double")).as(s"__s$i"))
+    assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("cluster"), col("n"),
+        array((0 until dim).map(i => col(s"__s$i") / col("n")): _*).as("mean"))
+  }
+
+  /** Full Lloyd loop from the deterministic seeds: assignment + mean update
+    * per round, collecting only the k×dim centroid matrix between rounds.
+    * Clusters that captured no rows keep their previous centroid (standard
+    * Lloyd handling; also what keeps k stable across iterations). */
+  def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, dim: Int): Array[Array[Double]] = {
+    var centroids = kmeansSeeds(corpus, idCol, vecCol, k)
+    if (centroids.isEmpty) return centroids
+    var it = 0
+    while (it < iters) {
+      val updated = kmeansIteration(corpus, idCol, vecCol, centroids, dim)
+        .select(col("cluster"), col("mean")).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      centroids = centroids.indices
+        .map(c => updated.getOrElse(c, centroids(c))).toArray
+      it += 1
+    }
+    centroids
+  }
 }

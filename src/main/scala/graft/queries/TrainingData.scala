@@ -19,6 +19,7 @@ import graft.tables.Tables
 object TrainingData {
 
   private val Dim = 64 // embeddings.embedding is fixed 64-dim (TESTDATA.md)
+  private val KmK = 8  // q94 distributed-k-means cluster count
 
   /** Embeddings (as double vectors) plus deterministic planted near-dups —
     * shared by q47 and its recall spec; the DuckDB oracle replays the same
@@ -492,6 +493,25 @@ object TrainingData {
       VectorSearch.semanticDedup(nearDupCorpus(s, dir), "vec_id", "v",
           Dim, 0.95)
         .orderBy("vec_id")
+    },
+
+    // ---- distributed k-means: one FULL-CORPUS Lloyd iteration --------------
+    // Deterministic seeds (vectors of the 8 smallest ids), argmin on
+    // |c|²−2·v·c with first-minimum tie-break — the oracle replays the
+    // identical arithmetic, so assignment and means are exact. Output per
+    // cluster: size, first mean component, and |mean|² (rounded).
+    "q94_kmeans" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val seeds = VectorSearch.kmeansSeeds(emb, "vec_id", "embedding", KmK)
+      val mean2 = (0 until Dim).map { i =>
+        val m = element_at(col("mean"), i + 1)
+        m * m
+      }.reduce(_ + _)
+      VectorSearch.kmeansIteration(emb, "vec_id", "embedding", seeds, Dim)
+        .select(col("cluster").cast("long").as("cluster"), col("n"),
+          round(element_at(col("mean"), 1), 6).as("mean_d1"),
+          round(mean2, 6).as("mean_norm2"))
+        .orderBy("cluster")
     }
   )
 
@@ -569,6 +589,29 @@ object TrainingData {
           |labels AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)
           |SELECT cluster, count(*) AS n_docs
           |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+      "q94_kmeans" -> {
+        val sumCols = (0 until Dim)
+          .map(i => s"sum(v[${i + 1}]::DOUBLE) AS s$i").mkString(", ")
+        val norm2 = (0 until Dim)
+          .map(i => s"(s$i / n) * (s$i / n)").mkString(" + ")
+        s"""WITH seeds AS (
+           | SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+           |   embedding AS c, ${normSql("embedding")} AS n2
+           | FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $KmK)),
+           |assigned AS (
+           | SELECT e.vec_id, e.embedding AS v, s.cluster,
+           |   row_number() OVER (PARTITION BY e.vec_id
+           |     ORDER BY s.n2 - 2 * (${dotSql("e.embedding", "s.c")}),
+           |       s.cluster) AS rnk
+           | FROM embeddings e CROSS JOIN seeds s),
+           |stats AS (
+           | SELECT cluster, count(*) AS n, $sumCols
+           | FROM assigned WHERE rnk = 1 GROUP BY cluster)
+           |SELECT cluster, n, round(s0 / n, 6) AS mean_d1,
+           |  round($norm2, 6) AS mean_norm2
+           |FROM stats ORDER BY cluster""".stripMargin
+      },
 
       "q28_cosine_topk" -> {
         val dotAB = dotSql("q.embedding", "c.embedding")

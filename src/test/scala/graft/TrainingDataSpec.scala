@@ -298,6 +298,45 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(cosines.forall(c => c >= -1.0001 && c <= 1.0001))
   }
 
+  test("distributed k-means matches a local Lloyd reference over 3 iterations") {
+    val k = 5; val dim = 64; val iters = 3
+    val vecs = embs.orderBy("vec_id")
+      .select(transform(col("embedding"), _.cast("double")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    // local reference with the SAME rules: seeds = vectors of the k
+    // smallest ids, argmin on |c|²−2·v·c with first-minimum tie-break,
+    // empty clusters keep their previous centroid
+    var ref = vecs.take(k).map(_.clone)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val cnt = new Array[Long](k)
+      vecs.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        for (c <- 0 until k) {
+          val n2 = ref(c).map(x => x * x).sum
+          var dot = 0.0; var i = 0
+          while (i < dim) { dot += v(i) * ref(c)(i); i += 1 }
+          val d = n2 - 2.0 * dot
+          if (d < bestD) { bestD = d; best = c }
+        }
+        cnt(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      ref = Array.tabulate(k)(c =>
+        if (cnt(c) == 0) ref(c) else sums(c).map(_ / cnt(c)))
+    }
+    val got = VectorSearch.kmeansFit(embs, "vec_id", "embedding", k, iters, dim)
+    for (c <- 0 until k; i <- 0 until dim)
+      assert(math.abs(got(c)(i) - ref(c)(i)) < 1e-9,
+        s"centroid $c dim $i: ${got(c)(i)} vs ${ref(c)(i)}")
+    // assignment against the fitted centroids: conservation + range
+    val assigned = VectorSearch.kmeansAssign(embs, "vec_id", "embedding", got)
+    assert(assigned.count() == embs.count())
+    val cl = assigned.agg(min("cluster"), max("cluster")).head
+    assert(cl.getInt(0) >= 0 && cl.getInt(1) < k)
+  }
+
   test("fingerprint is deterministic and shared by near-identical docs") {
     val fp1 = docs.select(TextAnalysis.fingerprint(col("text")).as("fp"))
       .collect().map(_.getSeq[Long](0))
