@@ -162,4 +162,41 @@ object TextAnalysis {
       (t("n") * length(t("gram"))).cast("double") /
         greatest(length(text), lit(1)).cast("double")
     }
+
+  /** Exact corpus heavy hitters (tokens with count ≥ minShare·N) via the
+    * classic two-pass sketch-then-verify shape:
+    *
+    *  1. candidate pass — a Misra–Gries sketch ([[graft.functions.MisraGries]])
+    *     aggregated over all tokens. Any token with true share
+    *     > 1/(sketchSize+1) is guaranteed present, so for
+    *     minShare > 1/(sketchSize+1) (enforced) the sketch keys are a
+    *     SUPERSET of the answer. Shuffle: ≤sketchSize counters per task —
+    *     never the token stream, never the long tail.
+    *  2. verify pass — exact counts of just the candidates: tokens
+    *     broadcast-semi-join the ≤sketchSize candidate keys BEFORE the
+    *     aggregation, so only heavy-candidate occurrences reach the
+    *     shuffle. Output is exact (counts and membership), not approximate.
+    *
+    * The corpus total N rides the sketch pass as a plain COUNT, so the
+    * whole operator is two scans and two k-bounded shuffles — the shape
+    * that survives a 100 TB corpus with a vocabulary that doesn't fit
+    * anywhere. */
+  def heavyHitters(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      minShare: Double, sketchSize: Int = 256): org.apache.spark.sql.DataFrame = {
+    require(minShare > 1.0 / (sketchSize + 1),
+      s"minShare $minShare must exceed 1/(sketchSize+1) or the sketch " +
+        "cannot guarantee candidate recall")
+    val toks = docs.select(explode(wordArr(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val sketch = toks.agg(
+      graft.functions.MisraGries.misra_gries(col("token"), sketchSize).as("sk"),
+      count(lit(1)).as("__N"))
+    val cands = sketch.select(explode(map_keys(col("sk"))).as("token"),
+      col("__N"))
+    toks.join(broadcast(cands), Seq("token"))
+      .groupBy(col("token"), col("__N"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= ceil(lit(minShare) * col("__N").cast("double")))
+      .select(col("token"), col("cnt"))
+  }
 }

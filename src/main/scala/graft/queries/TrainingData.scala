@@ -512,6 +512,17 @@ object TrainingData {
           round(element_at(col("mean"), 1), 6).as("mean_d1"),
           round(mean2, 6).as("mean_norm2"))
         .orderBy("cluster")
+    },
+
+    // ---- exact heavy hitters: Misra-Gries candidates + exact verify --------
+    // Output is EXACT (the sketch only generates a guaranteed-superset
+    // candidate list; a bounded second pass counts candidates exactly),
+    // so the plain-SQL frequency oracle applies. Sketch eviction/merge
+    // behavior is pinned on synthetic skew in FunctionsSpec.
+    "q95_heavy_hitters" -> { (s, dir) =>
+      TextAnalysis.heavyHitters(Tables.documents(s, dir), "text",
+          minShare = 0.01, sketchSize = 256)
+        .orderBy(col("cnt").desc, col("token"))
     }
   )
 
@@ -612,6 +623,18 @@ object TrainingData {
            |  round($norm2, 6) AS mean_norm2
            |FROM stats ORDER BY cluster""".stripMargin
       },
+
+      "q95_heavy_hitters" ->
+        """WITH toks AS (
+          | SELECT t.token
+          | FROM documents,
+          |   unnest(string_split_regex(lower(trim(text)), '\s+')) AS t(token)
+          | WHERE len(t.token) > 0),
+          |tot AS (SELECT count(*) AS n FROM toks)
+          |SELECT token, count(*) AS cnt
+          |FROM toks GROUP BY token
+          |HAVING count(*) >= ceil(0.01 * (SELECT n FROM tot))
+          |ORDER BY cnt DESC, token""".stripMargin,
 
       "q28_cosine_topk" -> {
         val dotAB = dotSql("q.embedding", "c.embedding")

@@ -256,4 +256,31 @@ class FunctionsSpec extends AnyFunSuite {
       .cast("string"))
     assert(got == "2024-01-01 05:30:00")
   }
+
+  test("misra_gries keeps every guaranteed-heavy item under eviction+merge") {
+    import graft.functions.MisraGries.misra_gries
+    // skewed stream far over capacity: 2 heavy items + a 200-item tail;
+    // capacity 8 → guarantee bound N/9, heavies are well above it
+    val tail = (0 until 200).flatMap(i => Seq.fill(2)(s"t$i"))
+    val items = Seq.fill(500)("h1") ++ Seq.fill(300)("h2") ++ tail
+    val n = items.size // 1200
+    // repartition(7) forces partial sketches + the mergeable-summaries path
+    val sk = items.toDF("tok").repartition(7)
+      .agg(misra_gries(col("tok"), 8).as("sk"))
+      .head().getMap[String, Long](0)
+    assert(sk.size <= 8, s"sketch exceeded capacity: ${sk.size}")
+    val bound = n / 9.0
+    for (h <- Seq("h1" -> 500L, "h2" -> 300L)) {
+      assert(sk.contains(h._1), s"${h._1} (count ${h._2} > $bound) evicted")
+      val kept = sk(h._1)
+      assert(kept <= h._2 && kept >= h._2 - bound,
+        s"${h._1} kept count $kept outside [${h._2 - bound}, ${h._2}]")
+    }
+    // two-pass operator: EXACT output equals brute-force truth
+    val docs = items.grouped(40).map(_.mkString(" ")).toSeq.toDF("text")
+    val got = graft.operators.TextAnalysis
+      .heavyHitters(docs, "text", minShare = 0.2, sketchSize = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("h1" -> 500L, "h2" -> 300L), s"exact pass got $got")
+  }
 }
