@@ -343,6 +343,30 @@ object Curation {
     when(h < trainThr, "train").when(h < valThr, "val").otherwise("test")
   }
 
+  /** Leakage-safe splits: every member of a near-duplicate component lands
+    * in the SAME split. Per-document hashing ([[splitAssign]]) puts two
+    * near-copies on opposite sides of the train/test fence with
+    * probability 2·p·(1−p) — memorized-duplicate leakage that inflates
+    * eval scores. Hashing the component LABEL instead closes the hole:
+    * label = min reachable id over the verified near-dup pair graph
+    * ([[TextDedup.connectedComponents]]). Singletons carry their own id as
+    * label, so they reduce to per-document hashing and the overall
+    * fractions stay at the design ratios.
+    *
+    * Returns the input plus `cluster` (component label) and `split`.
+    * Scale shape: component labeling is O(edges) per round, the label
+    * attach is one (id → label) equi-join, and the split itself is a pure
+    * scan-level hash — document payloads shuffle once. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      salt: String): DataFrame = {
+    val labels = TextDedup.connectedComponents(
+      docs.select(col(idCol).as("__id")), pairs)
+    docs.join(labels, col(idCol) === col("__id"))
+      .withColumn("split", splitAssign(col("__lbl"), salt))
+      .withColumn("cluster", col("__lbl"))
+      .drop("__id", "__lbl")
+  }
+
   /** Temperature-weighted mixture resampling at α = 1/2: each stratum keeps
     * a `sqrt(min_count / count)` fraction of its documents, so after
     * sampling the stratum sizes are proportional to `sqrt(count)` — the

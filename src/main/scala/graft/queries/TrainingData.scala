@@ -523,6 +523,21 @@ object TrainingData {
       TextAnalysis.heavyHitters(Tables.documents(s, dir), "text",
           minShare = 0.01, sketchSize = 256)
         .orderBy(col("cnt").desc, col("token"))
+    },
+
+    // ---- leakage-safe splits: near-dup clusters stay in ONE split ----------
+    // Same pair graph as q43; the split hashes the component label, not
+    // the doc id, so near-copies can never straddle train/test.
+    "q96_leakage_safe_split" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text",
+        Seq("lang"), 0.9).select("id_a", "id_b")
+      Curation.leakageSafeSplit(docs, "doc_id", pairs, "s96:")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("split")
     }
   )
 
@@ -531,6 +546,23 @@ object TrainingData {
     // explicit left-fold arithmetic, identical to VectorSearch.dot/norm2
     def dotSql(a: String, b: String) = (0 until Dim)
       .map(i => s"$a[${i + 1}]::DOUBLE * $b[${i + 1}]::DOUBLE").mkString(" + ")
+    // connected-component labels over the verified jaccard≥0.9 pair graph
+    // (min reachable id), shared by q43 and q96
+    val ccLabelsCte =
+      """toks AS (
+        | SELECT doc_id, lang,
+        |   list_distinct(string_split_regex(lower(text), '\s+')) AS ts
+        | FROM documents),
+        |edges AS (
+        | SELECT a.doc_id AS src, b.doc_id AS dst
+        | FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+        | WHERE len(list_intersect(a.ts, b.ts))::DOUBLE /
+        |   (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.9),
+        |reach(id, lbl) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        |labels AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)""".stripMargin
     def normSql(a: String) = (0 until Dim)
       .map(i => s"$a[${i + 1}]::DOUBLE * $a[${i + 1}]::DOUBLE").mkString(" + ")
     val enStops = TextAnalysis.stopwords.toMap.apply("en")
@@ -584,22 +616,24 @@ object TrainingData {
           |ORDER BY id_a, id_b""".stripMargin,
 
       "q43_dedup_clusters" ->
-        """WITH RECURSIVE toks AS (
-          | SELECT doc_id, lang,
-          |   list_distinct(string_split_regex(lower(text), '\s+')) AS ts
-          | FROM documents),
-          |edges AS (
-          | SELECT a.doc_id AS src, b.doc_id AS dst
-          | FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id <> b.doc_id
-          | WHERE len(list_intersect(a.ts, b.ts))::DOUBLE /
-          |   (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.9),
-          |reach(id, lbl) AS (
-          | SELECT doc_id, doc_id FROM documents
-          | UNION
-          | SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-          |labels AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)
-          |SELECT cluster, count(*) AS n_docs
-          |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin,
+        s"""WITH RECURSIVE $ccLabelsCte
+           |SELECT cluster, count(*) AS n_docs
+           |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+      "q96_leakage_safe_split" ->
+        s"""WITH RECURSIVE $ccLabelsCte,
+           |a AS (
+           | SELECT d.doc_id, l.cluster,
+           |  CASE WHEN substr(md5('s96:' || l.cluster), 1, 4) < 'cccc'
+           |        THEN 'train'
+           |       WHEN substr(md5('s96:' || l.cluster), 1, 4) < 'e666'
+           |        THEN 'val'
+           |       ELSE 'test' END AS split
+           | FROM documents d JOIN labels l ON l.id = d.doc_id)
+           |SELECT split, count(*) AS n_docs,
+           |  count(DISTINCT cluster) AS n_clusters,
+           |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+           |FROM a GROUP BY split ORDER BY split""".stripMargin,
 
       "q94_kmeans" -> {
         val sumCols = (0 until Dim)

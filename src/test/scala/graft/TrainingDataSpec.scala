@@ -337,6 +337,20 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(cl.getInt(0) >= 0 && cl.getInt(1) < k)
   }
 
+  test("leakage-safe split keeps each near-dup cluster in one split") {
+    val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text", Seq.empty, 0.9)
+      .select("id_a", "id_b")
+    val res = graft.operators.Curation
+      .leakageSafeSplit(docs, "doc_id", pairs, "t:")
+    assert(res.count() == docs.count(), "split must cover every doc once")
+    val straddlers = res.groupBy("cluster")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1).count()
+    assert(straddlers == 0, "a near-dup cluster straddled a split boundary")
+    // the fixture has real multi-doc clusters, so the invariant bites
+    val multi = res.groupBy("cluster").count().filter(col("count") > 1).count()
+    assert(multi > 0, "fixture should contain non-singleton clusters")
+  }
+
   test("fingerprint is deterministic and shared by near-identical docs") {
     val fp1 = docs.select(TextAnalysis.fingerprint(col("text")).as("fp"))
       .collect().map(_.getSeq[Long](0))
