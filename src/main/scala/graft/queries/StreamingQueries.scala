@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
 
+import graft.operators.TextAnalysis
 import graft.schema.TableSchemas
 import graft.sources.GraftTable
 import graft.streaming.StreamingAnalytics
@@ -128,6 +129,34 @@ object StreamingQueries {
         .option("checkpointLocation", r + "/chk")
         .trigger(Trigger.AvailableNow())
         .start()
+      q.awaitTermination()
+      r
+    })
+
+  private val hhBuilt = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Streaming heavy hitters run to completion: the documents corpus
+    * tokenized batch-side and written as 3 files consumed one per
+    * micro-batch through a GLOBAL Misra–Gries update-mode aggregate —
+    * the sketch buffer crosses micro-batch boundaries through the
+    * aggregation state store, so a green gate proves sketch
+    * serialize/merge under checkpointing, not just the batch fold. The
+    * final sketch row (max batch id) carries the candidate superset and
+    * the running token total; the exact verify pass plus the q95
+    * batch-frequency oracle close the loop: the streamed operator must
+    * land on exactly the batch heavy-hitter set. */
+  private def hhOut(s: SparkSession, dir: String): String =
+    hhBuilt.getOrElseUpdate(dir, {
+      val r = graft.tables.TempDirs.create("graft_stream_hh_")
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.wordArr(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+      toks.repartition(3).write.parquet(r + "/src")
+      val src = s.readStream
+        .schema(StructType(Seq(StructField("token", StringType))))
+        .option("maxFilesPerTrigger", "1").parquet(r + "/src")
+      val q = StreamingAnalytics.heavyHitterStream(src, "token",
+        capacity = 256, r + "/out", r + "/chk", Trigger.AvailableNow())
       q.awaitTermination()
       r
     })
@@ -340,6 +369,22 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"),
           sum(col("user_id")).as("user_sum"))
         .orderBy("event_type")
+    },
+
+    // ---- continuous frequent-items sketch (streaming q95) ------------------
+    "q97_streaming_heavy_hitters" -> { (s, dir) =>
+      val last = s.read.parquet(hhOut(s, dir) + "/out")
+        .orderBy(col("batch_id").desc).limit(1)
+      val cands = last.select(explode(map_keys(col("sk"))).as("token"),
+        col("n"))
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.wordArr(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+      toks.join(broadcast(cands), Seq("token"))
+        .groupBy("token", "n").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= ceil(lit(0.01) * col("n").cast("double")))
+        .select("token", "cnt")
+        .orderBy(col("cnt").desc, col("token"))
     }
   )
 
@@ -419,6 +464,20 @@ object StreamingQueries {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         | count(*) AS n_events
         |FROM sessions GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // same batch-frequency oracle as q95: the streamed sketch + exact
+    // verify must land on the identical heavy-hitter set
+    "q97_streaming_heavy_hitters" ->
+      """WITH toks AS (
+        | SELECT t.token
+        | FROM documents,
+        |   unnest(string_split_regex(lower(trim(text)), '\s+')) AS t(token)
+        | WHERE len(t.token) > 0),
+        |tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT token, count(*) AS cnt
+        |FROM toks GROUP BY token
+        |HAVING count(*) >= ceil(0.01 * (SELECT n FROM tot))
+        |ORDER BY cnt DESC, token""".stripMargin
   )
 }

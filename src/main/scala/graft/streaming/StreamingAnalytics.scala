@@ -374,4 +374,38 @@ object StreamingAnalytics {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  // --- streaming heavy hitters --------------------------------------------
+
+  /** Continuous frequent-items over a token stream — the trending-terms
+    * shape: a GLOBAL Misra–Gries aggregate ([[graft.functions.MisraGries]])
+    * in update mode. Each micro-batch folds its tokens into the
+    * checkpointed sketch state and re-emits the one refreshed row
+    * `(sk: map<token,count>, n: running total)`, which `foreachBatch`
+    * appends to `outPath` tagged with its batch id — the row with the
+    * highest batch id IS the current sketch.
+    *
+    * State is ONE aggregation buffer of ≤ capacity counters regardless of
+    * stream length (the whole point of the sketch), so this runs forever
+    * at fleet ingest rates; candidates inherit the MG superset guarantee
+    * for any share > 1/(capacity+1), and an exact verify over the
+    * accumulated corpus (same second pass as
+    * [[graft.operators.TextAnalysis.heavyHitters]]) makes the final
+    * answer exact. */
+  def heavyHitterStream(source: DataFrame, tokenCol: String, capacity: Int,
+      outPath: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    source.select(col(tokenCol).as("token"))
+      .agg(graft.functions.MisraGries.misra_gries(col("token"), capacity)
+          .as("sk"),
+        count(lit(1)).as("n"))
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
 }
