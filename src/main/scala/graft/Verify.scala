@@ -31,8 +31,18 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // SPARK_GRAFT_EXPLAIN=1: dump the formatted physical plan per query
+        // (plan-audit aid — check PushedFilters/PartitionFilters/codegen
+        // spans without touching the query code)
+        if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+          System.err.println(s"===== plan: $name =====")
+          System.err.println(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
         errors(name) =
