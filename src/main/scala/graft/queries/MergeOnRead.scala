@@ -113,7 +113,49 @@ object MergeOnRead {
       graft.schema.TableSchemas.morVersioned)
   }
 
+  /** Fixture for q98: events in a MOR table with an UPDATE wave, served
+    * through the S5 hot tier — clock frozen at 2024-01-31, retention 48 h,
+    * so the pinned slice covers [01-29, ∞) and a 72 h lookback stitches
+    * the cold gap leg [01-28, 01-29) under it. */
+  private val hotBuilt =
+    scala.collection.concurrent.TrieMap[String, graft.sources.HotTier]()
+
+  private val hotNow = java.time.LocalDateTime.of(2024, 1, 31, 0, 0)
+    .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+  private val HourUs = 3600L * 1000000
+
+  private def hotTier(s: SparkSession, dir: String): graft.sources.HotTier =
+    hotBuilt.getOrElseUpdate(dir, {
+      val r = graft.tables.TempDirs.create("graft_hot_")
+      val t = new graft.sources.GraftTable(s, r,
+        graft.schema.TableSchemas.morVersioned)
+      t.append(Tables.events(s, dir).select(
+        (col("user_id") % 5).cast("string").as("project_id"),
+        col("ts").as("timestamp"),
+        col("event_id").cast("string").as("id"),
+        col("event_type").as("name")),
+        Some(java.time.LocalDateTime.of(2024, 6, 1, 0, 0)))
+      t.update(expr("CAST(id AS BIGINT) % 9 = 0"),
+        Map("name" -> concat(col("name"), lit("-u"))),
+        Some(java.time.LocalDateTime.of(2024, 6, 1, 1, 0)))
+      val tier = new graft.sources.HotTier(t, retentionMicros = 48 * HourUs)
+      graft.functions.GraftClock.set(hotNow)
+      try require(tier.demote(), "hot tier demotion must pin the slice")
+      finally graft.functions.GraftClock.reset()
+      tier
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S5 hot tier: resolved read through the pinned slice + cold gap leg
+    "q98_hot_tier_read" -> { (s, dir) =>
+      val tier = hotTier(s, dir)
+      graft.functions.GraftClock.set(hotNow)
+      try tier.read(Some(72 * HourUs))
+        .groupBy("name").agg(count(lit(1)).as("n"))
+        .orderBy("name")
+      finally graft.functions.GraftClock.reset()
+    },
+
     // deferred DML coalescing (X2 / reference dml_coalescer.rs): three
     // statements fold into one group, rounds keep last-statement-wins
     "q89_dml_coalesce" -> { (s, dir) =>
@@ -143,6 +185,16 @@ object MergeOnRead {
   )
 
   val oracle: Map[String, String] = Map(
+    // the tier serves the same resolved view a cold read would: the UPDATE
+    // wave applied everywhere, restricted to the 72 h lookback window
+    "q98_hot_tier_read" ->
+      """SELECT CASE WHEN event_id % 9 = 0 THEN event_type || '-u'
+        |  ELSE event_type END AS name,
+        | count(*) AS n
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-28 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // last-statement-wins across the three coalesced waves: w3 (wave 3)
     // overrides w1, w2 overrides w1 for keys in both, w3 overrides w2
     "q89_dml_coalesce" ->
