@@ -270,6 +270,34 @@ class GraftTable(
       }
     }.distinct.sorted.reverse
 
+  /** Post-pruning work a scan bounded below by `since` would actually
+    * select: (parquet file count, total bytes) under `date=` partitions
+    * ≥ `since` across every visible version leg. Pure driver-side
+    * metadata (the same directory listings plan building performs), used
+    * by [[ScanGate]]'s depth-proxy refinement — the reference computes
+    * the identical measure from the pruned `FileScanConfig`
+    * (`selected_file_work`, `src/database.rs:11911-11916`). */
+  private[sources] def selectedFileWork(
+      since: java.time.LocalDate): (Long, Long) = {
+    var files = 0L; var bytes = 0L
+    visibleDirs(commits()).foreach { d =>
+      val p = new Path(d)
+      if (fs.exists(p)) fs.listStatus(p).filter(_.isDirectory).foreach { proj =>
+        fs.listStatus(proj.getPath).filter(_.isDirectory).foreach { dp =>
+          val n = dp.getPath.getName
+          if (n.startsWith("date=") &&
+              !java.time.LocalDate.parse(n.stripPrefix("date=")).isBefore(since))
+            fs.listStatus(dp.getPath).filter(_.isFile).foreach { f =>
+              if (f.getPath.getName.endsWith(".parquet")) {
+                files += 1; bytes += f.getLen
+              }
+            }
+        }
+      }
+    }
+    (files, bytes)
+  }
+
   // --------------------------------------------------------- write lock --
 
   private def lockPath = new Path(s"$path/_lock")
