@@ -110,8 +110,8 @@ object Bench {
     //    StreamingIngest commits micro-batches (reference
     //    `bench/query_under_ingest.py`) — measures the read-latency cost of
     //    concurrent commits (extra union legs + snapshot-cache misses).
-    val (ingest, compactMs, idleMs, underMs) =
-      if (only.isDefined) (-1.0, -1.0, -1.0, -1.0)
+    val (ingest, compactMs, idleMs, underMs, coldWinMs, hotWinMs) =
+      if (only.isDefined) (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
     else try {
       import org.apache.spark.sql.functions._
       val root = graft.tables.TempDirs.create("bench_ingest_")
@@ -147,6 +147,33 @@ object Bench {
       q() // warm the read path once, unrecorded
       val idle = Seq.fill(3)(q()).sorted.apply(1)
 
+      // S5 hot-tier leg: the same dashboard shape bounded to the tier's
+      // retention window (events data ends 2024-01-30; clock frozen at
+      // 01-31, retention 48 h), first off the cold scan, then through the
+      // pinned slice — the delta is what demotion buys an in-window read
+      // (no commit listing, no parquet IO, no dedup window).
+      val hourUs = 3600L * 1000000
+      graft.functions.GraftClock.set(
+        java.time.LocalDateTime.of(2024, 1, 31, 0, 0)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L)
+      val tier = new graft.sources.HotTier(t, retentionMicros = 48 * hourUs)
+      val (coldWin, hotWin) = try {
+        def winQ(df: org.apache.spark.sql.DataFrame): Double = {
+          val q0 = System.nanoTime()
+          df.groupBy(date_trunc("hour", col("timestamp")).as("hour"))
+            .agg(count(lit(1)).as("n"))
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - q0) / 1e6
+        }
+        // identical window, no tier: what the tier's own cold fallback runs
+        def cold() = winQ(t.readResolved().filter(
+          col("timestamp") >= lit("2024-01-29 00:00:00").cast("timestamp_ntz")))
+        def hot() = winQ(tier.read(Some(48 * hourUs)))
+        cold() // warm both paths once, unrecorded
+        tier.demote(); hot()
+        (Seq.fill(3)(cold()).sorted.apply(1), Seq.fill(3)(hot()).sorted.apply(1))
+      } finally { graft.functions.GraftClock.reset(); tier.release() }
+
       val src = spark.readStream.format("rate")
         .option("rowsPerSecond", "2000").load()
         .select(lit("9").as("project_id"),
@@ -172,9 +199,9 @@ object Bench {
         try { sq.stop(); sq.awaitTermination(10000L) }
         catch { case _: Throwable => }
       }
-      (rps, cMs, idle, under)
+      (rps, cMs, idle, under, coldWin, hotWin)
     } catch { case e: Throwable =>
-      e.printStackTrace(); (-1.0, -1.0, -1.0, -1.0) }
+      e.printStackTrace(); (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0) }
 
     // Quiesce completely BEFORE printing the record: any straggler stream,
     // then the session itself, then a grace period for async executor /
@@ -186,7 +213,7 @@ object Bench {
     try spark.stop() catch { case _: Throwable => }
     Thread.sleep(750)
     System.out.flush(); System.err.flush()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"ingest_rows_per_sec":${ingest.round},"compact_ms":${compactMs.round},"query_idle_ms":${idleMs.round},"query_under_ingest_ms":${underMs.round},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"ingest_rows_per_sec":${ingest.round},"compact_ms":${compactMs.round},"query_idle_ms":${idleMs.round},"query_under_ingest_ms":${underMs.round},"window_read_cold_ms":${coldWinMs.round},"window_read_hot_ms":${hotWinMs.round},"queries":$qs,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

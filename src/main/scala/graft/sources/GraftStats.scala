@@ -12,7 +12,9 @@ import graft.plans.GuardedTables
   */
 object GraftStats {
 
-  def df(spark: SparkSession, tables: Seq[GraftTable] = Seq.empty): DataFrame = {
+  def df(spark: SparkSession, tables: Seq[GraftTable] = Seq.empty,
+      tiers: Seq[HotTier] = Seq.empty,
+      gates: Seq[ScanGate] = Seq.empty): DataFrame = {
     val sc = spark.sparkContext
     val session = Seq(
       ("session", "spark_version", spark.version),
@@ -34,11 +36,25 @@ object GraftStats {
         (t.meta.name, "logical_count",
           t.logicalCount().map(_.toString).getOrElse("")))
     }
+    // the reference's hot-tier and admission suppression/throughput rows
+    // (`stats_table.rs` exposes demotion payoff and gate pressure the same
+    // flat way — the counters a churn pathology is diagnosed from)
+    val perTier = tiers.flatMap { h =>
+      h.stats.toSeq.map { case (k, v) =>
+        (s"hot_tier.${h.table.meta.name}", k, v.toString)
+      }
+    }
+    val perGate = gates.zipWithIndex.flatMap { case (g, i) =>
+      g.stats.toSeq.map { case (k, v) => (s"scan_gate.$i", k, v.toString) }
+    }
     import spark.implicits._
-    (session ++ perTable).toDF("component", "key", "value")
+    (session ++ perTable ++ perTier ++ perGate)
+      .toDF("component", "key", "value")
   }
 
   /** Register the introspection view (reference exposes it as a table). */
-  def register(spark: SparkSession, tables: Seq[GraftTable] = Seq.empty): Unit =
-    df(spark, tables).createOrReplaceTempView("graft_stats")
+  def register(spark: SparkSession, tables: Seq[GraftTable] = Seq.empty,
+      tiers: Seq[HotTier] = Seq.empty,
+      gates: Seq[ScanGate] = Seq.empty): Unit =
+    df(spark, tables, tiers, gates).createOrReplaceTempView("graft_stats")
 }

@@ -36,6 +36,29 @@ class GraftStatsSpec extends AnyFunSuite {
     assert(session.nonEmpty && session(0).getString(0).nonEmpty)
   }
 
+  test("graft_stats exposes hot-tier payoff and scan-gate pressure rows") {
+    val t = new GraftTable(spark,
+      Files.createTempDirectory("graft_stats_").toString, TableSchemas.morVersioned)
+    t.append(spark.range(3).select(
+      lit("1").as("project_id"),
+      lit("2024-03-01 00:00:00").cast("timestamp_ntz").as("timestamp"),
+      concat(lit("r"), col("id")).as("id"),
+      lit("n").as("name")),
+      Some(java.time.LocalDateTime.of(2024, 3, 2, 0, 0)))
+    val tier = new graft.sources.HotTier(t, retentionMicros = 1L)
+    val gate = new graft.sources.ScanGate()
+    gate.run(spark, wide = true)(())
+    GraftStats.register(spark, Seq(t), Seq(tier), Seq(gate))
+    val tierRows = spark.sql(
+      "SELECT key, value FROM graft_stats WHERE component = 'hot_tier.mor_versioned'")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(tierRows("builds") == "0" && tierRows.contains("wasted_builds"))
+    val gateRows = spark.sql(
+      "SELECT key, value FROM graft_stats WHERE component = 'scan_gate.0'")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(gateRows("gated") == "1")
+  }
+
   test("tenant guard accepts project_id carried in a join condition") {
     val t = new GraftTable(spark,
       Files.createTempDirectory("graft_guard_join_").toString,
