@@ -167,7 +167,10 @@ class HotTier(
         servedSinceBuild += 1
         ctr("hot_served") += 1
         val s = since.get // gate guarantees a bounded lookback here
-        if (s >= cutoff) hot.filter(col(tsCol) >= tsLit(s))
+        // at exactly the slice's cutoff the filter admits every row —
+        // serve the cached frame bare so the plan is a pure InMemory scan
+        if (s == cutoff) hot
+        else if (s > cutoff) hot.filter(col(tsCol) >= tsLit(s))
         else {
           // gap leg: [since, cutoff) off the cold scan — prunes to the
           // few partitions the slice doesn't cover — plus the slice
