@@ -109,12 +109,20 @@ object StreamingIngest {
     * batch commit, `drainIfDue()` folds any aged update groups into the
     * table (the reference's coalescer drain loop runs beside ingest the
     * same way; see [[graft.sources.DmlCoalescer]]). Coalesced updates are
-    * idempotent under replay by the coalescer's own contract. */
+    * idempotent under replay by the coalescer's own contract.
+    *
+    * `hotTier`: demotion riding the flush, the reference's population
+    * model (`hot_tier.rs` demotes what the flush just wrote). Each batch
+    * commit offers the new version to the tier; under sustained churn the
+    * tier's own waste accounting convicts the table and the per-batch call
+    * degrades to a suppressed no-op — exactly the adaptive-suppression
+    * story, now attached to the real ingest cadence. */
   def start(table: GraftTable, source: DataFrame, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime(0L),
       stamp: Option[Long => java.time.LocalDateTime] = None,
       sweepEvery: Int = 0,
-      coalescer: Option[graft.sources.DmlCoalescer] = None): StreamingQuery =
+      coalescer: Option[graft.sources.DmlCoalescer] = None,
+      hotTier: Option[graft.sources.HotTier] = None): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -127,6 +135,7 @@ object StreamingIngest {
           ()
         }
         coalescer.foreach(_.drainIfDue())
+        hotTier.foreach(_.demote())
       }
       .start()
 }

@@ -141,6 +141,24 @@ class HotTierSpec extends AnyFunSuite {
     }
   }
 
+  test("in-window read at the cutoff plans as a pure in-memory scan") {
+    withClock(LocalDateTime.of(2024, 3, 4, 0, 0)) {
+      val t = freshTable()
+      t.append(hourlyRows(72), t0(0))
+      val tier = new HotTier(t, retentionMicros = 24 * H)
+      tier.demote()
+      val plan = tier.read(Some(24 * H)).queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"),
+        s"expected cached scan, got:\n$plan")
+      // the cached relation PRINTS its build plan (which read parquet once,
+      // at demote time); what must be parquet-free is the serving plan
+      // ABOVE the cache boundary
+      val serving = plan.split("InMemoryRelation").head
+      assert(!serving.contains("parquet"),
+        s"cutoff-exact read must serve from cache alone, got:\n$serving")
+    }
+  }
+
   test("oversize slice is dropped, not pinned") {
     withClock(LocalDateTime.of(2024, 3, 4, 0, 0)) {
       val t = freshTable()

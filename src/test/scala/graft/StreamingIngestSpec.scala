@@ -177,6 +177,52 @@ class StreamingIngestSpec extends AnyFunSuite {
       s"sweep must have committed a partial base, markers: $markers")
   }
 
+  test("hot-tier demotion rides the flush and self-suppresses under churn") {
+    val tableDir = tmp("graft_hotst_tbl_")
+    val srcDir = tmp("graft_hotst_src_")
+    val ckpt = tmp("graft_hotst_ckpt_")
+    val table = new GraftTable(spark, tableDir, TableSchemas.morVersioned)
+    val H = 3600L * 1000000
+    val tier = new graft.sources.HotTier(table, retentionMicros = 24 * H)
+    // noon of the data's own day: the rows (00:00–00:09) stay inside the
+    // 24 h retention window even after the cooldown advance below
+    graft.functions.GraftClock.set(
+      java.time.LocalDateTime.of(2024, 3, 1, 12, 0)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L)
+    try {
+      // six single-file micro-batches re-writing the same identities: every
+      // demoted slice dies before any query reads it — pure churn
+      (0 until 6).foreach(i => writeSourceFile(srcDir, rows(0, 10)
+        .withColumn("name", lit(s"s$i"))))
+      val source = spark.readStream.schema(rows(0, 1).schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      // explicit increasing stamps: the frozen clock (needed for the tier's
+      // cutoff/cooldown arithmetic) would otherwise mint six EQUAL batch
+      // stamps and break last-writer-wins
+      val q = StreamingIngest.start(table, source, ckpt,
+        stamp = Some(bid => java.time.LocalDateTime.of(2024, 3, 1, 13, bid.toInt)),
+        hotTier = Some(tier))
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination(10000L) }
+      val s = tier.stats
+      assert(s("builds") >= 4 && s("suppressions") >= 1,
+        s"churn must convict the table: $s")
+      assert(s("wasted_builds") >= 4)
+      // reads stay correct while suppressed (cold fallback)
+      val r = tier.read(Some(24 * H))
+      assert(r.count() == 10)
+      assert(r.filter(col("id") === "ev-3").head().getAs[String]("name") == "s5",
+        "last streamed write wins through the tier's cold fallback")
+      // churn stops + cooldown lifts → a single re-probe build serves hot
+      graft.functions.GraftClock.advance(31 * 60 * 1000000L)
+      assert(tier.demote())
+      assert(tier.read(Some(24 * H)).count() == 10)
+      assert(tier.stats("hot_served") >= 1)
+    } finally {
+      graft.functions.GraftClock.reset()
+      tier.release()
+    }
+  }
+
   test("in-batch dedup keeps one deterministic winner per identity") {
     import spark.implicits._
     val dup = rows(0, 10).union(rows(0, 10)
