@@ -50,6 +50,15 @@ def compare(exp, got):
         return "COLS-DIFF", f"oracle={list(exp.columns)} got={list(got.columns)}"
     if len(exp) != len(got):
         return "ROWS-DIFF", f"oracle={len(exp)} got={len(got)}"
+    # The driver hashes pandas values, so a dtype mismatch (e.g. DuckDB
+    # HUGEINT -> float64/object vs Spark int64) hash-mismatches even when
+    # the values are numerically equal. Fail loudly on dtype drift here so
+    # the local sweep catches it before the driver does.
+    dt_diff = [(c, str(exp[c].dtype), str(got[c].dtype)) for c in exp.columns
+               if str(exp[c].dtype) != str(got[c].dtype)]
+    if dt_diff:
+        c, ed, gd = dt_diff[0]
+        return "DTYPE-DIFF", f"col={c} oracle={ed} got={gd} (cast the oracle SQL)"
     worst = 0.0
     for c in exp.columns:
         e, g = exp[c].tolist(), got[c].tolist()

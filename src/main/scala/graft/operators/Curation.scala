@@ -201,8 +201,10 @@ object Curation {
         Window.partitionBy(col(groupCol), col("__bkt")).orderBy(orderCols: _*)))
       .filter(col("__lr") <= k)
       .drop("__bkt", "__lr")
+    // long rank: SQL row_number() is BIGINT-shaped (DuckDB/PG emit int64)
     local.withColumn(rankName,
-        row_number().over(Window.partitionBy(groupCol).orderBy(orderCols: _*)))
+        row_number().over(Window.partitionBy(groupCol).orderBy(orderCols: _*))
+          .cast("long"))
       .filter(col(rankName) <= k)
   }
 
@@ -242,9 +244,9 @@ object Curation {
     regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
       LongDigitPattern, "<NUM>")
   def redactionCount(text: Column): Column =
-    regexp_count(text, lit(EmailPattern)) +
+    (regexp_count(text, lit(EmailPattern)) +
       regexp_count(regexp_replace(text, EmailPattern, "<EMAIL>"),
-        lit(LongDigitPattern))
+        lit(LongDigitPattern))).cast("long")
 
   /** Corpus vocabulary by document frequency: distinct tokens per doc,
     * one (token) count, global top-`topN` by (df desc, token) — the

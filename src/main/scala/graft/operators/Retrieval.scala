@@ -113,8 +113,9 @@ object Retrieval {
       k0: Int = 60): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def ranked(df: DataFrame, name: String) = df.select(col(idCol),
+      // long: SQL row_number() is BIGINT-shaped (DuckDB/PG emit int64)
       row_number().over(Window.orderBy(col("score").desc, col(idCol).asc))
-        .as(name))
+        .cast("long").as(name))
     ranked(a, "rank_a").join(ranked(b, "rank_b"), Seq(idCol), "full_outer")
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (col("rank_a") + k0), lit(0.0)) +

@@ -42,15 +42,17 @@ object TextAnalysis {
     }
   }
 
-  /** Whitespace token count. */
+  /** Whitespace token count (long — see [[tokenCountBpe]]'s dtype note). */
   def tokenCountWs(text: Column): Column =
-    size(split(trim(text), "\\s+"))
+    size(split(trim(text), "\\s+")).cast("long")
 
   /** BPE-ish token count: alphabetic runs, single digits, and single
     * non-alphanumeric marks each count as one token. */
   val BpeTokenPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
   def tokenCountBpe(text: Column): Column =
-    regexp_count(text, lit(BpeTokenPattern))
+    // long, not int: token counts are BIGINT-shaped everywhere downstream
+    // (DuckDB len() is BIGINT; corpus-scale sums overflow int32)
+    regexp_count(text, lit(BpeTokenPattern)).cast("long")
 
   /** Punctuation-to-character ratio. */
   def punctRatio(text: Column): Column =

@@ -404,8 +404,9 @@ object StreamingQueries {
         | SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
         | FROM v JOIN p ON v.user_id = p.user_id
         |  AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 4 HOUR)
-        |SELECT user_id, count(*) AS n_pairs, sum(view_id) AS view_id_sum,
-        | sum(purchase_id) AS purchase_id_sum
+        |SELECT user_id, count(*) AS n_pairs,
+        | CAST(sum(view_id) AS BIGINT) AS view_id_sum,
+        | CAST(sum(purchase_id) AS BIGINT) AS purchase_id_sum
         |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q85_streaming_funnel" ->
@@ -432,8 +433,9 @@ object StreamingQueries {
         |ORDER BY s1.user_id""".stripMargin,
 
     "q74_streaming_dedup" ->
-      """SELECT event_type, count(*) AS n, sum(event_id) AS id_sum,
-        | sum(user_id) AS user_sum
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(event_id) AS BIGINT) AS id_sum,
+        | CAST(sum(user_id) AS BIGINT) AS user_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q84_streaming_asof" ->

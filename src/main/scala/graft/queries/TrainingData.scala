@@ -1009,7 +1009,7 @@ object TrainingData {
           |   sum(n_tok) OVER (ORDER BY h, doc_id
           |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
           | FROM t)
-          |SELECT (run - n_tok) // 4000 AS shard_id, count(*) AS n_docs,
+          |SELECT CAST((run - n_tok) // 4000 AS BIGINT) AS shard_id, count(*) AS n_docs,
           |  CAST(sum(n_tok) AS BIGINT) AS tokens,
           |  CAST(sum(doc_id) AS BIGINT) AS id_sum
           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,

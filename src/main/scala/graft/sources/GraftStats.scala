@@ -39,13 +39,17 @@ object GraftStats {
     // the reference's hot-tier and admission suppression/throughput rows
     // (`stats_table.rs` exposes demotion payoff and gate pressure the same
     // flat way — the counters a churn pathology is diagnosed from)
+    // tier rows key by name AND path (two tiers over same-named tables at
+    // different paths must not collide into one component); gate rows key
+    // by the gate's stable label, not a positional index that shifts when
+    // the registration list changes between calls
     val perTier = tiers.flatMap { h =>
       h.stats.toSeq.map { case (k, v) =>
-        (s"hot_tier.${h.table.meta.name}", k, v.toString)
+        (s"hot_tier.${h.table.meta.name}@${h.table.root}", k, v.toString)
       }
     }
-    val perGate = gates.zipWithIndex.flatMap { case (g, i) =>
-      g.stats.toSeq.map { case (k, v) => (s"scan_gate.$i", k, v.toString) }
+    val perGate = gates.flatMap { g =>
+      g.stats.toSeq.map { case (k, v) => (s"scan_gate.${g.label}", k, v.toString) }
     }
     import spark.implicits._
     (session ++ perTable ++ perTier ++ perGate)

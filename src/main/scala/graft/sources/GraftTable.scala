@@ -280,18 +280,29 @@ class GraftTable(
   private[sources] def selectedFileWork(
       since: java.time.LocalDate): (Long, Long) = {
     var files = 0L; var bytes = 0L
-    visibleDirs(commits()).foreach { d =>
-      val p = new Path(d)
+    val vis = visibleCommits(commits())
+    // mirror resolvedFrom's per-leg anti-range exclusions: a date covered
+    // by a NEWER partial base is never read from this leg, so its files
+    // are not work this scan selects — counting them would over-gate a
+    // pruned-small deep scan on a partially-compacted table
+    val pbases = vis.filter(_.pbase)
+    vis.foreach { c =>
+      val excl = pbases.filter(_.v > c.v).flatMap(_.dates)
+      val p = new Path(versionDir(c.v))
       if (fs.exists(p)) fs.listStatus(p).filter(_.isDirectory).foreach { proj =>
         fs.listStatus(proj.getPath).filter(_.isDirectory).foreach { dp =>
           val n = dp.getPath.getName
-          if (n.startsWith("date=") &&
-              !java.time.LocalDate.parse(n.stripPrefix("date=")).isBefore(since))
-            fs.listStatus(dp.getPath).filter(_.isFile).foreach { f =>
-              if (f.getPath.getName.endsWith(".parquet")) {
-                files += 1; bytes += f.getLen
+          if (n.startsWith("date=")) {
+            val d = java.time.LocalDate.parse(n.stripPrefix("date="))
+            val excluded =
+              excl.exists { case (lo, hi) => !d.isBefore(lo) && !d.isAfter(hi) }
+            if (!d.isBefore(since) && !excluded)
+              fs.listStatus(dp.getPath).filter(_.isFile).foreach { f =>
+                if (f.getPath.getName.endsWith(".parquet")) {
+                  files += 1; bytes += f.getLen
+                }
               }
-            }
+          }
         }
       }
     }

@@ -14,7 +14,7 @@ import graft.functions.GraftClock
   * files on local NVMe and splices them into the scan as a `MemorySource`
   * leg, so dashboard-width queries never touch the object store. Spark's
   * native analogue of "recent slice pinned in fast storage" is a
-  * persisted DataFrame: the resolved view restricted to the retention
+  * persisted DataFrame: the resolved view restricted to a retention
   * window, materialized by the write path with `MEMORY_AND_DISK`, serving
   * every in-window read without commit listing, parquet IO, or the dedup
   * window. What carries over from the reference is not the storage medium
@@ -26,18 +26,28 @@ import graft.functions.GraftClock
   *    falls through to the cold scan; it never builds one itself. This
   *    is what makes the waste accounting below meaningful: a slice CAN
   *    die without ever serving a query.
+  *  - **Multiple retention windows** (`hot_tier.rs:299-738` demotes per
+  *    bucket): one slice per configured retention, and a read is served
+  *    by the NARROWEST slice that covers its lookback — a 6 h dashboard
+  *    and a 48 h dashboard each hit their own slice, so the 6 h read
+  *    never scans 48 h of cached rows. Narrower slices are built FROM the
+  *    widest persisted slice (a subset by construction), so extra windows
+  *    cost a cached-scan filter, not another parquet read.
   *  - **Lookback gate** (`hot_tier.rs:171-201`): a scan reaching deeper
-  *    than `lookbackWindows × retention` skips the tier entirely — the
-  *    hot leg would shave a sliver off a scan already dominated by the
-  *    cold bulk. The threshold is a MULTIPLE of the window, not the
+  *    than `lookbackWindows × max-retention` skips the tier entirely —
+  *    the hot leg would shave a sliver off a scan already dominated by
+  *    the cold bulk. The threshold is a MULTIPLE of the window, not the
   *    window itself, so a "last 6h" dashboard against 6h retention
   *    (whose lookback lands a few micros over the window by the time the
   *    scan plans) still qualifies. An UNbounded lookback always skips;
-  *    retention 0 (tier off) rejects everything.
+  *    retention 0 with no extra windows (tier off) rejects everything.
   *  - **DML invalidation**: a hot slice is an immutable snapshot of one
   *    committed version; ANY table mutation (append, update, compaction)
-  *    drops it wholesale — the reference's "demoted file is a pre-DML
-  *    snapshot" rule.
+  *    drops every slice wholesale — the reference's "demoted file is a
+  *    pre-DML snapshot" rule. Staleness is checked on EVERY read,
+  *    including deep/unbounded ones that skip the tier, so an
+  *    invalidated slice's storage unpins promptly instead of riding
+  *    until the next in-window read or demotion.
   *  - **Adaptive suppression** (`hot_tier.rs:115-157`): under a workload
   *    that rewrites the table continuously, demotion builds slices that
   *    are invalidated before any query reads them — pure waste that
@@ -53,16 +63,36 @@ import graft.functions.GraftClock
   *    `leg_budget_bytes`, expressed in rows because Spark's persisted
   *    size is only known post-materialization.
   *
+  * Locking: [[demote]] materializes the slice (a Spark job, potentially
+  * seconds) OUTSIDE the tier monitor — it snapshots the version/cutoff
+  * under the lock, builds and counts unlocked, then re-takes the lock
+  * and installs only if the snapshot version is still current (a build
+  * raced by DML counts as a wasted build, which is exactly what it is).
+  * Concurrent [[read]]s therefore never stall behind an in-flight
+  * demotion; at worst they serve cold, which is always correct.
+  *
+  * Accounting simplification, deliberate: `hot_served` (and the
+  * slice-level served count that feeds waste conviction) increments when
+  * the serving DataFrame is HANDED OUT, not when its plan executes — the
+  * reference accounts at scan execution. A caller that builds but never
+  * runs the plan still marks the slice as read; at the tier's one-table
+  * scope the planned-but-never-run frame is not a real workload shape,
+  * and a plan-time count keeps the read path free of listener plumbing.
+  *
   * Reads through the tier are always CORRECT regardless of policy state:
   * every path resolves the same merge-on-read view; the tier only
   * chooses which physical plan serves it.
   */
 class HotTier(
     val table: GraftTable,
-    /** Event-time width of the hot slice in micros; 0 disables the tier. */
+    /** Event-time width of the primary hot slice in micros; 0 (with no
+      * [[extraRetentions]]) disables the tier. */
     val retentionMicros: Long,
-    /** How many retention windows deep a scan may reach and still consult
-      * the tier (reference `LOOKBACK_WINDOWS = 2`). */
+    /** Additional retention windows, each pinned as its own slice — the
+      * reference's per-bucket demotion granularity. */
+    val extraRetentions: Seq[Long] = Nil,
+    /** How many of the WIDEST retention windows deep a scan may reach and
+      * still consult the tier (reference `LOOKBACK_WINDOWS = 2`). */
     val lookbackWindows: Long = 2L,
     /** Builds before the first waste conviction (reference
       * `PROBE_DEMOTES = 4`): one unlucky DML must not cost a healthy
@@ -81,10 +111,16 @@ class HotTier(
 
   private val tsCol = table.meta.timeColumn
 
-  // one pinned slice per tier: (version it snapshots, event-time cutoff
-  // it covers from, the persisted frame)
-  private var built: Option[(Int, Long, DataFrame)] = None
-  private var servedSinceBuild = 0L
+  /** Active retention windows, widest first. */
+  private val retentions: Seq[Long] =
+    (retentionMicros +: extraRetentions).filter(_ > 0).distinct
+      .sorted(Ordering[Long].reverse)
+
+  private final class Slice(val version: Int, val cutoff: Long,
+      val df: DataFrame) { var served = 0L }
+
+  // pinned slices keyed by retention window (each snapshots one version)
+  private var built: Map[Long, Slice] = Map.empty
 
   // suppression state (per-table in the reference; a HotTier wraps one table)
   private var windowBuilds = 0
@@ -92,20 +128,26 @@ class HotTier(
   private var probeSize = probeBuilds
   private var suppressedUntil = 0L
 
+  // serializes demotions (the flush cadence is single-writer anyway);
+  // `this` guards only the quick state reads/writes, never a Spark job
+  private val demoteLock = new Object
+
   // observability counters (the reference exposes these via timefusion_stats)
   private val ctr = scala.collection.mutable.LinkedHashMap(
     "builds" -> 0L, "wasted_builds" -> 0L, "hot_served" -> 0L,
     "cold_served" -> 0L, "suppressions" -> 0L, "oversize_skips" -> 0L,
     "suppressed_skips" -> 0L)
   def stats: Map[String, Long] = synchronized {
-    ctr.toMap + ("suppressed" -> (if (suppressed(GraftClock.nowMicros)) 1L else 0L))
+    ctr.toMap +
+      ("suppressed" -> (if (suppressed(GraftClock.nowMicros)) 1L else 0L)) +
+      ("slices" -> built.size.toLong)
   }
 
   /** Must a scan reaching `lookbackMicros` into the past skip the hot leg?
-    * `None` = unbounded = always skip; tier off (retention 0) skips all. */
+    * `None` = unbounded = always skip; tier off (no retentions) skips all. */
   def skipForLookback(lookbackMicros: Option[Long]): Boolean =
     lookbackMicros.forall(d =>
-      retentionMicros <= 0 || d > retentionMicros * lookbackWindows)
+      retentions.isEmpty || d > retentions.head * lookbackWindows)
 
   private def suppressed(now: Long): Boolean = now < suppressedUntil
 
@@ -113,44 +155,76 @@ class HotTier(
     expr(s"cast(timestamp_micros(${micros}L) as timestamp_ntz)")
 
   /** Write-path population hook: pin the current version's retention
-    * window. Call after a flush/commit (e.g. on the streaming-ingest
+    * window(s). Call after a flush/commit (e.g. on the streaming-ingest
     * cadence, next to the maintenance sweep). No-ops when the tier is
-    * off, the slice is already current, or the table is under a waste
-    * conviction. Returns true when a new slice was pinned. */
-  def demote(): Boolean = synchronized {
-    if (retentionMicros <= 0) return false
+    * off, every slice is already current, or the table is under a waste
+    * conviction. Returns true when at least one new slice was pinned. */
+  def demote(): Boolean = demoteLock.synchronized {
+    if (retentions.isEmpty) return false
     val now = GraftClock.nowMicros
     val v = table.currentVersion()
-    invalidateIfStale(v)
-    convictIfWasteful(now)
-    if (suppressed(now)) { ctr("suppressed_skips") += 1; return false }
-    if (built.isDefined) return false // already current
-    val cutoff = now - retentionMicros
-    val df = table.readResolved().filter(col(tsCol) >= tsLit(cutoff))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = df.count() // materializes the slice
-    windowBuilds += 1
-    ctr("builds") += 1
-    if (n > maxHotRows) {
-      df.unpersist(blocking = false)
-      ctr("oversize_skips") += 1
-      // an oversize build never pays off; it counts toward waste
-      windowWasted += 1; ctr("wasted_builds") += 1
-      false
-    } else {
-      built = Some((v, cutoff, df))
-      servedSinceBuild = 0
-      true
+    // snapshot + policy decisions under the monitor; NO Spark job yet
+    val missing: Seq[Long] = synchronized {
+      invalidateIfStale(v)
+      convictIfWasteful(now)
+      if (suppressed(now)) { ctr("suppressed_skips") += 1; return false }
+      retentions.filterNot(built.contains)
     }
+    if (missing.isEmpty) return false // already current
+
+    // materialize OUTSIDE the monitor — reads proceed (cold) meanwhile.
+    // Widest window first; narrower windows filter the widest persisted
+    // frame instead of re-reading parquet (subset by construction).
+    var widest: Option[(Long, DataFrame)] = None // (cutoff, frame)
+    var staged = List.empty[(Long, Long, DataFrame, Long)] // (ret, cutoff, df, n)
+    missing.sorted(Ordering[Long].reverse).foreach { ret =>
+      val cutoff = now - ret
+      val src = widest match {
+        case Some((wc, wdf)) if wc <= cutoff => wdf
+        case _ => table.readResolved()
+      }
+      val df = src.filter(col(tsCol) >= tsLit(cutoff))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = df.count() // materializes the slice
+      if (n > maxHotRows) {
+        df.unpersist(blocking = false)
+        synchronized {
+          windowBuilds += 1; ctr("builds") += 1
+          // an oversize build never pays off; it counts toward waste
+          windowWasted += 1
+          ctr("oversize_skips") += 1; ctr("wasted_builds") += 1
+        }
+      } else {
+        if (widest.isEmpty) widest = Some((cutoff, df))
+        staged ::= ((ret, cutoff, df, n))
+      }
+    }
+    if (staged.isEmpty) return false
+
+    // install under the monitor, but only if the snapshot is still the
+    // table's current version — a DML that landed during the build makes
+    // every staged slice a pre-DML snapshot (dead on arrival)
+    val stillCurrent = table.currentVersion() == v
+    synchronized {
+      staged.foreach { case (ret, cutoff, df, _) =>
+        windowBuilds += 1; ctr("builds") += 1
+        if (stillCurrent) built += ret -> new Slice(v, cutoff, df)
+        else {
+          df.unpersist(blocking = false)
+          windowWasted += 1; ctr("wasted_builds") += 1
+        }
+      }
+    }
+    stillCurrent
   }
 
   /** The resolved view of rows with event time in `[now - lookback, ∞)`
-    * (full view when `lookbackMicros` is None), served through the hot
-    * slice when the gate allows and a current slice exists; the cold
-    * resolved scan otherwise. The union split for lookbacks deeper than
-    * the slice (but inside the gate) keeps the cold leg's date filter
-    * strictly below the hot cutoff, so its partitions prune to the gap
-    * the slice doesn't cover. */
+    * (full view when `lookbackMicros` is None), served through the
+    * NARROWEST pinned slice that covers the lookback when the gate allows
+    * one; the cold resolved scan otherwise. A lookback deeper than every
+    * slice (but inside the gate) unions the widest slice with a cold gap
+    * leg whose date filter stays strictly below the slice cutoff, so its
+    * partitions prune to the gap the slice doesn't cover. */
   def read(lookbackMicros: Option[Long]): DataFrame = synchronized {
     val now = GraftClock.nowMicros
     val since = lookbackMicros.map(now - _)
@@ -159,35 +233,40 @@ class HotTier(
       since.map(s => table.readResolved().filter(col(tsCol) >= tsLit(s)))
         .getOrElse(table.readResolved())
     }
+    // staleness check BEFORE the lookback early-return: a deep/unbounded
+    // read must still unpin a DML-invalidated slice, or its persisted
+    // storage rides until the next demotion despite being unservable
+    if (built.nonEmpty) invalidateIfStale(table.currentVersion())
     if (skipForLookback(lookbackMicros)) return cold
-    invalidateIfStale(table.currentVersion())
-    built match {
-      case None => cold
-      case Some((_, cutoff, hot)) =>
-        servedSinceBuild += 1
+    if (built.isEmpty) return cold
+    val s = since.get // gate guarantees a bounded lookback here
+    // narrowest covering slice = the LARGEST cutoff still ≤ since
+    built.values.filter(_.cutoff <= s).toSeq.sortBy(-_.cutoff).headOption match {
+      case Some(sl) =>
+        sl.served += 1
         ctr("hot_served") += 1
-        val s = since.get // gate guarantees a bounded lookback here
         // at exactly the slice's cutoff the filter admits every row —
         // serve the cached frame bare so the plan is a pure InMemory scan
-        if (s == cutoff) hot
-        else if (s > cutoff) hot.filter(col(tsCol) >= tsLit(s))
-        else {
-          // gap leg: [since, cutoff) off the cold scan — prunes to the
-          // few partitions the slice doesn't cover — plus the slice
-          val gap = table.readResolved()
-            .filter(col(tsCol) >= tsLit(s) && col(tsCol) < tsLit(cutoff))
-          gap.unionByName(hot)
-        }
+        if (s == sl.cutoff) sl.df
+        else sl.df.filter(col(tsCol) >= tsLit(s))
+      case None =>
+        // deeper than every slice: widest slice + cold gap leg
+        val sl = built.values.toSeq.minBy(_.cutoff)
+        sl.served += 1
+        ctr("hot_served") += 1
+        val gap = table.readResolved()
+          .filter(col(tsCol) >= tsLit(s) && col(tsCol) < tsLit(sl.cutoff))
+        gap.unionByName(sl.df)
     }
   }
 
-  private def invalidateIfStale(v: Int): Unit = built match {
-    case Some((bv, _, df)) if bv != v =>
-      df.unpersist(blocking = false)
-      built = None
-      if (servedSinceBuild == 0) { windowWasted += 1; ctr("wasted_builds") += 1 }
-      servedSinceBuild = 0
-    case _ => ()
+  private def invalidateIfStale(v: Int): Unit = {
+    val (live, dead) = built.partition(_._2.version == v)
+    dead.values.foreach { sl =>
+      sl.df.unpersist(blocking = false)
+      if (sl.served == 0) { windowWasted += 1; ctr("wasted_builds") += 1 }
+    }
+    built = live
   }
 
   private def convictIfWasteful(now: Long): Unit =
@@ -202,9 +281,9 @@ class HotTier(
       windowBuilds = 0; windowWasted = 0
     }
 
-  /** Drop the pinned slice (shutdown / external memory pressure). */
+  /** Drop every pinned slice (shutdown / external memory pressure). */
   def release(): Unit = synchronized {
-    built.foreach(_._3.unpersist(blocking = false))
-    built = None
+    built.values.foreach(_.df.unpersist(blocking = false))
+    built = Map.empty
   }
 }

@@ -53,7 +53,14 @@ class ScanGate(
     /** FAIR-scheduler pool gated jobs run in. Configure weights via
       * `spark.scheduler.allocation.file`; an unconfigured name still
       * isolates wide jobs into their own (default-weight) pool. */
-    val widePool: String = "graft_wide") {
+    val widePool: String = "graft_wide",
+    /** Stable identity for introspection rows (`graft_stats` keys gate
+      * counters by it); defaults to the pool name so co-registered gates
+      * don't shift identity when the registration list changes. */
+    val name: String = "") {
+
+  /** The label stats rows carry: explicit [[name]], else the pool. */
+  def label: String = if (name.nonEmpty) name else widePool
 
   private val sem = new java.util.concurrent.Semaphore(permits, true)
 

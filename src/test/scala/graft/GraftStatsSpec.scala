@@ -49,12 +49,14 @@ class GraftStatsSpec extends AnyFunSuite {
     val gate = new graft.sources.ScanGate()
     gate.run(spark, wide = true)(())
     GraftStats.register(spark, Seq(t), Seq(tier), Seq(gate))
+    // tier rows key by name@root (same-named tables at different paths
+    // must not collide); gate rows by the gate's stable label
     val tierRows = spark.sql(
-      "SELECT key, value FROM graft_stats WHERE component = 'hot_tier.mor_versioned'")
+      s"SELECT key, value FROM graft_stats WHERE component = 'hot_tier.mor_versioned@${t.root}'")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(tierRows("builds") == "0" && tierRows.contains("wasted_builds"))
     val gateRows = spark.sql(
-      "SELECT key, value FROM graft_stats WHERE component = 'scan_gate.0'")
+      "SELECT key, value FROM graft_stats WHERE component = 'scan_gate.graft_wide'")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(gateRows("gated") == "1")
   }

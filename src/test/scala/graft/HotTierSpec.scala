@@ -159,6 +159,35 @@ class HotTierSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-slice: a 6h and a 48h dashboard each hit their own slice") {
+    withClock(LocalDateTime.of(2024, 3, 4, 0, 0)) {
+      val t = freshTable()
+      t.append(hourlyRows(72), t0(0))
+      val tier = new HotTier(t, retentionMicros = 48 * H,
+        extraRetentions = Seq(6 * H))
+      assert(tier.demote())
+      assert(tier.stats("slices") == 2 && tier.stats("builds") == 2)
+      // the 6h dashboard reads ITS slice: cutoff-exact → bare cached frame,
+      // never scanning 48h of cached rows
+      val narrow = tier.read(Some(6 * H))
+      assert(narrow.count() == 6)
+      assert(names(narrow) == names(t.readResolved().filter(
+        col("timestamp") >= lit("2024-03-03 18:00:00").cast("timestamp_ntz"))))
+      val plan = narrow.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"))
+      assert(!plan.split("InMemoryRelation").head.contains("parquet"))
+      // the 48h dashboard hits the wide slice, also cutoff-exact
+      assert(tier.read(Some(48 * H)).count() == 48)
+      // a 12h lookback picks the narrowest COVERING slice (48h — the 6h
+      // slice's cutoff is inside the window, so it cannot serve alone)
+      assert(tier.read(Some(12 * H)).count() == 12)
+      // deeper than every slice but inside the gate (≤ 2×48h): widest
+      // slice + cold gap leg
+      assert(tier.read(Some(72 * H)).count() == 72)
+      assert(tier.stats("hot_served") == 4 && tier.stats("cold_served") == 0)
+    }
+  }
+
   test("oversize slice is dropped, not pinned") {
     withClock(LocalDateTime.of(2024, 3, 4, 0, 0)) {
       val t = freshTable()

@@ -424,7 +424,7 @@ class TrainingDataSpec extends AnyFunSuite {
         lit("mail a@b.co and c.d@e-f.org, id 1234567, short 123")).as("n"))
       .collect()(0)
     assert(red.getString(0) == "mail <EMAIL> and <EMAIL>, id <NUM>, short 123")
-    assert(red.getInt(1) == 3)
+    assert(red.getLong(1) == 3L)
 
     val vocab = graft.operators.Curation.vocabulary(
       Seq("b a", "b a", "b c").toDF("t"), "t", 2).collect()
@@ -545,7 +545,7 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(byGroup.values.forall(_.length == 4))
     // rank 1 of each group carries the max score, smallest id among ties
     byGroup.foreach { case (_, rows) =>
-      val r1 = rows.find(_.getAs[Int]("rnk") == 1).get
+      val r1 = rows.find(_.getAs[Long]("rnk") == 1L).get
       assert(r1.getAs[Long]("score") == 6)
       assert(rows.map(_.getAs[Long]("id")).distinct.length == 4)
     }
