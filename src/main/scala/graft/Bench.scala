@@ -75,7 +75,11 @@ object Bench {
     Thread.sleep(500)
 
     // SPARK_GRAFT_ONLY=q42_ann_ivf,q29_ann_lsh → time just those (iteration aid)
+    // SPARK_GRAFT_LEGS_ONLY=1 → skip the query passes, run only the
+    // storage-engine legs (iteration aid for the ingest/tier/gate section)
+    val legsOnly = sys.env.contains("SPARK_GRAFT_LEGS_ONLY")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+      .orElse(if (legsOnly) Some(Set.empty[String]) else None)
     // Best-of-2 per query (steady-state latency), taken as two FULL PASSES
     // over the query list rather than back-to-back repeats: the shared
     // sandbox VM sees multi-minute host-contention windows (gc+0ms,
@@ -109,9 +113,22 @@ object Bench {
     //    through the MOR read path, first on a quiet table, then while
     //    StreamingIngest commits micro-batches (reference
     //    `bench/query_under_ingest.py`) — measures the read-latency cost of
-    //    concurrent commits (extra union legs + snapshot-cache misses).
-    val (ingest, compactMs, idleMs, underMs, coldWinMs, hotWinMs) =
-      if (only.isDefined) (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
+    //    concurrent commits (extra union legs + snapshot-cache misses);
+    //  - churn_read_hot/cold_ms + hot_tier counters: the S5 demotion
+    //    payoff UNDER STREAMING CHURN — demotion rides every micro-batch
+    //    commit, dashboard reads go through the tier, and the counters
+    //    (builds/hot_served/wasted_builds/suppressions) say whether the
+    //    adaptive policy paid or suppressed (reference `hot_tier.rs`
+    //    demotion-payoff accounting);
+    //  - scan_gate counters: the under-ingest reads route through an
+    //    attached ScanGate (the reference gates every routing-table scan),
+    //    so gate pressure is visible in the artifact.
+    var tierStats = Map.empty[String, Long]
+    var gateStats = Map.empty[String, Long]
+    val (ingest, compactMs, idleMs, underMs, coldWinMs, hotWinMs,
+        churnHotMs, churnColdMs) =
+      if (only.isDefined && !legsOnly)
+        (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
     else try {
       import org.apache.spark.sql.functions._
       val root = graft.tables.TempDirs.create("bench_ingest_")
@@ -136,12 +153,18 @@ object Bench {
       t.compact()
       val cMs = (System.nanoTime() - c0) / 1e6
 
+      // X3 serving integration: the fixture table's reads run under an
+      // attached admission gate, exactly like a shared serving driver
+      val gate = new graft.sources.ScanGate(name = "bench")
+      t.attachGate(gate)
       def q(): Double = {
         val q0 = System.nanoTime()
-        t.readResolved()
-          .groupBy(date_trunc("hour", col("timestamp")).as("hour"))
-          .agg(count(lit(1)).as("n"))
-          .write.format("noop").mode("overwrite").save()
+        gate.gated(t, None) {
+          t.readResolved()
+            .groupBy(date_trunc("hour", col("timestamp")).as("hour"))
+            .agg(count(lit(1)).as("n"))
+            .write.format("noop").mode("overwrite").save()
+        }
         (System.nanoTime() - q0) / 1e6
       }
       q() // warm the read path once, unrecorded
@@ -184,12 +207,32 @@ object Bench {
       // the dates the stream fragments fold back into partial bases while
       // reads are being measured — read latency under ingest stays flat
       // instead of growing with the commit count
+      // S5 under churn: demotion rides every micro-batch commit while a
+      // dashboard polls the tier. Real clock (the rate stream stamps rows
+      // at wall time), 48 h retention → the slice holds the streamed rows.
+      val churnTier = new graft.sources.HotTier(t,
+        retentionMicros = 48 * hourUs)
       val sq = graft.streaming.StreamingIngest.start(t, src, root + "/_chk",
         org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L),
-        sweepEvery = 8)
-      val under = try {
+        sweepEvery = 8, hotTier = Some(churnTier))
+      val (under, churnHot, churnCold) = try {
         Thread.sleep(1500) // let a few micro-batch commits land first
-        Seq.fill(5)(q()).sorted.apply(2)
+        val u = Seq.fill(5)(q()).sorted.apply(2)
+        def winQ(df: org.apache.spark.sql.DataFrame): Double = {
+          val q0 = System.nanoTime()
+          df.groupBy(date_trunc("hour", col("timestamp")).as("hour"))
+            .agg(count(lit(1)).as("n"))
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - q0) / 1e6
+        }
+        def churnColdQ() = winQ(t.readResolved().filter(
+          col("timestamp") >= expr(
+            s"cast(timestamp_micros(${graft.functions.GraftClock.nowMicros - 48 * hourUs}L) as timestamp_ntz)")))
+        def churnHotQ() = winQ(churnTier.read(Some(48 * hourUs)))
+        churnHotQ(); churnColdQ() // warm both shapes once, unrecorded
+        // interleave so stream-churn bursts land on both shapes equally
+        val samples = Seq.fill(4)((churnHotQ(), churnColdQ()))
+        (u, samples.map(_._1).sorted.apply(1), samples.map(_._2).sorted.apply(1))
       } finally {
         // stop() interrupts a mid-flight micro-batch; that batch may then
         // log its interruption asynchronously. Swallow here — the JSON line
@@ -198,10 +241,14 @@ object Bench {
         // over stdout).
         try { sq.stop(); sq.awaitTermination(10000L) }
         catch { case _: Throwable => }
+        tierStats = churnTier.stats
+        gateStats = gate.stats
+        churnTier.release()
       }
-      (rps, cMs, idle, under, coldWin, hotWin)
+      (rps, cMs, idle, under, coldWin, hotWin, churnHot, churnCold)
     } catch { case e: Throwable =>
-      e.printStackTrace(); (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0) }
+      e.printStackTrace()
+      (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0) }
 
     // Quiesce completely BEFORE printing the record: any straggler stream,
     // then the session itself, then a grace period for async executor /
@@ -213,7 +260,21 @@ object Bench {
     try spark.stop() catch { case _: Throwable => }
     Thread.sleep(750)
     System.out.flush(); System.err.flush()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"ingest_rows_per_sec":${ingest.round},"compact_ms":${compactMs.round},"query_idle_ms":${idleMs.round},"query_under_ingest_ms":${underMs.round},"window_read_cold_ms":${coldWinMs.round},"window_read_hot_ms":${hotWinMs.round},"queries":$qs,"sf":"$sfDir"}""")
+    def counters(m: Map[String, Long]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"\"$k\":$v" }
+        .mkString("{", ",", "}")
+    val record = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"ingest_rows_per_sec":${ingest.round},"compact_ms":${compactMs.round},"query_idle_ms":${idleMs.round},"query_under_ingest_ms":${underMs.round},"window_read_cold_ms":${coldWinMs.round},"window_read_hot_ms":${hotWinMs.round},"churn_read_hot_ms":${churnHotMs.round},"churn_read_cold_ms":${churnColdMs.round},"hot_tier":${counters(tierStats)},"scan_gate":${counters(gateStats)},"queries":$qs,"sf":"$sfDir"}"""
+    // the driver snapshots only a truncated stdout tail — persist the FULL
+    // record (every per-query timing + the storage/tier/gate legs) to a
+    // file committed each round so the bench surface is auditable like the
+    // correctness surface
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_results.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      record + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: $e") }
+    println(record)
     System.out.flush()
   }
 }

@@ -121,6 +121,28 @@ class GraftTable(
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // ------------------------------------------------------ admission gate --
+
+  // X3 serving integration: the reference gates INSIDE every routing-table
+  // scan (`/root/reference/src/database.rs:12314-12403`); here the serving
+  // entry points ([[recentPage]], [[textSearch]]) route their scan ACTIONS
+  // through the attached gate. Optional — tables used as plain DataFrame
+  // sources (the query library) stay lazy and ungated.
+  @volatile private var gateOpt: Option[ScanGate] = None
+
+  /** Attach admission control to this table's serving entry points. */
+  def attachGate(g: ScanGate): Unit = { gateOpt = Some(g) }
+
+  def attachedGate: Option[ScanGate] = gateOpt
+
+  /** Run `body` under the attached gate (classified by `lookback`), or
+    * bare when no gate is attached. */
+  private def gatedAction[T](lookback: Option[Long])(body: => T): T =
+    gateOpt match {
+      case Some(g) => g.gated(this, lookback)(body)
+      case None => body
+    }
+
   // ------------------------------------------------------------ commits --
 
   /** One committed version: `baseOf = Some(k)` marks a FULL compaction
@@ -849,20 +871,40 @@ class GraftTable(
     * geometrically (1, 2, 4, … newest dates). Total work is ≤ 2× the
     * final bounded scan; a dashboard "recent page" over years of
     * partitions touches exactly the trailing day(s). `predicate` is
-    * applied above the dedup window (version-mutable columns allowed). */
+    * applied above the dedup window (version-mutable columns allowed).
+    *
+    * With a gate attached ([[attachGate]]): every probe runs under
+    * admission control, classified by how deep its date selection
+    * reaches (the exhausted-widening fallback is an unbounded scan), and
+    * the winning page is MATERIALIZED under the gate (`localCheckpoint`
+    * of ≤ k rows) — the caller receives an already-served page instead of
+    * a plan that would re-execute the scan ungated. This also removes the
+    * ungated path's count+fetch double execution for gated serving. */
   def recentPage(k: Int, tieBreak: Seq[Column] = Nil,
       predicate: Column = lit(true)): DataFrame = {
     val order = col(meta.timeColumn).desc +: tieBreak
     def page(df: DataFrame): DataFrame =
       df.filter(predicate).orderBy(order: _*).limit(k)
     val dates = visibleDates(commits())
+    // admission depth of a probe over `sel` (newest-first): now back to
+    // the oldest selected date's start of day
+    def lookbackTo(sel: Seq[String]): Option[Long] = sel.lastOption.map { d =>
+      math.max(0L, graft.functions.GraftClock.nowMicros -
+        java.time.LocalDate.parse(d).atStartOfDay
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L)
+    }
+    def serve(win: DataFrame, lb: Option[Long]): DataFrame =
+      if (gateOpt.isEmpty) win
+      else gatedAction(lb)(win.localCheckpoint())
     var n = 1
     while (n < dates.length) {
       val sel = dates.take(n)
-      if (page(resolvedOn(sel)).count() >= k) return page(resolvedOn(sel))
+      val lb = lookbackTo(sel)
+      if (gatedAction(lb)(page(resolvedOn(sel)).count()) >= k)
+        return serve(page(resolvedOn(sel)), lb)
       n *= 2
     }
-    page(readResolved())
+    serve(page(readResolved()), None)
   }
 
   /** The single base directory when the current snapshot is exactly one
@@ -973,7 +1015,14 @@ class GraftTable(
         .parquet(files: _*)
         .filter(graft.functions.F.text_match(col(column), query))
     }
-    indexed.getOrElse(full)
+    val result = indexed.getOrElse(full)
+    // gated serving: execute the search under admission control and hand
+    // back the materialized hits. An index-pruned search is narrow work
+    // (candidate files only); the unindexed fallback is a full-corpus
+    // scan, which classifies as an unbounded lookback.
+    if (gateOpt.isEmpty) result
+    else gatedAction(if (indexed.isDefined) Some(0L) else None)(
+      result.localCheckpoint())
   }
 
   // ---------------------------------------------------------------- DML --

@@ -81,6 +81,38 @@ class ScanGateSpec extends AnyFunSuite {
     }
   }
 
+  test("deep recentPage waits on a saturated gate while a narrow page proceeds") {
+    withClock(LocalDateTime.of(2024, 3, 4, 0, 0)) {
+      val t = fixture()
+      val gate = new ScanGate(wideLookbackMicros = 24 * H, maxFiles = 0,
+        permits = 1)
+      t.attachGate(gate)
+      val held = new java.util.concurrent.CountDownLatch(1)
+      val acquired = new java.util.concurrent.CountDownLatch(1)
+      val holder = new Thread(() => gate.run(spark, wide = true) {
+        acquired.countDown(); held.await()
+      })
+      holder.start(); acquired.await()
+      // narrow page: the newest date alone satisfies k, lookback stays at
+      // the wide threshold → ungated, proceeds while the permit is held
+      assert(t.recentPage(10).count() == 10)
+      assert(gate.stats("ungated") >= 1)
+      // deep page: widening past the newest date crosses the threshold
+      // (maxFiles=0 disables the work release) → queues behind the permit
+      val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val deep = new Thread(() => {
+        if (t.recentPage(100).count() == 72) done.set(true)
+      })
+      deep.start()
+      Thread.sleep(500)
+      assert(!done.get(), "deep page must wait for the held permit")
+      held.countDown()
+      deep.join(120000); holder.join(10000)
+      assert(done.get(), "deep page must complete once the permit frees")
+      assert(gate.stats("throttled") >= 1)
+    }
+  }
+
   test("the semaphore bounds concurrent gated actions") {
     val gate = new ScanGate(permits = 1)
     val cur = new AtomicInteger(0)
