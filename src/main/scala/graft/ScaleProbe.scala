@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the heavy training-data operators: amplifies the
+  * bench corpus N× with structure-preserving replicas and times the
+  * operators at both scales — a blocked-join implementation should scale
+  * ~linearly in rows; an accidental quadratic (degenerate blocking
+  * bucket, unblocked pair join) shows as a ratio far above the factor.
+  *
+  * Amplification is replica-wise so GROUND TRUTH scales linearly too:
+  *  - `documents`: replica r suffixes every token with `_r` — within a
+  *    replica the n-gram/substring dup structure is EXACTLY the base
+  *    corpus's (every shingle maps 1:1), across replicas token sets are
+  *    disjoint so no new near-dup pairs appear. N× rows → N× dup pairs,
+  *    N× clusters, N× removal spans.
+  *  - `embeddings`: replica r rotates the 64-dim vector by 6·r positions
+  *    — intra-replica cosine structure is preserved exactly (rotation is
+  *    orthogonal), cross-replica cosines decorrelate, so cells/dup sets
+  *    replicate rather than merge.
+  *
+  * Env: SPARK_GRAFT_SF_DIR (base, default sf0.1), SPARK_GRAFT_SCALE_DIR
+  * (default /tmp/graft_sf1), SPARK_GRAFT_SCALE_FACTOR (default 10).
+  * Prints one JSON line: per-query base/scaled seconds and the ratio.
+  */
+object ScaleProbe {
+
+  val Queries = Seq(
+    "q43_dedup_clusters", "q96_leakage_safe_split",
+    "q92_exact_substr_remove", "q75_semantic_dedup",
+    "q83_incremental_dedup")
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!Files.exists(Paths.get(out, "documents.parquet")))
+      amplify(spark, base, out, factor)
+
+    def run(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(Queries.head, base) // warm the JVM/codegen once, unrecorded
+    val rows = Queries.map { q =>
+      val b = run(q, base)
+      val s = run(q, out)
+      System.err.println(f"[probe] $q%-28s base=$b%7.2fs scaled=$s%7.2fs ratio=${s / b}%5.2f")
+      (q, b, s)
+    }
+    val js = rows.map { case (q, b, s) =>
+      f""""$q":{"base_sec":$b%.2f,"scaled_sec":$s%.2f,"ratio":${s / b}%.2f}"""
+    }.mkString("{", ",", "}")
+    spark.stop()
+    println(s"""{"metric":"scale_probe","factor":$factor,"base":"$base","queries":$js}""")
+  }
+
+  /** Build the amplified corpus: structure-preserving replicas for
+    * documents/embeddings, straight file copies for everything else. */
+  def amplify(spark: SparkSession, base: String, out: String,
+      factor: Int): Unit = {
+    Files.createDirectories(Paths.get(out))
+    val all = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events")
+    all.foreach { t =>
+      // raw copy, not a Spark rewrite: preserves exact parquet physical
+      // types (the events ts dtype dispatch must see the original file)
+      Files.copy(Paths.get(base, s"$t.parquet"),
+        Paths.get(out, s"$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    }
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val maxDoc = docs.agg(max("doc_id")).head.getLong(0) + 1
+    replicate(docs, factor) { (df, r) =>
+      val txt =
+        if (r == 0) col("text")
+        else regexp_replace(col("text"), "(\\S+)", "$1_" + r)
+      df.select((col("doc_id") + lit(r * maxDoc)).as("doc_id"),
+        txt.as("text"), col("lang"), col("source"),
+        length(txt).cast("long").as("n_chars"))
+    }.coalesce(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val maxVec = emb.agg(max("vec_id")).head.getLong(0) + 1
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    replicate(emb, factor) { (df, r) =>
+      val k = (6 * r) % dim
+      val rot =
+        if (k == 0) col("embedding")
+        else concat(slice(col("embedding"), k + 1, dim - k),
+          slice(col("embedding"), 1, k))
+      df.select((col("vec_id") + lit(r * maxVec)).as("vec_id"),
+        rot.as("embedding"), col("label"))
+    }.coalesce(4).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  private def replicate(df: DataFrame, factor: Int)(
+      f: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until factor).map(r => f(df, r)).reduce(_ unionByName _)
+}

@@ -55,6 +55,10 @@ import graft.schema.TableSchema
   * window partition to one tenant-day.
   */
 object GraftTable {
+  /** Physical-only shadow column carrying the lead sort key as pushable
+    * int64 micros (see `rgShadowExpr`); never part of a read schema. */
+  val RgKeyColumn = "__rg_key"
+
   /** Cached raw-union plans per (session, table): a bounded MRU of
     * ((schema, dir-set) fingerprint → plan) entries — the current
     * snapshot's full union plus the base/append sub-plans the
@@ -470,6 +474,39 @@ class GraftTable(
     * pay bloom buffers on every column), dictionary opt-OUT per high-
     * entropy free-text column. DataFrameWriter options flow into the job's
     * Hadoop conf, where parquet-mr applies the `#column` suffix per-column. */
+  /** Shadow row-group key: Spark 4's parquet filter builder only matches
+    * the UTC-adjusted timestamp logical type (`ParquetFilters`'
+    * `ParquetTimestampMicrosType` is `timestampType(true, MICROS)`), so a
+    * pushed range on a TIMESTAMP_NTZ column — this engine's time dtype
+    * end-to-end — never reaches row-group stats. When the lead sort key
+    * is NTZ, every written file therefore materializes it as int64
+    * micros under [[GraftTable.RgKeyColumn]]; the FTS sidecar records
+    * ranges of the SHADOW column and pushes them as plain long
+    * predicates, which parquet evaluates against (tight, flush-sorted)
+    * row-group stats. Self-consistent by construction: index build and
+    * query both use the stored values, so the session timezone used at
+    * write time cancels out. Readers never see the column — every read
+    * path uses an explicit schema. Cost: one sorted delta-encoded int64
+    * per row. Files written before this change simply yield nulls →
+    * unbounded ranges → conservative no-op. */
+  private def rgShadowExpr: Option[Column] =
+    meta.sortingColumns.headOption.flatMap(k =>
+      meta.schema.fields.find(_.name == k.column)).collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(f.name).cast("timestamp"))
+    }
+
+  private def withRgShadow(df: DataFrame): DataFrame =
+    rgShadowExpr.map(e => df.withColumn(GraftTable.RgKeyColumn, e))
+      .getOrElse(df)
+
+  /** The column the FTS sidecar ranges over: the shadow key when the
+    * lead sort key needed one, the lead sort key itself when its type is
+    * parquet-pushable, none otherwise. */
+  private def rgRangeColumn: Option[String] =
+    if (rgShadowExpr.isDefined) Some(GraftTable.RgKeyColumn)
+    else meta.sortingColumns.headOption.map(_.column)
+
   private def writerOptions: Map[String, String] = {
     val bloom = meta.bloomFilterColumns.flatMap(c => Seq(
       s"parquet.bloom.filter.enabled#$c" -> "true",
@@ -534,7 +571,7 @@ class GraftTable(
     * record would make that version's readers see phantom columns). */
   private def writeVersion(v: Int, prepared: DataFrame,
       evolvedTo: Option[StructType] = None): Unit = {
-    prepared
+    withRgShadow(prepared)
       // co-locate each (project_id, date) before writing: without this,
       // every task writes a file into every partition directory (tasks ×
       // dirs small files); with it, files per dir ≈ 1 and the
@@ -956,8 +993,21 @@ class GraftTable(
     val base = compactBaseDir().getOrElse(throw new IllegalStateException(
       s"${meta.name}: text index requires a compacted-only snapshot"))
     val v = currentVersion()
-    val rows = spark.read.schema(liveSchema()).parquet(base)
-      .select(input_file_name().as("file"), col(column).as("t"))
+    // Row-group parity (reference tantivy row-ordinal selections,
+    // `src/tantivy_index/search.rs:126-216`): alongside the (gram, file)
+    // pair, record the min/max of the table's LEAD SORT KEY over the rows
+    // holding the gram. Flush sorts files by that key, so parquet
+    // row-group stats are tight on it — a query range derived from these
+    // bounds lets the scan decode only the row groups that can hold hits
+    // (Spark's native rendering of "read only the matching ordinals").
+    val keyCol = rgRangeColumn
+    val readSchema =
+      if (rgShadowExpr.isDefined) liveSchema()
+        .add(GraftTable.RgKeyColumn, org.apache.spark.sql.types.LongType)
+      else liveSchema()
+    val rows = spark.read.schema(readSchema).parquet(base)
+      .select(input_file_name().as("file"), col(column).as("t"),
+        keyCol.map(col).getOrElse(lit(null).cast("long")).as("k"))
     // `raw` fields index one term per DISTINCT (file, whole value) — the
     // identifier/enum shape, where trigram expansion would multiply the
     // index ~|value| times for no pruning benefit; `ngram3` fields index
@@ -965,9 +1015,11 @@ class GraftTable(
     val terms =
       if (ftsTokenizer(column) == "raw")
         rows.filter(col("t").isNotNull)
-          .select(col("file"), lower(col("t")).as("gram"))
-      else rows.select(col("file"), explode(trigrams(col("t"))).as("gram"))
-    terms.distinct()
+          .select(col("file"), lower(col("t")).as("gram"), col("k"))
+      else rows.select(col("file"),
+        explode(trigrams(col("t"))).as("gram"), col("k"))
+    terms.groupBy("file", "gram")
+      .agg(min(col("k")).as("klo"), max(col("k")).as("khi"))
       .write.mode(SaveMode.Overwrite).parquet(textIndexDir(v, column))
   }
 
@@ -981,6 +1033,15 @@ class GraftTable(
     * collects the same pruned file list). Tokens shorter than 3 chars
     * cannot prune (no trigram) and fall through to the full scan's
     * predicate, which still enforces them. */
+  // null-safe widest-bound combiners for index key ranges (null = the
+  // range is unknown → unbounded, the conservative direction)
+  private def cmpAny(a: Any, b: Any): Int =
+    a.asInstanceOf[Comparable[Any]].compareTo(b)
+  private def minAny(a: Any, b: Any): Any =
+    if (a == null || b == null) null else if (cmpAny(a, b) <= 0) a else b
+  private def maxAny(a: Any, b: Any): Any =
+    if (a == null || b == null) null else if (cmpAny(a, b) >= 0) a else b
+
   def textSearch(column: String, query: String): DataFrame = {
     val full = readResolved()
       .filter(graft.functions.F.text_match(col(column), query))
@@ -993,27 +1054,66 @@ class GraftTable(
       if (if (raw) toks.nonEmpty else grams.nonEmpty) &&
         fs.exists(new Path(idx))
     } yield {
-      import spark.implicits._
       // `raw` index rows are whole values, so the candidate test is the
       // text_match predicate itself evaluated on the index entry — exact
       // pruning (a file survives iff some distinct value in it matches),
       // with no minimum token length; `ngram3` rows are trigrams, so a
       // file survives iff it holds EVERY query trigram (conservative:
       // grams may straddle different rows).
-      val files = (
-        if (raw) spark.read.parquet(idx)
+      //
+      // Row-group parity: every hit row's sort key lies inside its gram's
+      // recorded [klo, khi] — for ngram3 a hit holds ALL query grams, so
+      // its key lies in the INTERSECTION [max(klo), min(khi)]; an empty
+      // intersection disproves any single-row hit and drops the file
+      // outright (pruning the reference's file-level index cannot do).
+      // The surviving range is pushed into each file's scan, where
+      // parquet row-group stats on the flush-sort key skip the groups
+      // outside it. `raw` hits are whole matching values, so the range is
+      // their UNION [min(klo), max(khi)].
+      val idxDfRaw = spark.read.parquet(idx)
+      val idxDf = // indexes written before range recording: file-only
+        if (idxDfRaw.columns.contains("klo")) idxDfRaw
+        else idxDfRaw.withColumn("klo", lit(null))
+          .withColumn("khi", lit(null))
+      val cand: Array[(String, Any, Any)] =
+        (if (raw) idxDf
           .filter(toks.map(t => col("gram").contains(lit(t))).reduce(_ && _))
-          .select("file").distinct()
-        else spark.read.parquet(idx)
+          .groupBy("file")
+          .agg(min(col("klo")).as("lo"), max(col("khi")).as("hi"))
+        else idxDf
           .filter(col("gram").isin(grams: _*))
-          .groupBy("file").agg(count_distinct(col("gram")).as("n"))
-          .filter(col("n") === grams.length)
-          .select("file")
-        ).as[String].collect().toSeq
-      if (files.isEmpty) full.limit(0)
-      else spark.read.option("basePath", base).schema(liveSchema())
-        .parquet(files: _*)
-        .filter(graft.functions.F.text_match(col(column), query))
+          .groupBy("file")
+          .agg(count_distinct(col("gram")).as("n"),
+            max(col("klo")).as("lo"), min(col("khi")).as("hi"))
+          .filter(col("n") === grams.length &&
+            (col("lo").isNull || col("hi").isNull || col("lo") <= col("hi")))
+          .drop("n"))
+          .collect().map(r => (r.getString(0), r.get(1), r.get(2)))
+      val keyCol = rgRangeColumn
+      val legSchema =
+        if (rgShadowExpr.isDefined) liveSchema()
+          .add(GraftTable.RgKeyColumn, org.apache.spark.sql.types.LongType)
+        else liveSchema()
+      val pred = graft.functions.F.text_match(col(column), query)
+      def leg(files: Seq[String], lo: Any, hi: Any): DataFrame = {
+        val scan = spark.read.option("basePath", base).schema(legSchema)
+          .parquet(files: _*)
+        val ranged = (keyCol, Option(lo), Option(hi)) match {
+          case (Some(k), Some(l), Some(h)) =>
+            scan.filter(col(k) >= lit(l) && col(k) <= lit(h))
+          case _ => scan
+        }
+        ranged.filter(pred).drop(GraftTable.RgKeyColumn)
+      }
+      if (cand.isEmpty) full.limit(0)
+      else if (cand.length > 32)
+        // many candidates: one multi-file scan with the union range —
+        // still row-group-prunes, without a 1000-leg plan
+        leg(cand.map(_._1).toSeq,
+          cand.map(_._2).reduce((a, b) => minAny(a, b)),
+          cand.map(_._3).reduce((a, b) => maxAny(a, b)))
+      else cand.map { case (f, lo, hi) => leg(Seq(f), lo, hi) }
+        .reduce(_ unionByName _)
     }
     val result = indexed.getOrElse(full)
     // gated serving: execute the search under admission control and hand
@@ -1152,7 +1252,7 @@ class GraftTable(
     val snapSchema = dirsSchema(visibleDirs(cs))
     // resolvedFrom, not a bare union: with partial bases in the snapshot,
     // a leg's subsumed dates must be excluded or the rewrite double-counts
-    resolvedFrom(cs, None)
+    withRgShadow(resolvedFrom(cs, None))
       .repartition(meta.partitions.map(col): _*)
       .sortWithinPartitions(compactOrder: _*)
       .write
@@ -1198,8 +1298,8 @@ class GraftTable(
     val cs = commits()
     if (cs.isEmpty) return
     val v = cs.last.v + 1
-    resolvedFrom(cs, Some(col("date").between(
-        lit(lo.toString).cast("date"), lit(hi.toString).cast("date"))))
+    withRgShadow(resolvedFrom(cs, Some(col("date").between(
+        lit(lo.toString).cast("date"), lit(hi.toString).cast("date")))))
       .repartition(meta.partitions.map(col): _*)
       .sortWithinPartitions(compactOrder: _*)
       .write

@@ -556,6 +556,56 @@ class GraftTableSpec extends AnyFunSuite {
     assert(ids(post).contains("d0") && post.count() == brute.count() + 1)
   }
 
+  test("trigram index key ranges prune row groups inside candidate files") {
+    import spark.implicits._
+    val t = new GraftTable(spark,
+      Files.createTempDirectory("graft_text_rg_").toString, TableSchemas.docStore)
+    // tiny parquet row groups so one file holds many; flush sorts by the
+    // lead sort key (timestamp), so group stats on it are tight
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setInt("parquet.block.size", 4096)
+    try {
+      // one tenant, one day → ONE file; the incident token appears only
+      // in a narrow time window, contiguous under the flush sort
+      val docs = spark.range(2000).select(
+        lit("1").as("project_id"),
+        (lit("2024-05-01 00:00:00").cast("timestamp_ntz")
+          + expr("make_interval(0, 0, 0, 0, 0, 0, id)")).as("timestamp"),
+        concat(lit("d"), col("id")).as("id"),
+        lit("doc").as("name"),
+        concat(
+          when(col("id").between(900, 940),
+            lit("incident kernel_panic trace ")).otherwise(lit("routine ok ")),
+          lit("common filler block "), col("id")).as("content"))
+      t.append(docs, t0(0))
+      t.compact()
+      t.buildTextIndex("content")
+
+      val brute = t.readResolved().filter(
+        graft.functions.F.text_match(col("content"), "kernel_panic"))
+      val res = t.textSearch("content", "kernel_panic")
+      assert(res.select("id").as[String].collect().sorted.toSeq ==
+        brute.select("id").as[String].collect().sorted.toSeq)
+      assert(res.count() == 41)
+
+      // the scan decoded only the row groups covering the incident
+      // window, not the whole candidate file (2000 rows)
+      res.collect()
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case s: FileSourceScanExec => Seq(s)
+        case o => o.children.flatMap(scans)
+      }
+      val qe = res.queryExecution.executedPlan
+      val decoded = scans(qe).map(_.metrics("numOutputRows").value).sum
+      assert(decoded > 0 && decoded < 1000,
+        s"range should confine the decode to the incident's row groups, read $decoded of 2000")
+    } finally hc.unset("parquet.block.size")
+  }
+
   test("raw-tokenized FTS fields index whole values, not trigrams") {
     import spark.implicits._
     // docStore with `name` opted into the reference's `raw` tokenizer
