@@ -49,7 +49,12 @@ object TrainingData {
           + expr("make_interval(0, 0, 0, 0, 0, doc_id, 0)")).as("timestamp"),
         col("doc_id").cast("string").as("id"),
         col("source").as("name"),
-        concat(col("text"), lit(" tag_"), col("lang")).as("content")),
+        // the probe band gives q99 a TIME-CLUSTERED term: doc_ids 100-140
+        // are contiguous under the doc_id-minute event times, so the
+        // sidecar's key ranges confine its scan to the band's row groups
+        concat(col("text"), lit(" tag_"), col("lang"),
+          when(col("doc_id").between(100, 140), lit(" probe_incident_band"))
+            .otherwise(lit(""))).as("content")),
         Some(java.time.LocalDateTime.of(2024, 6, 1, 0, 0)))
       t.compact()
       t.buildTextIndex("content")
@@ -216,6 +221,17 @@ object TrainingData {
     "q49_text_prefilter" -> { (s, dir) =>
       docStore(s, dir)
         .textSearch("content", "tag_zh vector dup")
+        .select(col("project_id"), col("id"))
+        .orderBy("id")
+    },
+
+    // ---- row-group-pruned FTS (S3 row-ordinal parity): the probe term's
+    // hits are time-contiguous, so the sidecar's per-file key-range
+    // intersection confines the candidate scan to the band's row groups;
+    // the oracle replays the band from raw parquet
+    "q99_text_rowgroup" -> { (s, dir) =>
+      docStore(s, dir)
+        .textSearch("content", "probe_incident_band")
         .select(col("project_id"), col("id"))
         .orderBy("id")
     },
@@ -761,6 +777,11 @@ object TrainingData {
           |WHERE contains(lower(text || ' tag_' || lang), 'tag_zh')
           |  AND contains(lower(text || ' tag_' || lang), 'vector')
           |  AND contains(lower(text || ' tag_' || lang), 'dup')
+          |ORDER BY CAST(doc_id AS VARCHAR)""".stripMargin,
+
+      "q99_text_rowgroup" ->
+        """SELECT lang AS project_id, CAST(doc_id AS VARCHAR) AS id
+          |FROM documents WHERE doc_id BETWEEN 100 AND 140
           |ORDER BY CAST(doc_id AS VARCHAR)""".stripMargin,
 
       "q32_token_count" ->

@@ -14,7 +14,8 @@ object GraftStats {
 
   def df(spark: SparkSession, tables: Seq[GraftTable] = Seq.empty,
       tiers: Seq[HotTier] = Seq.empty,
-      gates: Seq[ScanGate] = Seq.empty): DataFrame = {
+      gates: Seq[ScanGate] = Seq.empty,
+      buffers: Seq[BufferedWriteLayer] = Seq.empty): DataFrame = {
     val sc = spark.sparkContext
     val session = Seq(
       ("session", "spark_version", spark.version),
@@ -51,14 +52,23 @@ object GraftStats {
     val perGate = gates.flatMap { g =>
       g.stats.toSeq.map { case (k, v) => (s"scan_gate.${g.label}", k, v.toString) }
     }
+    // buffer/WAL rows (the reference's stats expose WAL + mem-buffer
+    // state the same flat way)
+    val perBuffer = buffers.flatMap { b =>
+      val c = s"buffer.${b.table.meta.name}@${b.table.root}"
+      Seq((c, "buffered_rows", b.bufferedRows.toString),
+        (c, "durable", b.durable.toString))
+    }
     import spark.implicits._
-    (session ++ perTable ++ perTier ++ perGate)
+    (session ++ perTable ++ perTier ++ perGate ++ perBuffer)
       .toDF("component", "key", "value")
   }
 
   /** Register the introspection view (reference exposes it as a table). */
   def register(spark: SparkSession, tables: Seq[GraftTable] = Seq.empty,
       tiers: Seq[HotTier] = Seq.empty,
-      gates: Seq[ScanGate] = Seq.empty): Unit =
-    df(spark, tables, tiers, gates).createOrReplaceTempView("graft_stats")
+      gates: Seq[ScanGate] = Seq.empty,
+      buffers: Seq[BufferedWriteLayer] = Seq.empty): Unit =
+    df(spark, tables, tiers, gates, buffers)
+      .createOrReplaceTempView("graft_stats")
 }

@@ -59,6 +59,18 @@ class GraftStatsSpec extends AnyFunSuite {
       "SELECT key, value FROM graft_stats WHERE component = 'scan_gate.graft_wide'")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(gateRows("gated") == "1")
+    val buf = new graft.sources.BufferedWriteLayer(t, durable = true)
+    buf.insert(spark.range(2).select(
+      lit("1").as("project_id"),
+      lit("2024-03-01 01:00:00").cast("timestamp_ntz").as("timestamp"),
+      concat(lit("b"), col("id")).as("id"),
+      lit("n").as("name")),
+      Some(java.time.LocalDateTime.of(2024, 3, 2, 1, 0)))
+    GraftStats.register(spark, Seq(t), Seq(tier), Seq(gate), Seq(buf))
+    val bufRows = spark.sql(
+      s"SELECT key, value FROM graft_stats WHERE component = 'buffer.mor_versioned@${t.root}'")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(bufRows("buffered_rows") == "2" && bufRows("durable") == "true")
   }
 
   test("tenant guard accepts project_id carried in a join condition") {
