@@ -107,7 +107,15 @@ class HotTier(
       * `SUPPRESSION_COOLDOWN` = 30 min). */
     val cooldownMicros: Long = 30L * 60 * 1000000,
     /** Row ceiling for one pinned slice (`leg_budget_bytes` analogue). */
-    val maxHotRows: Long = 10000000L) {
+    val maxHotRows: Long = 10000000L,
+    /** Partitions a pinned slice is compacted to at build time. The
+      * resolved view's dedup window leaves shuffle-partition-count
+      * partitions behind; serving a dashboard slice through dozens of
+      * mostly-empty cached partitions pays task-scheduling overhead per
+      * read. Demotion eats one repartition (off the read path — the
+      * reference likewise pays at demotion to mmap ONE IPC file per
+      * bucket) so every in-window read schedules a handful of tasks. */
+    val slicePartitions: Int = 8) {
 
   private val tsCol = table.meta.timeColumn
 
@@ -184,6 +192,7 @@ class HotTier(
         case _ => table.readResolved()
       }
       val df = src.filter(col(tsCol) >= tsLit(cutoff))
+        .repartition(math.max(1, slicePartitions))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val n = df.count() // materializes the slice
       if (n > maxHotRows) {
