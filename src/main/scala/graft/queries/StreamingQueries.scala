@@ -56,6 +56,38 @@ object StreamingQueries {
     new GraftTable(s, root, TableSchemas.bucketCounts)
   }
 
+  private val pctBuilt = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Continuous exact-percentile aggregate run as the same bounded
+    * 3-file replay as [[aggTable]]: update-mode corrections
+    * version-append into a MOR table; the resolved view must equal
+    * DuckDB's batch quantile_cont over the same events. */
+  private def pctTable(s: SparkSession, dir: String): GraftTable = {
+    val root = pctBuilt.getOrElseUpdate(dir, {
+      val r = graft.tables.TempDirs.create("graft_stream_pct_")
+      val srcDir = r + "/src"
+      Tables.events(s, dir).select(
+        (col("user_id") % 5).cast("string").as("key"),
+        col("ts").cast("timestamp").as("ts"), col("value"))
+        .repartition(3).write.parquet(srcDir)
+      val src = s.readStream
+        .schema(StructType(Seq(StructField("key", StringType),
+          StructField("ts", TimestampType),
+          StructField("value", org.apache.spark.sql.types.DoubleType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val t = new GraftTable(s, r, TableSchemas.bucketStats)
+      val q = StreamingAnalytics.continuousPercentiles(src, t, "ts",
+        "1 hour", "365 days", "key", "value", r + "/chk",
+        Trigger.AvailableNow(),
+        stamp = Some(bid =>
+          java.time.LocalDateTime.of(2024, 6, 1, 0, 0).plusSeconds(bid)))
+      q.awaitTermination()
+      r
+    })
+    new GraftTable(s, root, TableSchemas.bucketStats)
+  }
+
   private val joinBuilt = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Stream-stream interval join run to completion as two bounded file
@@ -318,6 +350,14 @@ object StreamingQueries {
         .orderBy("project_id", "hour")
     },
 
+    // ---- continuous exact percentile aggregate (percentile face of q51) --
+    "q100_streaming_percentile" -> { (s, dir) =>
+      pctTable(s, dir).readResolved()
+        .select(col("project_id"),
+          col("timestamp").as("hour"), col("p50"), col("p95"), col("n"))
+        .orderBy("project_id", "hour")
+    },
+
     // ---- stream-stream interval join (funnel/attribution shape) ----------
     "q70_stream_stream_join" -> { (s, dir) =>
       s.read.parquet(funnelOut(s, dir) + "/out")
@@ -392,6 +432,14 @@ object StreamingQueries {
     "q51_streaming_continuous_agg" ->
       """SELECT CAST(user_id % 5 AS VARCHAR) AS project_id,
         | date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        | count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q100_streaming_percentile" ->
+      """SELECT CAST(user_id % 5 AS VARCHAR) AS project_id,
+        | date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        | round(quantile_cont(value, 0.5), 6) AS p50,
+        | round(quantile_cont(value, 0.95), 6) AS p95,
         | count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 

@@ -119,6 +119,24 @@ object TableSchemas {
       StructField("deleted", BooleanType)
     )))
 
+  /** Continuous-percentile target (StreamingAnalytics
+    * .continuousPercentiles): one row per (bucket_start, key) whose
+    * latest version carries the bucket's current exact p50/p95/count —
+    * the percentile counterpart of [[bucketCounts]]. */
+  val bucketStats: TableSchema = TableSchema(
+    name = "bucket_stats",
+    schema = StructType(Seq(
+      StructField("project_id", StringType, nullable = true),
+      StructField("date", DateType, nullable = true),
+      StructField("timestamp", TimestampNTZType, nullable = false),
+      StructField("id", StringType, nullable = false),
+      StructField("p50", DoubleType),
+      StructField("p95", DoubleType),
+      StructField("n", LongType),
+      StructField("updated_at", TimestampNTZType),
+      StructField("deleted", BooleanType)
+    )))
+
   /** Document store for the training-data pipeline: free-text `content`
     * is dictionary-disabled (the reference's high-entropy opt-out,
     * `otel_logs_and_spans.yaml:230-233`) and carries the trigram text

@@ -76,6 +76,94 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** Exact per-bucket percentiles as a watermarked streaming aggregation
+    * — the percentile face of the continuous aggregate (reference users'
+    * `percentile_agg` over `time_bucket` windows). `collect_list` is a
+    * streaming-legal imperative aggregate, so the whole operator stays
+    * DECLARATIVE: state per (key, bucket) is the bucket's value multiset,
+    * and every update-mode emission recomputes the interpolated
+    * percentiles (PostgreSQL `percentile_cont` semantics:
+    * `lo + (hi − lo) · frac` at rank `(n−1)·p`) — order-independent, so
+    * the streamed result is bit-equal to the batch answer and the DuckDB
+    * oracle can gate it.
+    *
+    * State honesty: an EXACT percentile needs the full multiset, so state
+    * is O(rows in bucket) — the right default for dashboard-width buckets
+    * (an hour of one tenant). For unbounded-cardinality buckets swap in
+    * [[digestPercentiles]]'s fixed-size sketch — the reference's
+    * percentile_agg makes exactly that trade. */
+  def bucketPercentiles(source: DataFrame, timeCol: String, bucket: String,
+      watermark: String, key: String, valueCol: String,
+      ps: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
+    def interp(vs: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column, p: Double): org.apache.spark.sql.Column = {
+      val h = (n - 1) * lit(p)
+      val lo = floor(h).cast("int")
+      val frac = h - floor(h)
+      val vLo = element_at(vs, lo + 1)
+      val vHi = element_at(vs, least(lo + 2, n).cast("int"))
+      round(vLo + (vHi - vLo) * frac, 6)
+    }
+    source
+      .withWatermark(timeCol, watermark)
+      .groupBy(col(key), window(col(timeCol), bucket).as("__w"))
+      .agg(collect_list(col(valueCol)).as("__vs"))
+      .select(
+        Seq(col(key),
+          col("__w.start").cast("timestamp_ntz").as("bucket_start"),
+          size(col("__vs")).cast("long").as("n")) ++
+        ps.map(p => interp(sort_array(col("__vs")), size(col("__vs")), p)
+          .as(s"p${(p * 100).round}")): _*)
+  }
+
+  /** The bounded-state variant: one t-digest sketch per (key, bucket)
+    * ([[graft.functions.PercentileAggSketch]] is a
+    * `TypedImperativeAggregate`, hence streaming-legal) — fixed state per
+    * bucket regardless of row count, quantile error per the digest's
+    * compression. Emissions carry the serialized sketch; read quantiles
+    * with `PercentileAgg.approx_percentile`. Digest merge order varies
+    * with partitioning,
+    * so results are approximate AND run-order-dependent — spec-gated by
+    * error bound, not oracle hash (the exact operator above is the
+    * oracle-gated face). */
+  def digestPercentiles(source: DataFrame, timeCol: String, bucket: String,
+      watermark: String, key: String, valueCol: String): DataFrame =
+    source
+      .withWatermark(timeCol, watermark)
+      .groupBy(col(key), window(col(timeCol), bucket).as("__w"))
+      .agg(graft.functions.PercentileAgg.percentile_agg(col(valueCol))
+        .as("digest"))
+      .select(col(key),
+        col("__w.start").cast("timestamp_ntz").as("bucket_start"),
+        col("digest"))
+
+  /** Maintain [[bucketPercentiles]] in a merge-on-read table (same
+    * convergence contract as [[continuousAggregate]]: update-mode
+    * re-emissions version-append, keep-greatest resolves to the latest
+    * correction). */
+  def continuousPercentiles(source: DataFrame, table: GraftTable,
+      timeCol: String, bucket: String, watermark: String, key: String,
+      valueCol: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      stamp: Option[Long => java.time.LocalDateTime] = None): StreamingQuery =
+    bucketPercentiles(source, timeCol, bucket, watermark, key, valueCol)
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val st = stamp.map(_(batchId))
+          .getOrElse(StreamingIngest.persistedStamp(table, checkpoint, batchId))
+        table.append(
+          batch.select(
+            col(key).as("project_id"),
+            col("bucket_start").as("timestamp"),
+            col(key).as("id"),
+            col("p50"), col("p95"), col("n")),
+          Some(st))
+      }
+      .start()
+
   /** Watermarked stream-stream event-time interval join — the funnel /
     * attribution shape ("purchase within N minutes of a view by the same
     * user") that needs BOTH sides buffered in state. Inner join on

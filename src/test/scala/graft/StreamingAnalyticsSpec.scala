@@ -111,6 +111,52 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming percentiles: exact equals batch; digest stays within error") {
+    import spark.implicits._
+    val src = tmp("graft_pct_src_")
+    // two batches into the same bucket — the update-mode recompute must
+    // fold both multisets (values chosen so p50 moves between batches)
+    def vals(rows: Seq[(String, Double)]): DataFrame =
+      rows.toDF("key", "value").select(col("key"),
+        lit("2024-03-01 10:15:00").cast("timestamp").as("ts"), col("value"))
+    appendFile(src, vals(Seq(("a", 1.0), ("a", 2.0), ("a", 3.0))))
+    appendFile(src, vals(Seq(("a", 10.0), ("a", 20.0))))
+    val stream = spark.readStream
+      .schema(vals(Seq(("a", 0.0))).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val out = tmp("graft_pct_out_")
+    val q = StreamingAnalytics.bucketPercentiles(stream, "ts", "1 hour",
+        "10 days", "key", "value")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("pct_exact")
+      .option("checkpointLocation", out + "/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // last update-mode emission carries the full multiset's percentiles:
+    // sorted [1,2,3,10,20] → p50 = 3.0 (exact PG percentile_cont)
+    val last = spark.sql(
+      "SELECT p50, p95, n FROM pct_exact ORDER BY n DESC LIMIT 1").head
+    assert(last.getLong(2) == 5L)
+    assert(last.getDouble(0) == 3.0)
+    assert(math.abs(last.getDouble(1) - 18.0) < 1e-9) // 10 + (20-10)*0.8
+
+    // digest variant: bounded state, quantiles within digest error
+    val q2 = StreamingAnalytics.digestPercentiles(stream, "ts", "1 hour",
+        "10 days", "key", "value")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("pct_digest")
+      .option("checkpointLocation", out + "/chk2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val dig = spark.table("pct_digest")
+      .select(graft.functions.PercentileAgg.approx_percentile(0.5,
+        col("digest")).as("p50"))
+      .orderBy(col("p50").desc).head.getDouble(0)
+    // 5 points, compression 100 → the digest holds them exactly;
+    // its median definition may sit on either neighbor of the true one
+    assert(dig >= 2.0 && dig <= 10.0, s"digest p50=$dig")
+  }
+
   test("sessionize closes sessions via later batches and event-time timeout") {
     val src = tmp("graft_sess_src_")
     val q = StreamingAnalytics.sessionize(fileStream(src), "key", "ts",
