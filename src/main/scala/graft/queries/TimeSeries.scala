@@ -200,6 +200,93 @@ object TimeSeries {
     // to time_bucket/percentile_agg): LOCF integral over each user's
     // observation span — irregular samples weighted by how long they held,
     // not how often they fired. One window pass + one aggregation.
+    // ---- counter-reset-aware increase (PromQL increase() / TimescaleDB
+    // counter_agg): a monotone counter that occasionally resets to zero
+    // contributes its delta per consecutive sample, and a reset
+    // (value < prev) contributes the post-reset value. One window per
+    // series (shuffle keyed by series — parallel across the fleet's
+    // series cardinality), deltas summed per (series, bucket) through
+    // DECIMAL so Spark/DuckDB float summation order cannot diverge.
+    "q101_counter_increase" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+        .withColumn("__prev", lag(col("value"), 1).over(w))
+        .withColumn("__inc",
+          when(col("__prev").isNull, lit(0.0))
+            .when(col("value") < col("__prev"), col("value"))
+            .otherwise(col("value") - col("__prev")))
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"))
+        .agg(sum(col("__inc").cast(DecimalType(18, 6))).cast("double")
+          .as("increase"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type", "hour")
+    },
+
+    // ---- per-bucket linear trend (TimescaleDB stats_agg slope/intercept):
+    // closed-form least squares from four sums, each routed through
+    // DECIMAL so the only floating-point steps are per-row products and
+    // the final division — deterministic on both engines regardless of
+    // aggregation order. x is seconds into the bucket (bounded, so the
+    // decimal sums cannot overflow at any row count that fits a bucket).
+    "q102_bucket_trend" -> { (s, dir) =>
+      val d = DecimalType(30, 8)
+      val ev = Tables.events(s, dir)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("x",
+          (unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("day").cast("timestamp"))).cast("double") / 1e6)
+      val sums = ev.groupBy(col("event_type"),
+          col("day").cast("timestamp_ntz").as("day"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("x").cast(d)).cast("double").as("sx"),
+          sum(col("value").cast(d)).cast("double").as("sy"),
+          sum((col("x") * col("value")).cast(d)).cast("double").as("sxy"),
+          sum((col("x") * col("x")).cast(d)).cast("double").as("sx2"))
+      val den = col("n") * col("sx2") - col("sx") * col("sx")
+      sums
+        .withColumn("slope",
+          when(den === 0, lit(null))
+            .otherwise(round((col("n") * col("sxy") - col("sx") * col("sy"))
+              / den, 6)))
+        .withColumn("intercept",
+          when(den === 0, lit(null))
+            .otherwise(round((col("sy") * col("sx2") - col("sx") * col("sxy"))
+              / den, 6)))
+        .select(col("event_type"), col("day"), col("n").cast("long").as("n"),
+          col("slope"), col("intercept"))
+        .orderBy("event_type", "day")
+    },
+
+    // ---- robust outlier counting (median/MAD): the alerting shape —
+    // per series, how many points sit beyond k·MAD of the median. Two
+    // grouped exact percentiles (one to fix the median, one over the
+    // absolute deviations after a broadcast-size join back), comparisons
+    // only afterwards — order-independent, so oracle-exact.
+    "q103_outlier_mad" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val med = ev.groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.5)).as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("ad", abs(col("value") - col("med")))
+      val stats = dev.groupBy("event_type")
+        .agg(min(col("med")).as("med"),
+          percentile(col("ad"), lit(0.5)).as("mad"),
+          count(lit(1)).as("n"))
+      val outliers = dev
+        .join(broadcast(stats.select(col("event_type"), col("mad"))),
+          "event_type")
+        .filter(col("ad") > lit(3.0) * col("mad"))
+        .groupBy("event_type").agg(count(lit(1)).as("n_outliers"))
+      stats.join(outliers, Seq("event_type"), "left")
+        .select(col("event_type"), round(col("med"), 6).as("median"),
+          round(col("mad"), 6).as("mad"), col("n"),
+          coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    },
+
     "q86_time_weighted_avg" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy("ts")
@@ -363,6 +450,61 @@ object TimeSeries {
         |   ROWS UNBOUNDED PRECEDING), 6) AS value_locf
         |FROM series s LEFT JOIN hourly h USING (user_id, bucket)
         |ORDER BY s.user_id, s.bucket""".stripMargin,
+
+    "q101_counter_increase" ->
+      """WITH d AS (
+        | SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value,
+        |   lag(value) OVER (PARTITION BY event_type
+        |     ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+        | FROM events)
+        |SELECT event_type, date_trunc('hour', ts) AS hour,
+        |  CAST(sum(CAST(CASE WHEN prev IS NULL THEN 0
+        |    WHEN value < prev THEN value
+        |    ELSE value - prev END AS DECIMAL(18,6))) AS DOUBLE) AS increase,
+        |  count(*) AS n
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q102_bucket_trend" ->
+      """WITH b AS (
+        | SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |   (epoch_us(CAST(ts AS TIMESTAMP))
+        |     - epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))) / 1e6 AS x,
+        |   value
+        | FROM events),
+        |s AS (
+        | SELECT event_type, day,
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(CAST(x AS DECIMAL(30,8))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(x * value AS DECIMAL(30,8))) AS DOUBLE) AS sxy,
+        |  CAST(sum(CAST(x * x AS DECIMAL(30,8))) AS DOUBLE) AS sx2
+        | FROM b GROUP BY 1, 2)
+        |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+        |  round((n * sxy - sx * sy) / NULLIF(n * sx2 - sx * sx, 0), 6)
+        |    AS slope,
+        |  round((sy * sx2 - sx * sxy) / NULLIF(n * sx2 - sx * sx, 0), 6)
+        |    AS intercept
+        |FROM s ORDER BY 1, 2""".stripMargin,
+
+    "q103_outlier_mad" ->
+      """WITH m AS (
+        | SELECT event_type, quantile_cont(value, 0.5) AS med
+        | FROM events GROUP BY 1),
+        |d AS (
+        | SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+        | FROM events e JOIN m USING (event_type)),
+        |s AS (
+        | SELECT event_type, min(med) AS med,
+        |  quantile_cont(ad, 0.5) AS mad, count(*) AS n
+        | FROM d GROUP BY 1),
+        |o AS (
+        | SELECT d.event_type, count(*) AS n_outliers
+        | FROM d JOIN s USING (event_type)
+        | WHERE d.ad > 3.0 * s.mad GROUP BY 1)
+        |SELECT s.event_type, round(s.med, 6) AS median,
+        |  round(s.mad, 6) AS mad, s.n,
+        |  coalesce(o.n_outliers, 0) AS n_outliers
+        |FROM s LEFT JOIN o USING (event_type) ORDER BY 1""".stripMargin,
 
     "q86_time_weighted_avg" ->
       """WITH seq AS (
