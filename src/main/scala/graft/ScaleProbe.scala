@@ -31,7 +31,11 @@ object ScaleProbe {
   val Queries = Seq(
     "q43_dedup_clusters", "q96_leakage_safe_split",
     "q92_exact_substr_remove", "q75_semantic_dedup",
-    "q83_incremental_dedup")
+    "q83_incremental_dedup",
+    // the similarity family — where a degenerate blocking bucket or an
+    // unblocked pair join would hide its quadratic
+    "q25_near_dup_jaccard", "q26_minhash_lsh", "q53_ngram_jaccard",
+    "q47_embedding_dedup", "q57_cross_doc_ngrams")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

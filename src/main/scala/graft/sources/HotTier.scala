@@ -182,8 +182,12 @@ class HotTier(
 
     // materialize OUTSIDE the monitor — reads proceed (cold) meanwhile.
     // Widest window first; narrower windows filter the widest persisted
-    // frame instead of re-reading parquet (subset by construction).
-    var widest: Option[(Long, DataFrame)] = None // (cutoff, frame)
+    // frame instead of re-reading parquet (subset by construction) —
+    // including a widest slice ALREADY pinned for this version (its
+    // staleness was just checked under the monitor).
+    var widest: Option[(Long, DataFrame)] = // (cutoff, frame)
+      synchronized(built.values.toSeq.sortBy(_.cutoff).headOption
+        .map(s => (s.cutoff, s.df)))
     var staged = List.empty[(Long, Long, DataFrame, Long)] // (ret, cutoff, df, n)
     missing.sorted(Ordering[Long].reverse).foreach { ret =>
       val cutoff = now - ret
@@ -204,7 +208,7 @@ class HotTier(
           ctr("oversize_skips") += 1; ctr("wasted_builds") += 1
         }
       } else {
-        if (widest.isEmpty) widest = Some((cutoff, df))
+        if (widest.forall(_._1 > cutoff)) widest = Some((cutoff, df))
         staged ::= ((ret, cutoff, df, n))
       }
     }
