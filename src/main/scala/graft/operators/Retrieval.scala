@@ -38,7 +38,9 @@ object Retrieval {
     Prep(lens, tf)
   }
 
-  private def bm25Scores(p: Prep, idCol: String, k1: Double,
+  /** Per-(doc, query-term) BM25 contributions — the shared kernel of the
+    * single-query ranker and the multi-query evaluator. */
+  private def bm25TermScores(p: Prep, idCol: String, k1: Double,
       b: Double): DataFrame = {
     val stats = p.lens.agg(count(lit(1)).cast("double").as("__n"),
       avg(col("__dl")).as("__avgdl"))
@@ -53,10 +55,14 @@ object Retrieval {
       .withColumn("__s", col("__idf") * col("__tf") * (k1 + 1) /
         (col("__tf") +
           (col("__dl") / col("__avgdl") * b + (1 - b)) * k1))
+  }
+
+  private def bm25Scores(p: Prep, idCol: String, k1: Double,
+      b: Double): DataFrame =
+    bm25TermScores(p, idCol, k1, b)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_terms_hit"),
         round(sum(col("__s")), 4).as("score"))
-  }
 
   private def qlScores(p: Prep, idCol: String, mu: Double): DataFrame = {
     val total = p.lens.agg(sum(col("__dl")).cast("double").as("__ct"))
@@ -91,6 +97,74 @@ object Retrieval {
       terms: Seq[String], k: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame =
     topK(bm25Scores(prep(df, idCol, textCol, terms), idCol, k1, b), idCol, k)
+
+  /** Retrieval-quality evaluation at corpus scale: BM25-rank a BATCH of
+    * bag-of-words queries in one tokenization pass, grade relevance as
+    * the count of distinct query terms a document contains (graded
+    * qrels derived deterministically from the corpus itself — the
+    * standard proxy when no human judgments exist), and report
+    * recall@k / DCG@k / nDCG@k per query.
+    *
+    * Scale design: the queries frame is a broadcast literal; per-term
+    * scores are computed ONCE over the union of all queries' terms and
+    * fan out to queries through the broadcast join, so q queries cost
+    * one corpus pass, not q. Ranks come from one window partitioned by
+    * query (state per query = its candidate set, not the corpus). The
+    * DCG sums route each term through round-then-DECIMAL so Spark and a
+    * SQL replay agree bit-for-bit regardless of summation order.
+    *
+    * Returns one row per query:
+    * `(query_id, n_rel, hits_at_k, recall_at_k, dcg_at_k, ndcg_at_k)`. */
+  def bm25Evaluate(df: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Int, Seq[String])], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queries.nonEmpty, "bm25Evaluate needs at least one query")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val qt = broadcast(
+      queries.flatMap { case (q, ts) => ts.distinct.map(q -> _) }
+        .toDF("query_id", "__t"))
+    val per = bm25TermScores(
+      prep(df, idCol, textCol, allTerms), idCol, k1, b)
+    // per (query, doc): score over the query's own terms; grade = how
+    // many of them the doc contains (graded relevance, 1..|terms|)
+    val scored = per.join(qt, "__t")
+      .groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(col("__s")), 4).as("score"),
+        count(lit(1)).as("grade"))
+    val byScore = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    val byGrade = Window.partitionBy(col("query_id"))
+      .orderBy(col("grade").desc, col(idCol).asc)
+    val ranked = scored
+      .withColumn("rnk", row_number().over(byScore))
+      .withColumn("irnk", row_number().over(byGrade))
+    val d = org.apache.spark.sql.types.DecimalType(30, 12)
+    def gain(rank: org.apache.spark.sql.Column) =
+      round(col("grade").cast("double") / log(2.0, rank + 1), 8).cast(d)
+    val metrics = ranked.groupBy("query_id")
+      .agg(
+        count(lit(1)).as("__nr"),
+        sum(when(col("rnk") <= k, 1L).otherwise(0L)).as("__hits"),
+        sum(when(col("rnk") <= k, gain(col("rnk"))).otherwise(lit(0).cast(d)))
+          .cast("double").as("__dcg"),
+        sum(when(col("irnk") <= k, gain(col("irnk"))).otherwise(lit(0).cast(d)))
+          .cast("double").as("__idcg"))
+    // a query whose terms hit NOTHING is a result, not an absent row:
+    // counters zero, ratio metrics null (0/0 has no value)
+    val qids = broadcast(queries.map(_._1).distinct.toDF("query_id"))
+    qids.join(metrics, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("__nr"), lit(0L)).as("n_rel"),
+        coalesce(col("__hits"), lit(0L)).as("hits_at_k"),
+        round(col("__hits").cast("double") / col("__nr"), 6)
+          .as("recall_at_k"),
+        round(col("__dcg"), 6).as("dcg_at_k"),
+        round(col("__dcg") / col("__idcg"), 6).as("ndcg_at_k"))
+      .orderBy("query_id")
+  }
 
   /** Dirichlet-smoothed query-likelihood top-`k` — the language-modeling
     * retrieval family (vs BM25's probabilistic-relevance family):

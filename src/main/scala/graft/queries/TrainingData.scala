@@ -495,6 +495,18 @@ object TrainingData {
         Seq("spark", "shuffle", "window"), k = 25)
     },
 
+    // ---- retrieval-quality evaluation: recall@k / DCG@k / nDCG@k over a
+    // batch of BM25-ranked queries, graded qrels derived from the corpus
+    // (grade = distinct query terms present). One corpus pass for all
+    // queries; metrics per query.
+    "q104_retrieval_metrics" -> { (s, dir) =>
+      Retrieval.bm25Evaluate(Tables.documents(s, dir), "doc_id", "text",
+        Seq(1 -> Seq("spark", "shuffle", "window"),
+          2 -> Seq("spark", "window"),
+          3 -> Seq("shuffle")),
+        k = 10)
+    },
+
     // ---- hybrid retrieval: BM25 + query-likelihood fused by RRF ------------
     "q79_hybrid_rrf" -> { (s, dir) =>
       Retrieval.hybridTopK(Tables.documents(s, dir), "doc_id", "text",
@@ -1238,6 +1250,61 @@ object TrainingData {
           |   + coalesce(1.0 / (rank_b + 60), 0), 6) AS rrf
           |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
           |ORDER BY rrf DESC, doc_id LIMIT 25""".stripMargin,
+
+      "q104_retrieval_metrics" ->
+        """WITH qt AS (
+          | SELECT * FROM (VALUES (1,'spark'),(1,'shuffle'),(1,'window'),
+          |   (2,'spark'),(2,'window'),(3,'shuffle')) v(query_id, t)),
+          |docs AS (
+          | SELECT doc_id,
+          |  regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+          | FROM documents),
+          |lens AS (SELECT doc_id, len(ws) AS dl FROM docs),
+          |stats AS (
+          | SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM lens),
+          |tf AS (
+          | SELECT doc_id, t, count(*) AS tf
+          | FROM (SELECT doc_id, unnest(ws) AS t FROM docs)
+          | WHERE t IN (SELECT DISTINCT t FROM qt)
+          | GROUP BY doc_id, t),
+          |dfreq AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t),
+          |per AS (
+          | SELECT tf.doc_id, tf.t,
+          |  ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1)
+          |   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
+          | FROM tf JOIN dfreq USING (t) JOIN lens USING (doc_id)
+          | CROSS JOIN stats),
+          |scored AS (
+          | SELECT qt.query_id, per.doc_id, round(sum(s), 4) AS score,
+          |  count(*) AS grade
+          | FROM per JOIN qt USING (t) GROUP BY 1, 2),
+          |ranked AS (
+          | SELECT query_id, doc_id, grade,
+          |  row_number() OVER (PARTITION BY query_id
+          |    ORDER BY score DESC, doc_id) AS rnk,
+          |  row_number() OVER (PARTITION BY query_id
+          |    ORDER BY grade DESC, doc_id) AS irnk
+          | FROM scored),
+          |m AS (
+          | SELECT query_id, count(*) AS n_rel,
+          |  CAST(sum(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS hits_at_k,
+          |  CAST(sum(CASE WHEN rnk <= 10
+          |    THEN CAST(round(grade / log2(rnk + 1.0), 8) AS DECIMAL(30,12))
+          |    ELSE CAST(0 AS DECIMAL(30,12)) END) AS DOUBLE) AS dcg,
+          |  CAST(sum(CASE WHEN irnk <= 10
+          |    THEN CAST(round(grade / log2(irnk + 1.0), 8) AS DECIMAL(30,12))
+          |    ELSE CAST(0 AS DECIMAL(30,12)) END) AS DOUBLE) AS idcg
+          | FROM ranked GROUP BY 1)
+          |SELECT qd.query_id,
+          |  coalesce(n_rel, 0) AS n_rel,
+          |  coalesce(hits_at_k, 0) AS hits_at_k,
+          |  round(hits_at_k / CAST(n_rel AS DOUBLE), 6) AS recall_at_k,
+          |  round(dcg, 6) AS dcg_at_k,
+          |  round(dcg / idcg, 6) AS ndcg_at_k
+          |FROM (SELECT DISTINCT query_id FROM qt) qd
+          |LEFT JOIN m ON qd.query_id = m.query_id
+          |ORDER BY qd.query_id""".stripMargin,
 
       "q77_bm25_topk" ->
         """WITH docs AS (
