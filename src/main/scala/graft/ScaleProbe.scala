@@ -50,7 +50,10 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!Files.exists(Paths.get(out, "documents.parquet")))
+    // resume guard keys on the LAST artifact amplify writes: a run that
+    // died between the documents and embeddings writes must rebuild, not
+    // silently serve a half-built scale dir
+    if (!Files.exists(Paths.get(out, "embeddings.parquet")))
       amplify(spark, base, out, factor)
 
     def run(name: String, dir: String): Double = {

@@ -24,37 +24,53 @@ import graft.tables.Tables
   * exactly the batch answer. */
 object StreamingQueries {
 
-  private val built = scala.collection.concurrent.TrieMap[String, String]()
-
-  private def aggTable(s: SparkSession, dir: String): GraftTable = {
-    val root = built.getOrElseUpdate(dir, {
-      val r = graft.tables.TempDirs.create("graft_stream_agg_")
-      // bounded source: the events table as 3 parquet files, consumed one
-      // file per micro-batch (so buckets really are corrected across
-      // batches, not computed in one shot)
+  /** Shared bounded-replay harness for the continuous-aggregate
+    * fixtures: dump a projection of events as 3 parquet files, stream
+    * them back one file per micro-batch (so buckets really are corrected
+    * ACROSS batches, not computed in one shot — files arrive in no
+    * particular time order, hence the generous watermark the `start`
+    * callbacks pass; state stays bounded at keys × buckets of the
+    * fixture window), run the maintenance query to completion, return
+    * the MOR table it maintained. Memoized per scale dir per JVM. */
+  private def replayTable(s: SparkSession, dir: String,
+      memo: scala.collection.concurrent.TrieMap[String, String],
+      prefix: String, projection: DataFrame => DataFrame,
+      srcSchema: StructType,
+      tableSchema: graft.schema.TableSchema)(
+      start: (DataFrame, GraftTable, String) =>
+        org.apache.spark.sql.streaming.StreamingQuery): GraftTable = {
+    val root = memo.getOrElseUpdate(dir, {
+      val r = graft.tables.TempDirs.create(prefix)
       val srcDir = r + "/src"
-      Tables.events(s, dir).select(
-        (col("user_id") % 5).cast("string").as("key"),
-        col("ts").cast("timestamp").as("ts"))
+      projection(Tables.events(s, dir))
         .repartition(3).write.parquet(srcDir)
       val src = s.readStream
-        .schema(StructType(Seq(StructField("key", StringType),
-          StructField("ts", TimestampType))))
+        .schema(srcSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
-      val t = new GraftTable(s, r, TableSchemas.bucketCounts)
-      // files arrive in no particular time order → a generous watermark so
-      // no bucket is finalized while earlier-timestamped files are pending
-      // (state stays bounded: keys × buckets of the fixture window)
-      val q = StreamingAnalytics.continuousAggregate(src, t, "ts", "1 hour",
-        "365 days", "key", r + "/chk", Trigger.AvailableNow(),
-        stamp = Some(bid =>
-          java.time.LocalDateTime.of(2024, 6, 1, 0, 0).plusSeconds(bid)))
-      q.awaitTermination()
+      val t = new GraftTable(s, r, tableSchema)
+      start(src, t, r + "/chk").awaitTermination()
       r
     })
-    new GraftTable(s, root, TableSchemas.bucketCounts)
+    new GraftTable(s, root, tableSchema)
   }
+
+  private def replayStamp(bid: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.of(2024, 6, 1, 0, 0).plusSeconds(bid)
+
+  private val built = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def aggTable(s: SparkSession, dir: String): GraftTable =
+    replayTable(s, dir, built, "graft_stream_agg_",
+      _.select((col("user_id") % 5).cast("string").as("key"),
+        col("ts").cast("timestamp").as("ts")),
+      StructType(Seq(StructField("key", StringType),
+        StructField("ts", TimestampType))),
+      TableSchemas.bucketCounts) { (src, t, chk) =>
+      StreamingAnalytics.continuousAggregate(src, t, "ts", "1 hour",
+        "365 days", "key", chk, Trigger.AvailableNow(),
+        stamp = Some(replayStamp))
+    }
 
   private val pctBuilt = scala.collection.concurrent.TrieMap[String, String]()
 
@@ -62,31 +78,18 @@ object StreamingQueries {
     * 3-file replay as [[aggTable]]: update-mode corrections
     * version-append into a MOR table; the resolved view must equal
     * DuckDB's batch quantile_cont over the same events. */
-  private def pctTable(s: SparkSession, dir: String): GraftTable = {
-    val root = pctBuilt.getOrElseUpdate(dir, {
-      val r = graft.tables.TempDirs.create("graft_stream_pct_")
-      val srcDir = r + "/src"
-      Tables.events(s, dir).select(
-        (col("user_id") % 5).cast("string").as("key"),
-        col("ts").cast("timestamp").as("ts"), col("value"))
-        .repartition(3).write.parquet(srcDir)
-      val src = s.readStream
-        .schema(StructType(Seq(StructField("key", StringType),
-          StructField("ts", TimestampType),
-          StructField("value", org.apache.spark.sql.types.DoubleType))))
-        .option("maxFilesPerTrigger", "1")
-        .parquet(srcDir)
-      val t = new GraftTable(s, r, TableSchemas.bucketStats)
-      val q = StreamingAnalytics.continuousPercentiles(src, t, "ts",
-        "1 hour", "365 days", "key", "value", r + "/chk",
-        Trigger.AvailableNow(),
-        stamp = Some(bid =>
-          java.time.LocalDateTime.of(2024, 6, 1, 0, 0).plusSeconds(bid)))
-      q.awaitTermination()
-      r
-    })
-    new GraftTable(s, root, TableSchemas.bucketStats)
-  }
+  private def pctTable(s: SparkSession, dir: String): GraftTable =
+    replayTable(s, dir, pctBuilt, "graft_stream_pct_",
+      _.select((col("user_id") % 5).cast("string").as("key"),
+        col("ts").cast("timestamp").as("ts"), col("value")),
+      StructType(Seq(StructField("key", StringType),
+        StructField("ts", TimestampType),
+        StructField("value", org.apache.spark.sql.types.DoubleType))),
+      TableSchemas.bucketStats) { (src, t, chk) =>
+      StreamingAnalytics.continuousPercentiles(src, t, "ts", "1 hour",
+        "365 days", "key", "value", chk, Trigger.AvailableNow(),
+        stamp = Some(replayStamp))
+    }
 
   private val joinBuilt = scala.collection.concurrent.TrieMap[String, String]()
 

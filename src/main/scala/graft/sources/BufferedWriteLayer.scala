@@ -38,11 +38,15 @@ import org.apache.spark.sql.DataFrame
   * table would double-adopt.
   *
   * Mechanics: each batch is conformed (stamped, date-derived,
-  * schema-projected) at insert time and pinned — `localCheckpoint` in
-  * memory-only mode, the immutable WAL parquet itself in durable mode
-  * (one write job, no second materialization; buffered reads scan the
-  * spill) — so reads never recompute the caller's upstream plan and the
-  * buffered rows are immutable from the moment they become visible.
+  * schema-projected) at insert time and pinned with `localCheckpoint` —
+  * in durable mode the checkpoint reads back the just-written WAL
+  * parquet (a bounded local scan), NOT the caller's plan, and the
+  * checkpoint rather than the WAL files backs every handed-out frame:
+  * a reader that obtained the resolved view BEFORE a flush keeps
+  * working after flush truncates the WAL (the spill's lifetime and the
+  * frames' lifetimes must not be coupled). Reads never recompute the
+  * caller's upstream plan and the buffered rows are immutable from the
+  * moment they become visible.
   * Buffered batches resolve against storage through the same
   * keep-greatest dedup window as committed versions — a buffered update
   * of a stored identity wins by stamp, exactly as if it had been
@@ -73,7 +77,9 @@ final class BufferedWriteLayer(val table: GraftTable,
       fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
         .sortBy(_.getName).foreach { d =>
           if (fs.exists(new Path(d, "_SUCCESS"))) {
-            val df = table.spark.read.parquet(d.toString)
+            // pin via checkpoint (not the files): flush truncates the WAL
+            // while frames served from this batch may still be alive
+            val df = table.spark.read.parquet(d.toString).localCheckpoint()
             val n = df.count()
             if (n > 0) { batches ::= ((df, Some(d.toString))); buffered += n }
             else fs.delete(d, true)
@@ -101,7 +107,10 @@ final class BufferedWriteLayer(val table: GraftTable,
         val dir = f"$walRoot/$micros%020d-${
           java.util.UUID.randomUUID.toString.take(8)}"
         conformed.write.parquet(dir) // _SUCCESS commits the record
-        (table.spark.read.schema(conformed.schema).parquet(dir), Some(dir))
+        // checkpoint the READ-BACK (bounded local scan), so the buffered
+        // frame outlives the WAL truncation at flush
+        (table.spark.read.schema(conformed.schema).parquet(dir)
+          .localCheckpoint(), Some(dir))
       } else (conformed.localCheckpoint(), None)
     val doFlush = synchronized {
       batches ::= ((pinned, walDir))

@@ -49,8 +49,15 @@ object GraftStats {
         (s"hot_tier.${h.table.meta.name}@${h.table.root}", k, v.toString)
       }
     }
+    // a stable label per gate; two gates sharing a label (both on the
+    // default pool name) get positional suffixes so their counter rows
+    // never collapse into one component
+    val labelSeen = scala.collection.mutable.Map[String, Int]()
     val perGate = gates.flatMap { g =>
-      g.stats.toSeq.map { case (k, v) => (s"scan_gate.${g.label}", k, v.toString) }
+      val n = labelSeen.getOrElse(g.label, 0)
+      labelSeen(g.label) = n + 1
+      val lbl = if (n == 0) g.label else s"${g.label}#$n"
+      g.stats.toSeq.map { case (k, v) => (s"scan_gate.$lbl", k, v.toString) }
     }
     // buffer/WAL rows (the reference's stats expose WAL + mem-buffer
     // state the same flat way)

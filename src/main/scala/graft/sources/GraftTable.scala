@@ -913,10 +913,12 @@ class GraftTable(
     * With a gate attached ([[attachGate]]): every probe runs under
     * admission control, classified by how deep its date selection
     * reaches (the exhausted-widening fallback is an unbounded scan), and
-    * the winning page is MATERIALIZED under the gate (`localCheckpoint`
-    * of ≤ k rows) — the caller receives an already-served page instead of
-    * a plan that would re-execute the scan ungated. This also removes the
-    * ungated path's count+fetch double execution for gated serving. */
+    * each probe MATERIALIZES its page (`localCheckpoint` of ≤ k rows)
+    * inside its one admitted execution — a satisfying probe IS the
+    * served result, so gated serving has no count+fetch double execution
+    * and no commit race between probe and serve; the caller receives an
+    * already-served page instead of a plan that would re-execute the
+    * scan ungated. */
   def recentPage(k: Int, tieBreak: Seq[Column] = Nil,
       predicate: Column = lit(true)): DataFrame = {
     val order = col(meta.timeColumn).desc +: tieBreak
@@ -930,18 +932,26 @@ class GraftTable(
         java.time.LocalDate.parse(d).atStartOfDay
           .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L)
     }
-    def serve(win: DataFrame, lb: Option[Long]): DataFrame =
-      if (gateOpt.isEmpty) win
-      else gatedAction(lb)(win.localCheckpoint())
     var n = 1
     while (n < dates.length) {
       val sel = dates.take(n)
       val lb = lookbackTo(sel)
-      if (gatedAction(lb)(page(resolvedOn(sel)).count()) >= k)
-        return serve(page(resolvedOn(sel)), lb)
+      gateOpt match {
+        case Some(_) =>
+          // gated serving: ONE admitted execution materializes the page
+          // (≤ k rows); the count probe then reads the checkpointed frame,
+          // so a satisfying probe IS the served result — no second gated
+          // scan, and no commit race between probe and serve
+          val page0 = gatedAction(lb)(page(resolvedOn(sel)).localCheckpoint())
+          if (page0.count() >= k) return page0
+        case None =>
+          if (page(resolvedOn(sel)).count() >= k)
+            return page(resolvedOn(sel))
+      }
       n *= 2
     }
-    serve(page(readResolved()), None)
+    if (gateOpt.isEmpty) page(readResolved())
+    else gatedAction(None)(page(readResolved()).localCheckpoint())
   }
 
   /** The single base directory when the current snapshot is exactly one
@@ -1100,7 +1110,12 @@ class GraftTable(
           .parquet(files: _*)
         val ranged = (keyCol, Option(lo), Option(hi)) match {
           case (Some(k), Some(l), Some(h)) =>
-            scan.filter(col(k) >= lit(l) && col(k) <= lit(h))
+            // the NULL escape keeps hit rows whose key is null (min/max
+            // in the index ignore nulls, so the range only covers the
+            // non-null rows); parquet still skips row groups whose
+            // null_count is 0 and whose stats miss the range
+            scan.filter((col(k) >= lit(l) && col(k) <= lit(h)) ||
+              col(k).isNull)
           case _ => scan
         }
         ranged.filter(pred).drop(GraftTable.RgKeyColumn)

@@ -87,6 +87,18 @@ class BufferedWriteSpec extends AnyFunSuite {
     assert(fresh.bufferedRows == 0L, "flushed WAL must be truncated")
   }
 
+  test("durable frames handed out before flush survive WAL truncation") {
+    val tbl = freshTable()
+    tbl.append(rows(0 until 10, "stored"), t(0))
+    val buf = new BufferedWriteLayer(tbl, durable = true)
+    buf.insert(rows(10 until 15, "buffered"), t(1))
+    val v = buf.readResolved()
+    val before = v.collect().toSet
+    buf.flush() // truncates the WAL records that fed the buffered legs
+    assert(v.collect().toSet == before,
+      "a pre-flush resolved frame must not die with the WAL files")
+  }
+
   test("a WAL record without its commit marker is discarded at recovery") {
     val tbl = freshTable()
     tbl.append(rows(0 until 10, "stored"), t(0))
