@@ -141,6 +141,17 @@ object VariantTable {
         .orderBy("level", "name")
     },
 
+    // Snapshot diff (Delta CDF / table_changes): the changes between the
+    // initial load (v1) and the MOR update wave (v2) are exactly one
+    // update_preimage + update_postimage pair per escalated error row —
+    // no inserts, no deletes; the oracle replays that from raw events
+    "q105_snapshot_diff" -> { (s, dir) =>
+      fixtureTable(s, dir).snapshotDiff(1, 2)
+        .select(col("change_type"), col("id"), col("name"), col("level"),
+          col("duration"))
+        .orderBy("id", "change_type")
+    },
+
     // MemBuffer tier (S4/W2): rows INSERTed through the buffered write
     // layer are visible to the resolved read BEFORE any parquet version
     // commits — the mem ∪ storage union read, resolved through the same
@@ -228,6 +239,19 @@ object VariantTable {
         | max(CAST(value * 1000 AS BIGINT)) AS max_duration
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q105_snapshot_diff" ->
+      """WITH err AS (
+        | SELECT CAST(event_id AS VARCHAR) AS id, event_type AS name,
+        |  CAST(trunc(value * 1000) AS BIGINT) AS duration
+        | FROM events WHERE event_type = 'error')
+        |SELECT * FROM (
+        | SELECT 'update_preimage' AS change_type, id, name,
+        |  'ERROR' AS level, duration FROM err
+        | UNION ALL
+        | SELECT 'update_postimage' AS change_type, id, name,
+        |  'FATAL' AS level, duration FROM err)
+        |ORDER BY id, change_type""".stripMargin,
 
     "q54_buffered_read" ->
       """SELECT level, count(*) AS n FROM (

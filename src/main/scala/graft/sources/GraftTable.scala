@@ -836,6 +836,54 @@ class GraftTable(
     resolvedFrom(cs, None, Some(schemaAt(asOf)))
   }
 
+  /** Change-data-feed-style diff between two committed snapshots (the
+    * surface Delta exposes as CDF / `table_changes`, which the reference
+    * inherits from its Delta storage layer): one row per changed
+    * identity, tagged `insert` / `delete` / `update_preimage` /
+    * `update_postimage`. Identity is the dedup keys plus the routing
+    * partitions (exactly the dedup window's key — one resolved row per
+    * identity per snapshot); a row counts as updated when any payload
+    * column differs (variant payloads compare via their canonical JSON —
+    * VariantType itself is not comparable).
+    *
+    * Scale: two resolved snapshots, ONE full-outer join keyed by
+    * identity; payload comparison is a null-safe struct equality inside
+    * the join's projection, and the four change classes are filters over
+    * the joined frame (Spark shares the join across the union's legs).
+    * No driver-side data path. */
+  def snapshotDiff(v1: Int, v2: Int): DataFrame = {
+    require(v1 <= v2, s"snapshotDiff: $v1 > $v2")
+    val idCols = (meta.dedupKeys ++ meta.partitions).distinct
+    val a = readResolvedAsOf(v1)
+    val b = readResolvedAsOf(v2)
+    // compare on the narrower (older) schema: columns evolved after v1
+    // would mark every row updated even when nothing it had changed
+    val payload = a.columns.toSeq.filterNot(c =>
+      idCols.contains(c) || c == "date" || c == meta.dedupTiebreak)
+    val aTypes = a.schema.fields.map(f => f.name -> f.dataType).toMap
+    def cmp(prefix: String) = struct(payload.map { c =>
+      val v = col(s"$prefix$c")
+      (aTypes(c) match {
+        case org.apache.spark.sql.types.VariantType => to_json(v)
+        case _ => v
+      }).as(c)
+    }: _*)
+    def side(df: DataFrame, p: String) = df.select(
+      idCols.map(col) ++ payload.map(c => col(c).as(s"$p$c"))
+        :+ lit(true).as(s"${p}present"): _*)
+    val j = side(a, "__a_").join(side(b, "__b_"), idCols, "full_outer")
+    val inA = coalesce(col("__a_present"), lit(false))
+    val inB = coalesce(col("__b_present"), lit(false))
+    val changed = !(cmp("__a_") <=> cmp("__b_"))
+    def emit(tag: String, cond: Column, p: String) = j.filter(cond).select(
+      lit(tag).as("change_type") +: idCols.map(col)
+        ++: payload.map(c => col(s"$p$c").as(c)): _*)
+    emit("insert", inB && !inA, "__b_")
+      .unionByName(emit("delete", inA && !inB, "__a_"))
+      .unionByName(emit("update_preimage", inA && inB && changed, "__a_"))
+      .unionByName(emit("update_postimage", inA && inB && changed, "__b_"))
+  }
+
   /** Newest version committed at or before `ts` (`TIMESTAMP AS OF`):
     * marker files are created atomically at commit time, so their
     * modification times ARE the commit log's timeline. */

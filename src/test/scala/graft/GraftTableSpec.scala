@@ -216,6 +216,24 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.readResolved().count() == 41, "vacuum must not change the view")
   }
 
+  test("snapshotDiff classifies inserts, deletes, and update image pairs") {
+    val t = freshTable()
+    t.append(sampleRows(10), t0(0)) // v1: row-0..row-9
+    t.update(col("id") === "row-3", Map("name" -> lit("renamed")), t0(1)) // v2
+    t.append(sampleRows(12).filter(col("id") === "row-10"), t0(2)) // v3: insert
+    t.delete(col("id") === "row-5", t0(3)) // v4: tombstone
+    val d = t.snapshotDiff(1, 4)
+      .select("change_type", "id", "name").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(d == Set(
+      ("update_preimage", "row-3", "name-3"),
+      ("update_postimage", "row-3", "renamed"),
+      ("insert", "row-10", "name-2"),
+      ("delete", "row-5", "name-1")))
+    // identical snapshots diff to nothing
+    assert(t.snapshotDiff(4, 4).count() == 0)
+  }
+
   test("time travel: version-as-of snapshots, timestamp mapping, vacuum fence") {
     val t = freshTable()
     t.append(sampleRows(50), t0(0)) // v1
