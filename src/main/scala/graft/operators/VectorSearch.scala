@@ -528,4 +528,174 @@ object VectorSearch {
     }
     centroids
   }
+
+  // --------------------------------------------------------------------------
+  // Gram matrix / PCA — embedding dimensionality reduction
+  // --------------------------------------------------------------------------
+
+  /** Upper-triangular Gram matrix X^T X as rows `(i, j, g)` (1-based,
+    * i ≤ j), with each per-row product routed through DECIMAL so the sum
+    * is aggregation-order independent — the VERIFICATION surface a DuckDB
+    * oracle can replay exactly. The shape is a double posexplode + an
+    * equi-join on the row id: fine at oracle scale, but it shuffles
+    * dim²/2 rows per input row, so the production path is [[gramMatrix]]
+    * (per-partition accumulation, d²-bounded traffic). */
+  def gramUpperExact(corpus: DataFrame, vecCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val a = corpus.select(col(idCol).as("__id"),
+        posexplode(col(vecCol)).as(Seq("__p", "__x")))
+      .select(col("__id"), (col("__p") + 1).cast("long").as("i"),
+        col("__x").cast("double").as("xa"))
+    val b = a.select(col("__id"), col("i").as("j"), col("xa").as("xb"))
+    a.join(b, Seq("__id"))
+      .filter(col("i") <= col("j"))
+      .groupBy("i", "j")
+      .agg(sum((col("xa") * col("xb")).cast(DecimalType(30, 10)))
+        .cast("double").as("g"))
+      .orderBy("i", "j")
+  }
+
+  /** Full Gram matrix (d×d) plus the column-sum vector and row count, via
+    * per-partition dense accumulation: each task folds its rows into ONE
+    * local d×d double matrix, and only those matrices (d² doubles per
+    * task, independent of row count) reach the driver through a
+    * treeReduce. This is the 100 TB shape — the alternative (posexplode →
+    * shuffle) moves dim²/2 rows per input row. RDD-level fold is justified
+    * here: the accumulator is a mutable dense matrix no SQL aggregate
+    * expresses without exploding, and the output is bounded metadata
+    * (d ≤ a few thousand), not data. */
+  def gramMatrix(corpus: DataFrame, vecCol: String,
+      dim: Int): (Array[Array[Double]], Array[Double], Long) = {
+    val vecs = corpus.select(col(vecCol)).rdd
+      .map(_.getSeq[Float](0))
+    val zero = (Array.fill(dim)(new Array[Double](dim)),
+      new Array[Double](dim), 0L)
+    def merge(acc: (Array[Array[Double]], Array[Double], Long),
+        other: (Array[Array[Double]], Array[Double], Long)) = {
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        val ai = acc._1(i); val oi = other._1(i)
+        while (j < dim) { ai(j) += oi(j); j += 1 }
+        acc._2(i) += other._2(i)
+        i += 1
+      }
+      (acc._1, acc._2, acc._3 + other._3)
+    }
+    val parts = vecs.mapPartitions { it =>
+      val g = Array.fill(dim)(new Array[Double](dim))
+      val s = new Array[Double](dim)
+      var n = 0L
+      it.foreach { v =>
+        val x = new Array[Double](dim)
+        var i = 0
+        while (i < dim) { x(i) = v(i).toDouble; i += 1 }
+        i = 0
+        while (i < dim) {
+          val xi = x(i); val gi = g(i)
+          var j = i
+          while (j < dim) { gi(j) += xi * x(j); j += 1 }
+          s(i) += xi
+          i += 1
+        }
+        n += 1L
+      }
+      Iterator.single((g, s, n))
+    }
+    val (g, s, n) = parts.treeReduce(merge, depth = 2)
+    // mirror the upper triangle
+    var i = 0
+    while (i < dim) {
+      var j = i + 1
+      while (j < dim) { g(j)(i) = g(i)(j); j += 1 }
+      i += 1
+    }
+    (g, s, n)
+  }
+
+  /** Eigen-decomposition of a symmetric matrix by cyclic Jacobi rotations
+    * (deterministic sweep order; converges quadratically for the d ≤ a few
+    * thousand covariance matrices PCA meets). Returns (eigenvalues,
+    * eigenvectors as rows), sorted by descending eigenvalue, each vector
+    * sign-fixed so its largest-magnitude component is positive. */
+  def jacobiEigen(sym: Array[Array[Double]],
+      sweeps: Int = 30): (Array[Double], Array[Array[Double]]) = {
+    val d = sym.length
+    val a = sym.map(_.clone)
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < sweeps && off > 1e-12) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          off += apq * apq
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val sign = if (theta >= 0.0) 1.0 else -1.0
+            val t = sign / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val eig = (0 until d).map(i => (a(i)(i), (0 until d)
+      .map(k => v(k)(i)).toArray))
+      .sortBy(-_._1)
+    val vals = eig.map(_._1).toArray
+    val vecs = eig.map { case (_, ev) =>
+      val m = ev.maxBy(math.abs)
+      if (m < 0) ev.map(-_) else ev
+    }.toArray
+    (vals, vecs)
+  }
+
+  /** PCA projection of an embedding column onto the top-k principal
+    * components. Covariance comes from ONE distributed pass
+    * ([[gramMatrix]]: d² doubles per task to the driver), the d×d eigen
+    * problem is solved on the driver (bounded metadata, like k-means
+    * centroids), and the projection is a codegen'd per-row fold over the
+    * k×d literal component matrix — no second shuffle, no driver data
+    * path. Returns the input id column plus `pc1..pck`. */
+  def pcaProject(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int): (DataFrame, Array[Double]) = {
+    val (g, colSums, n) = gramMatrix(corpus, vecCol, dim)
+    val mean = colSums.map(_ / n)
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      g(i)(j) / n - mean(i) * mean(j))
+    val (vals, vecs) = jacobiEigen(cov)
+    val pcs = (0 until k).map { c =>
+      val ev = vecs(c)
+      (0 until dim).map { i =>
+        (element_at(col(vecCol), i + 1).cast("double") - lit(mean(i))) *
+          lit(ev(i))
+      }.reduce(_ + _).as(s"pc${c + 1}")
+    }
+    (corpus.select(col(idCol) +: pcs: _*), vals.take(k))
+  }
 }

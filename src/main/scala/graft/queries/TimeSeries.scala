@@ -336,6 +336,109 @@ object TimeSeries {
         .orderBy("cohort_week", "week_offset")
     },
 
+    // ---- histogram_quantile (PromQL / otel explicit-bucket histograms):
+    // quantile estimation from cumulative le-bucket counts — the shape
+    // every metrics backend serves when the raw samples are gone and only
+    // bucketed counters remain. Fixed le bounds 10..90 + +Inf, cumulative
+    // counts per (event_type, day), then Prometheus's interpolation rule:
+    // the winning bucket is the lowest with cum >= q·total; the estimate
+    // interpolates linearly inside [prev_le, le); a +Inf winner degrades
+    // to the highest finite bound. All arithmetic is on integer counts and
+    // literal bounds — order-independent, so oracle-exact. Scale: one
+    // bounded aggregation (groups × ≤10 buckets) plus windows over ≤10-row
+    // partitions; the raw scan is the only data-sized stage.
+    "q106_histogram_quantile" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val q = 0.95
+      val bucketed = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
+          when(col("value") >= 90.0, lit(Double.PositiveInfinity))
+            .otherwise((floor(col("value") / 10.0) + 1) * 10.0).as("le"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type", "day").orderBy("le")
+      val wAll = Window.partitionBy("event_type", "day")
+      val cum = bucketed
+        .withColumn("cum", sum(col("cnt")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("prev_le", lag(col("le"), 1, 0.0).over(w))
+        .withColumn("prev_cum", lag(col("cum"), 1, 0L).over(w))
+        .withColumn("total", sum(col("cnt")).over(wAll))
+        .withColumn("max_finite",
+          max(when(col("le") =!= Double.PositiveInfinity, col("le")))
+            .over(wAll))
+      val winner = cum
+        .filter(col("cum") >= lit(q) * col("total"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(min_by(
+          struct(col("le"), col("prev_le"), col("prev_cum"), col("cum"),
+            col("total"), col("max_finite")), col("le")).as("b"))
+        .select(col("event_type"), col("day"), col("b.*"))
+      winner
+        .withColumn("p95",
+          when(col("le") === Double.PositiveInfinity, col("max_finite"))
+            .otherwise(round(col("prev_le") + (col("le") - col("prev_le")) *
+              (lit(q) * col("total") - col("prev_cum")) /
+              (col("cum") - col("prev_cum")), 6)))
+        .select(col("event_type"), col("day"),
+          col("total").cast("long").as("n"), col("p95"))
+        .orderBy("event_type", "day")
+    },
+
+    // ---- binned range join (the "what happened near this event" overlap
+    // join): for every error event, the click events within ±60 s across
+    // ALL users. A naive inequality join is a broadcast-nested-loop — at
+    // 100 TB a cartesian death sentence. The scale shape: quantize both
+    // sides to 60 s grid cells, explode the PROBE side to its cell ±1
+    // (each right row keeps exactly one cell, so a matched pair meets in
+    // exactly one cell — no dedup pass), equi-join on the cell, and apply
+    // the exact |Δt| predicate post-join. Shuffle keys on the grid cell;
+    // AQE's skew split handles a hot minute.
+    "q107_range_join_binned" -> { (s, dir) =>
+      val winUs = 60L * 1000000L
+      val ev = Tables.events(s, dir).withColumn("us",
+        unix_micros(col("ts").cast("timestamp")))
+      val cell = expr(s"us div ${winUs}L")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("us").as("e_us"),
+          explode(sequence(cell - 1, cell + 1)).as("cell"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("us").as("c_us"),
+          col("value").as("c_value"), cell.as("cell"))
+      val hit = col("c_id").isNotNull &&
+        abs(col("c_us") - col("e_us")) <= winUs
+      errors.join(clicks, Seq("cell"), "left")
+        .groupBy(col("event_id"))
+        .agg(count(when(hit, lit(1))).as("n_nearby"),
+          coalesce(sum(when(hit, col("c_value")).cast(DecimalType(18, 2))),
+            lit(0).cast(DecimalType(18, 2))).cast("double").as("sum_nearby"))
+        .orderBy("event_id")
+    },
+
+    // ---- per-series EWMA (the smoothing half of alerting / anomaly
+    // scoring): exponentially-weighted moving average over each user's
+    // value sequence, final smoothed level per series. The recursion
+    // s_t = α·x_t + (1−α)·s_{t−1} has no order-independent closed form
+    // that both engines evaluate identically, so BOTH sides run the same
+    // left fold over the same ordered list — Spark's `aggregate` HOF over
+    // a sort_array'd collect_list vs DuckDB's `list_reduce` over
+    // `list(... ORDER BY)`; identical double ops in identical order are
+    // bit-equal, making a sequential recursion oracle-exact. Scale: state
+    // is one array per series, the same bound as sessionization; a 100 TB
+    // deployment bounds the series by retention window first.
+    "q108_ewma" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("value")))).as("series"))
+        .select(col("user_id"), size(col("series")).cast("long").as("n"),
+          round(aggregate(transform(col("series"), x => x("value")),
+            lit(null).cast("double"),
+            (acc, x) => when(acc.isNull, x)
+              .otherwise(lit(0.25) * x + lit(0.75) * acc)), 6).as("ewma"))
+        .orderBy("user_id")
+    },
+
     // ---- A2/A3: t-digest percentile sketch (README p95 query shape) -------
     // No DuckDB oracle: sketch estimates are approximate and merge-order
     // dependent; PercentileAggSpec pins accuracy against exact percentiles.
@@ -505,6 +608,58 @@ object TimeSeries {
         |  round(s.mad, 6) AS mad, s.n,
         |  coalesce(o.n_outliers, 0) AS n_outliers
         |FROM s LEFT JOIN o USING (event_type) ORDER BY 1""".stripMargin,
+
+    "q106_histogram_quantile" ->
+      """WITH bucketed AS (
+        | SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |  CASE WHEN value >= 90.0 THEN 'inf'::DOUBLE
+        |       ELSE (floor(value / 10.0) + 1) * 10.0 END AS le,
+        |  count(*) AS cnt
+        | FROM events GROUP BY 1, 2, 3),
+        |c1 AS (
+        | SELECT *,
+        |  sum(cnt) OVER (PARTITION BY event_type, day ORDER BY le
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  sum(cnt) OVER (PARTITION BY event_type, day) AS total,
+        |  max(CASE WHEN le != 'inf'::DOUBLE THEN le END)
+        |    OVER (PARTITION BY event_type, day) AS max_finite
+        | FROM bucketed),
+        |c2 AS (
+        | SELECT *,
+        |  coalesce(lag(le) OVER (PARTITION BY event_type, day ORDER BY le),
+        |    0.0) AS prev_le,
+        |  coalesce(lag(cum) OVER (PARTITION BY event_type, day ORDER BY le),
+        |    0) AS prev_cum
+        | FROM c1),
+        |winner AS (
+        | SELECT * FROM c2 WHERE cum >= 0.95 * total
+        | QUALIFY row_number() OVER (PARTITION BY event_type, day
+        |   ORDER BY le) = 1)
+        |SELECT event_type, day, CAST(total AS BIGINT) AS n,
+        | CASE WHEN le = 'inf'::DOUBLE THEN max_finite
+        |      ELSE round(prev_le + (le - prev_le) *
+        |        (0.95 * total - prev_cum) / (cum - prev_cum), 6) END AS p95
+        |FROM winner ORDER BY 1, 2""".stripMargin,
+
+    "q107_range_join_binned" ->
+      """WITH e AS (
+        | SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        | FROM events WHERE event_type = 'error'),
+        |c AS (
+        | SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+        | FROM events WHERE event_type = 'click')
+        |SELECT e.event_id, count(c.event_id) AS n_nearby,
+        | CAST(coalesce(sum(CAST(c.value AS DECIMAL(18,2))), 0) AS DOUBLE)
+        |   AS sum_nearby
+        |FROM e LEFT JOIN c ON abs(c.us - e.us) <= 60000000
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
+
+    "q108_ewma" ->
+      """SELECT user_id, count(*) AS n,
+        | round(list_reduce(
+        |   list(value ORDER BY CAST(ts AS TIMESTAMP), event_id),
+        |   (acc, x) -> 0.25 * x + 0.75 * acc), 6) AS ewma
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q86_time_weighted_avg" ->
       """WITH seq AS (

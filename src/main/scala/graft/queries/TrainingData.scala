@@ -167,6 +167,56 @@ object TrainingData {
         .orderBy("query_id", "rank")
     },
 
+    // ---- Gram matrix X^T X (the one-pass statistic under PCA/whitening/
+    // linear probes): upper triangle as (i, j, g) rows, DECIMAL-routed
+    // products so the sums are aggregation-order independent and the
+    // DuckDB oracle replays them exactly. This decimal-exact explode
+    // shape is the verification surface; the production path is
+    // VectorSearch.gramMatrix — per-partition dense accumulation whose
+    // cluster traffic is d² doubles per task regardless of row count
+    // (pinned equal to this one in TrainingDataSpec). ------------------------
+    "q109_gram_matrix" -> { (s, dir) =>
+      VectorSearch.gramUpperExact(Tables.embeddings(s, dir), "embedding",
+        "vec_id")
+    },
+
+    // ---- PCA projection (embedding dimensionality reduction): covariance
+    // from ONE distributed Gram pass, 64×64 Jacobi eigen on the driver
+    // (bounded metadata, like k-means centroids), projection as a
+    // codegen'd literal-matrix fold — no second shuffle. Rows-only:
+    // eigenvectors are only unique up to sign/degenerate rotations, so
+    // the pin is TrainingDataSpec (orthonormality, per-component variance
+    // = eigenvalue, captured-variance ordering). --------------------------
+    "q110_pca_project" -> { (s, dir) =>
+      val (proj, _) = VectorSearch.pcaProject(Tables.embeddings(s, dir),
+        "vec_id", "embedding", Dim, k = 4)
+      proj.select(col("vec_id"), round(col("pc1"), 6).as("pc1"),
+          round(col("pc2"), 6).as("pc2"), round(col("pc3"), 6).as("pc3"),
+          round(col("pc4"), 6).as("pc4"))
+        .orderBy("vec_id")
+    },
+
+    // ---- BPE encode (the inference half of q90's trainer): learn 16
+    // merges on the corpus, then segment every document with the learned
+    // table and count its BPE tokens — the "how many tokens is this
+    // corpus" question every training-budget plan starts with. Rows-only:
+    // greedy rank-ordered merging has no SQL equivalent; BpeTrainerSpec
+    // pins hand-computed merge sequences and token counts. Scale: the
+    // merge table is driver-bounded (vocab work rides on DISTINCT words,
+    // not documents), and encoding is a per-row codegen'd fold. ------------
+    "q111_bpe_encode" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val merges = BpeTrainer.train(docs, "text", merges = 16)
+        .orderBy("rank").collect()
+        .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+      BpeTrainer.tokenize(docs, "doc_id", "text", merges)
+        .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+        .select(col("doc_id"), col("bpe_tokens"),
+          round(col("n_chars").cast("double") / col("bpe_tokens"), 6)
+            .as("chars_per_token"))
+        .orderBy("doc_id")
+    },
+
     // ---- embedding-cosine near-dup pairs (LSH candidates, exact verify) ----
     // The embeddings table has no natural near-dups (max pair cosine ≈0.6),
     // so the corpus plants deterministic perturbed copies (replayed verbatim
@@ -715,6 +765,16 @@ object TrainingData {
            |SELECT query_id, neighbor_id, rank, round(cos_raw, 6) AS cosine
            |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
       },
+
+      "q109_gram_matrix" ->
+        """WITH e AS (
+          | SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+          |  unnest(embedding)::DOUBLE AS x
+          | FROM embeddings)
+          |SELECT a.i, b.i AS j,
+          | CAST(sum(CAST(a.x * b.x AS DECIMAL(30,10))) AS DOUBLE) AS g
+          |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "q47_embedding_dedup" -> {
         val dotAB = dotSql("a.v", "b.v")

@@ -550,4 +550,83 @@ class TrainingDataSpec extends AnyFunSuite {
       assert(rows.map(_.getAs[Long]("id")).distinct.length == 4)
     }
   }
+
+  test("per-partition Gram accumulation matches the decimal-exact explode") {
+    val dim = 64
+    val exact = VectorSearch.gramUpperExact(embs, "embedding", "vec_id")
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2))
+      .toMap
+    val (g, colSums, n) = VectorSearch.gramMatrix(embs, "embedding", dim)
+    assert(n == embs.count())
+    var maxErr = 0.0
+    for (i <- 0 until dim; j <- i until dim) {
+      val e = exact((i + 1, j + 1))
+      val scale = math.max(1.0, math.abs(e))
+      maxErr = math.max(maxErr, math.abs(g(i)(j) - e) / scale)
+      // the mirrored lower triangle must be exactly symmetric
+      assert(g(j)(i) == g(i)(j))
+    }
+    // double accumulation differs from the decimal-exact sum only by
+    // association order — a few ulps per add, so ~1e-12·n relative
+    assert(maxErr < 1e-6, s"gram fast path drifted: relErr=$maxErr")
+    // column sums agree with a declarative per-dim sum
+    val declared = embs.select((0 until dim).map(i =>
+      sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i")): _*)
+      .collect().head
+    for (i <- 0 until dim)
+      assert(math.abs(colSums(i) - declared.getDouble(i)) /
+        math.max(1.0, math.abs(declared.getDouble(i))) < 1e-9)
+  }
+
+  test("jacobi eigen: orthonormal vectors, A·v = λ·v, descending values") {
+    // fixed symmetric matrix with known spread
+    val a = Array(
+      Array(4.0, 1.0, 0.5, 0.0),
+      Array(1.0, 3.0, 0.25, 0.1),
+      Array(0.5, 0.25, 2.0, 0.3),
+      Array(0.0, 0.1, 0.3, 1.0))
+    val (vals, vecs) = VectorSearch.jacobiEigen(a)
+    assert(vals.length == 4 && vecs.length == 4)
+    assert(vals.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    for (i <- 0 until 4; j <- 0 until 4) {
+      val dot = (0 until 4).map(k => vecs(i)(k) * vecs(j)(k)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"v${i}.v$j = $dot")
+    }
+    for (i <- 0 until 4; r <- 0 until 4) {
+      val av = (0 until 4).map(k => a(r)(k) * vecs(i)(k)).sum
+      assert(math.abs(av - vals(i) * vecs(i)(r)) < 1e-9,
+        s"A·v$i row $r: $av vs ${vals(i) * vecs(i)(r)}")
+    }
+    // trace is preserved: Σλ = tr(A)
+    assert(math.abs(vals.sum - (4.0 + 3.0 + 2.0 + 1.0)) < 1e-9)
+  }
+
+  test("PCA: component variances equal eigenvalues, components decorrelated") {
+    val dim = 64
+    val k = 4
+    val (proj, eigvals) = VectorSearch.pcaProject(embs, "vec_id",
+      "embedding", dim, k)
+    val rows = proj.collect().map(r =>
+      (1 to k).map(c => r.getDouble(c)).toArray)
+    val n = rows.length.toDouble
+    val means = (0 until k).map(c => rows.map(_(c)).sum / n)
+    // projections of centered data: mean ≈ 0
+    means.foreach(m => assert(math.abs(m) < 1e-6, s"pc mean $m"))
+    for (c <- 0 until k) {
+      val varc = rows.map(r => r(c) * r(c)).sum / n
+      assert(math.abs(varc - eigvals(c)) /
+        math.max(1e-9, eigvals(c)) < 1e-6,
+        s"pc${c + 1} variance $varc vs eigenvalue ${eigvals(c)}")
+    }
+    // captured variance is ordered and components are uncorrelated
+    assert(eigvals.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    for (a <- 0 until k; b <- a + 1 until k) {
+      val cov = rows.map(r => r(a) * r(b)).sum / n
+      val norm = math.sqrt(eigvals(a) * eigvals(b))
+      assert(math.abs(cov) / math.max(1e-9, norm) < 1e-6,
+        s"pc${a + 1}/pc${b + 1} correlated: $cov")
+    }
+  }
 }
