@@ -301,6 +301,50 @@ object StreamingQueries {
       r
     })
 
+  private val ewmaBuilt = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Streaming per-series EWMA run to completion: every event as 3
+    * files/micro-batches (arbitrary arrival order — points must buffer in
+    * state until the watermark finalizes their position in the series),
+    * two far-future sentinel batches to advance the watermark and fire
+    * the drain timeouts (same mechanics as the q76/q84 fixtures; 400-day
+    * delay > the 31-day event span). The final snapshot per key must be
+    * BIT-equal to the batch q108 fold — the q112 row reuses q108's
+    * DuckDB `list_reduce` oracle verbatim. */
+  private def ewmaOut(s: SparkSession, dir: String): String =
+    ewmaBuilt.getOrElseUpdate(dir, {
+      val r = graft.tables.TempDirs.create("graft_stream_ewma_")
+      Tables.events(s, dir)
+        .select(col("user_id").cast("string").as("key"),
+          col("ts").cast("timestamp").as("ts"),
+          col("event_id").cast("long").as("id"), col("value"))
+        .repartition(3).write.parquet(r + "/src")
+      import s.implicits._
+      def sentinel(t: String): Unit = {
+        Thread.sleep(1100)
+        Seq(("__sentinel", t, -1L, 0.0)).toDF("key", "t", "id", "value")
+          .select(col("key"), col("t").cast("timestamp").as("ts"),
+            col("id"), col("value"))
+          .coalesce(1).write.mode("append").parquet(r + "/src")
+      }
+      sentinel("2031-01-01 00:00:00")
+      sentinel("2031-01-02 00:00:00")
+      val sch = StructType(Seq(StructField("key", StringType),
+        StructField("ts", TimestampType), StructField("id", LongType),
+        StructField("value", org.apache.spark.sql.types.DoubleType)))
+      val src = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(r + "/src")
+      val q = StreamingAnalytics.ewmaStream(src, alpha = 0.25, "400 days")
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", r + "/out")
+        .option("checkpointLocation", r + "/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      r
+    })
+
   private val funnelBuilt = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Streaming conversion funnel run to completion: the three funnel step
@@ -394,6 +438,19 @@ object StreamingQueries {
         .orderBy("event_id")
     },
 
+    // ---- streaming per-series EWMA (the q108 recursion, incrementally) ----
+    "q112_streaming_ewma" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("key").orderBy(col("n").desc)
+      s.read.parquet(ewmaOut(s, dir) + "/out")
+        .filter(col("key") =!= "__sentinel")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("key").cast("long").as("user_id"), col("n"),
+          round(col("ewma"), 6).as("ewma"))
+        .orderBy("user_id")
+    },
+
     // ---- streaming conversion funnel (the q80 operator, incrementally) ----
     "q85_streaming_funnel" -> { (s, dir) =>
       s.read.parquet(funnelOut2(s, dir) + "/out")
@@ -445,6 +502,15 @@ object StreamingQueries {
         | round(quantile_cont(value, 0.95), 6) AS p95,
         | count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same oracle as the batch q108: the streamed fold must converge to
+    // the identical recursion, bit for bit
+    "q112_streaming_ewma" ->
+      """SELECT user_id, count(*) AS n,
+        | round(list_reduce(
+        |   list(value ORDER BY CAST(ts AS TIMESTAMP), event_id),
+        |   (acc, x) -> 0.25 * x + 0.75 * acc), 6) AS ewma
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q70_stream_stream_join" ->
       """WITH v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts

@@ -496,4 +496,72 @@ object StreamingAnalytics {
           .write.mode("append").parquet(outPath)
       }
       .start()
+
+  // --- streaming EWMA -------------------------------------------------------
+
+  /** Input row for [[ewmaStream]]. */
+  case class EwmaIn(key: String, ts: Timestamp, us: Long, id: Long,
+      value: Double)
+  /** Per-key state: the fold so far (`acc` over `n` finalized points) plus
+    * the (us, id, value) points not yet final — rows later than the
+    * watermark could still be preceded by an unseen earlier row, so they
+    * wait. Pending size is bounded by the watermark delay, the fold itself
+    * is O(1) — the streaming-native state shape for a recursion. */
+  case class EwmaBuf(acc: Option[Double], n: Long,
+      pending: List[(Long, Long, Double)])
+  /** One per-key snapshot after a drain: the fold over the first `n`
+    * points. The row with the highest `n` per key is the current level. */
+  case class EwmaSnap(key: String, n: Long, ewma: Double)
+
+  /** Streaming per-series EWMA — the batch q108 recursion
+    * (s_t = α·x_t + (1−α)·s_{t−1}, seeded at the first point) maintained
+    * incrementally. A point folds exactly once, when the watermark
+    * guarantees no earlier point can still arrive; each drain folds its
+    * ready points in (event-time, id) order — the same total order as the
+    * batch operator's sorted array, drains are watermark-monotone, and the
+    * per-step arithmetic is the identical double expression, so the final
+    * snapshot per key is bit-equal to the batch fold (and sits under the
+    * same DuckDB `list_reduce` oracle). Emission on both paths: new
+    * batches for active keys, event-time timeout so buffered keys drain on
+    * pure watermark advance. */
+  def ewmaStream(events: DataFrame, alpha: Double,
+      watermark: String): Dataset[EwmaSnap] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def fn(key: String, evs: Iterator[EwmaIn],
+        state: GroupState[EwmaBuf]): Iterator[EwmaSnap] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val st = state.getOption.getOrElse(EwmaBuf(None, 0L, Nil))
+      val pending = st.pending ++ evs.map(e => (e.us, e.id, e.value))
+      val (ready, rest) = pending.partition(_._1 <= wmUs)
+      var acc = st.acc
+      var n = st.n
+      ready.sortBy(p => (p._1, p._2)).foreach { case (_, _, x) =>
+        acc = Some(acc match {
+          case None => x
+          case Some(a) => alpha * x + (1.0 - alpha) * a
+        })
+        n += 1L
+      }
+      if (rest.isEmpty && acc.isEmpty) state.remove()
+      else {
+        state.update(EwmaBuf(acc, n, rest))
+        if (rest.nonEmpty)
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+      }
+      if (ready.nonEmpty) Iterator.single(EwmaSnap(key, n, acc.get))
+      else Iterator.empty
+    }
+    events
+      .select(col("key").cast("string").as("key"),
+        col("ts").cast("timestamp").as("ts"),
+        col("id").cast("long").as("id"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", watermark)
+      .withColumn("us", unix_micros(col("ts")))
+      .as[EwmaIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 }

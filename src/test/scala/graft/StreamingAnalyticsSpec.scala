@@ -192,4 +192,53 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
         "u1's second session is still open and must not be emitted")
     } finally q.stop()
   }
+
+  test("ewmaStream drains incrementally across watermark advances, " +
+      "out-of-order points fold in event-time order") {
+    import spark.implicits._
+    val src = tmp("graft_ewma_src_")
+    def file(rows: Seq[(String, String, Long, Double)]): DataFrame =
+      rows.toDF("key", "t", "id", "value")
+        .select(col("key"), col("t").cast("timestamp").as("ts"),
+          col("id"), col("value"))
+    appendFile(src, file(Seq(("u1", "2024-03-01 10:00:00", 1L, 10.0))))
+    val stream = spark.readStream
+      .schema(file(Seq(("k", "2024-03-01 00:00:00", 0L, 0.0))).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = StreamingAnalytics.ewmaStream(stream, alpha = 0.25,
+        watermark = "10 seconds")
+      .writeStream.format("memory").queryName("ewma")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // b2 arrives OUT of event-time order (10:02 before 10:01) and far
+      // enough ahead to move the watermark past both early points
+      appendFile(src, file(Seq(
+        ("u1", "2024-03-01 10:02:00", 3L, 30.0),
+        ("u1", "2024-03-01 10:01:00", 2L, 20.0),
+        ("u1", "2024-03-01 10:10:00", 9L, 90.0))))
+      q.processAllAvailable()
+      // b3: pure watermark advance via a sentinel key — u1's last point
+      // drains on the TIMEOUT path without receiving any new events
+      appendFile(src, file(Seq(("zz", "2024-03-01 11:00:00", 99L, 0.0))))
+      q.processAllAvailable()
+      appendFile(src, file(Seq(("zz", "2024-03-01 12:00:00", 98L, 0.0))))
+      q.processAllAvailable()
+
+      val snaps = spark.table("ewma").filter(col("key") === "u1")
+        .select("n", "ewma").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      // drains happened incrementally: at least two distinct snapshots,
+      // not one big final fold
+      assert(snaps.length >= 2, s"expected incremental drains: ${snaps.toSeq}")
+      // the fold order is event-time order despite arrival order:
+      // s = 10 -> .25*20+.75*10 = 12.5 -> .25*30+.75*12.5 = 16.875
+      //   -> .25*90+.75*16.875 = 35.15625
+      assert(snaps.map(_._1).contains(3L) || snaps.map(_._1).contains(1L),
+        s"an intermediate snapshot must exist: ${snaps.toSeq}")
+      val fin = snaps.last
+      assert(fin._1 == 4L, s"all four points must fold: ${snaps.toSeq}")
+      assert(fin._2 == 35.15625, s"final level ${fin._2} != 35.15625")
+    } finally q.stop()
+  }
 }
