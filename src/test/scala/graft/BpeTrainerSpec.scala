@@ -38,6 +38,24 @@ class BpeTrainerSpec extends AnyFunSuite {
       (5, "e", "w", "ew", 6L)))
   }
 
+  test("local and distributed merge loops learn the identical table") {
+    def table(maxLocal: Int) =
+      BpeTrainer.train(corpus, "text", merges = 5, maxLocalVocab = maxLocal)
+        .orderBy("rank").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+    assert(table(200000) == table(0),
+      "driver-side fast path must replay the distributed loop exactly")
+    // real corpus too, with messier tie structure
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    def real(maxLocal: Int) =
+      BpeTrainer.train(docs, "text", merges = 12, maxLocalVocab = maxLocal)
+        .orderBy("rank").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+    assert(real(200000) == real(0))
+  }
+
   test("train stops early when no pair remains") {
     import spark.implicits._
     val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
