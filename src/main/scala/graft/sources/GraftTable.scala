@@ -875,13 +875,22 @@ class GraftTable(
     val inA = coalesce(col("__a_present"), lit(false))
     val inB = coalesce(col("__b_present"), lit(false))
     val changed = !(cmp("__a_") <=> cmp("__b_"))
-    def emit(tag: String, cond: Column, p: String) = j.filter(cond).select(
-      lit(tag).as("change_type") +: idCols.map(col)
-        ++: payload.map(c => col(s"$p$c").as(c)): _*)
-    emit("insert", inB && !inA, "__b_")
-      .unionByName(emit("delete", inA && !inB, "__a_"))
-      .unionByName(emit("update_preimage", inA && inB && changed, "__a_"))
-      .unionByName(emit("update_postimage", inA && inB && changed, "__b_"))
+    // ONE pass over ONE join: each joined row explodes into its change
+    // rows (0 for unchanged, 2 for updates) and the payload picks the
+    // side per tag. A union of four filtered legs would re-execute the
+    // join — and the two resolved dedup reads under it — four times.
+    val tags = when(inB && !inA, array(lit("insert")))
+      .when(inA && !inB, array(lit("delete")))
+      .when(changed,
+        array(lit("update_preimage"), lit("update_postimage")))
+      .otherwise(array().cast("array<string>"))
+    j.select(explode(tags).as("change_type") +: idCols.map(col)
+        ++: payload.map(c => col(s"__a_$c"))
+        ++: payload.map(c => col(s"__b_$c")): _*)
+      .select(col("change_type") +: idCols.map(col)
+        ++: payload.map(c =>
+          when(col("change_type").isin("insert", "update_postimage"),
+            col(s"__b_$c")).otherwise(col(s"__a_$c")).as(c)): _*)
   }
 
   /** Newest version committed at or before `ts` (`TIMESTAMP AS OF`):
