@@ -475,6 +475,48 @@ object Curation {
       .drop("__h", "__bkt", "__off", "__run")
   }
 
+  /** Weighted sampling: systematic PPS (probability proportional to size,
+    * Madow's method) over a deterministic md5 traversal order. Exactly `k`
+    * selections land across the weight line (`Σ multiplicity = k` always):
+    * a document is picked each time a multiple of `W/k` falls inside its
+    * weight interval, so `multiplicity = ⌊run·k/W⌋ − ⌊(run−w)·k/W⌋` and a
+    * document heavier than `W/k` can be drawn more than once — the
+    * standard PPS semantics a mixture-weighted corpus draw needs.
+    *
+    * Everything is INTEGER arithmetic (no transcendentals — an
+    * Efraimidis–Spirakis exponential key would hang the selection on
+    * libm's `pow`/`ln` rounding, which differs between engines), so the
+    * sample is oracle-exact, reproducible, and engine-portable. Scale
+    * shape: the same two-level prefix sum as [[shardAssign]] (per-bucket
+    * totals → broadcast offsets → within-bucket windows), the grand total
+    * is a 1-row broadcast — no single task sees the corpus. */
+  def ppsSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
+      salt: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    val withH = df.filter(col(weightCol) > 0)
+      .withColumn("__h", sampleHash(col(idCol), salt))
+      .withColumn("__bkt", substring(col("__h"), 1, 2))
+    val bktTotals = withH.groupBy("__bkt")
+      .agg(sum(col(weightCol)).as("__bt"))
+    val wBuckets = Window.orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bktTotals
+      .withColumn("__off", coalesce(sum(col("__bt")).over(wBuckets), lit(0L)))
+      .drop("__bt")
+    val wIntra = Window.partitionBy("__bkt")
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = withH.agg(sum(col(weightCol)).as("__W"))
+    withH.join(broadcast(offsets), Seq("__bkt"))
+      .withColumn("__run",
+        col("__off") + sum(col(weightCol)).over(wIntra))
+      .crossJoin(broadcast(total))
+      .withColumn("multiplicity", expr(
+        s"(__run * $k) div __W - ((__run - $weightCol) * $k) div __W"))
+      .filter(col("multiplicity") > 0)
+      .select(col(idCol), col(weightCol), col("multiplicity"))
+  }
+
   /** C4-style composite quality filter: the FIRST failing rule names the
     * drop reason ('keep' when none fails), so filter attrition is
     * attributable per rule — the audit table every curation run reports.

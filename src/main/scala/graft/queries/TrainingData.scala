@@ -335,6 +335,18 @@ object TrainingData {
         .orderBy("lang")
     },
 
+    // ---- weighted sampling: systematic PPS (Madow), integer-exact ----------
+    // Σ multiplicity = k by construction; a doc heavier than W/k draws
+    // more than once. Pure integer arithmetic (no pow/ln whose libm
+    // rounding differs across engines) over an md5 traversal order, so
+    // the SAMPLE ITSELF is oracle-exact — the mixture-weighted corpus
+    // draw every data-mixing recipe needs, reproducible on any engine.
+    "q113_weighted_sample" -> { (s, dir) =>
+      Curation.ppsSample(Tables.documents(s, dir), "doc_id", "n_chars",
+          k = 100, salt = "s113:")
+        .orderBy("doc_id")
+    },
+
     // ---- per-source document cap (web-corpus curation) ---------------------
     "q59_per_source_cap" -> { (s, dir) =>
       Curation.capPerGroup(
@@ -930,6 +942,24 @@ object TrainingData {
           | CAST(sum(CASE WHEN h < thr THEN 1 END) AS BIGINT) AS n_sampled,
           | CAST(sum(CASE WHEN h < thr THEN doc_id END) AS BIGINT) AS id_sum
           |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q113_weighted_sample" ->
+        """WITH w AS (
+          | SELECT doc_id, n_chars,
+          |  substring(md5('s113:' || CAST(doc_id AS VARCHAR)), 1, 4) AS h
+          | FROM documents WHERE n_chars > 0),
+          |tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS W FROM w),
+          |r AS (
+          | SELECT doc_id, n_chars,
+          |  CAST(sum(n_chars) OVER (ORDER BY h, doc_id
+          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+          | FROM w)
+          |SELECT doc_id, n_chars,
+          | CAST((run * 100) // W - ((run - n_chars) * 100) // W AS BIGINT)
+          |   AS multiplicity
+          |FROM r, tot
+          |WHERE (run * 100) // W - ((run - n_chars) * 100) // W > 0
+          |ORDER BY doc_id""".stripMargin,
 
       "q59_per_source_cap" ->
         s"""WITH t AS (

@@ -551,6 +551,24 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("PPS sample: multiplicities sum to exactly k, heavy docs always draw") {
+    import spark.implicits._
+    val k = 10
+    val df = (1L to 40L).map(i => (i, if (i == 7L) 5000L else 50L))
+      .toDF("doc_id", "w")
+    val got = graft.operators.Curation.ppsSample(df, "doc_id", "w", k, "t:")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.values.sum == k, s"sum multiplicity must be k: $got")
+    // doc 7 holds 5000 of W=6950; W/k=695 → at least ⌊5000/695⌋=7 draws
+    assert(got.getOrElse(7L, 0L) >= 7L, s"heavy doc under-drawn: $got")
+    // zero/negative weights are excluded, never sampled
+    val withZero = df.union(Seq((99L, 0L)).toDF("doc_id", "w"))
+    val got2 = graft.operators.Curation
+      .ppsSample(withZero, "doc_id", "w", k, "t:")
+      .collect().map(r => r.getLong(0)).toSet
+    assert(!got2.contains(99L))
+  }
+
   test("per-partition Gram accumulation matches the decimal-exact explode") {
     val dim = 64
     val exact = VectorSearch.gramUpperExact(embs, "embedding", "vec_id")
