@@ -439,6 +439,33 @@ object TimeSeries {
         .orderBy("user_id")
     },
 
+    // ---- multi-window SLO burn rate (the SRE-workbook alerting shape):
+    // per hour, the error-rate over the hour AND over the trailing 6 h,
+    // both expressed as burn of a 10% error budget; the alert fires only
+    // when BOTH windows burn >1× — the standard fast+slow window guard
+    // against blips and against slow-burn blindness. The corpus-sized
+    // stage is ONE hourly count aggregation; the rolling window runs over
+    // hourly aggregates (bounded by retention, not data size). Integer
+    // counts until the final division — oracle-exact. -----------------------
+    "q114_burn_rate" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val budget = 0.10
+      val hourly = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz")
+          .as("hour"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("event_type") === "error", lit(1))).as("n_err"))
+      val w6 = Window.orderBy("hour").rowsBetween(-5, 0)
+      hourly
+        .withColumn("n_6h", sum(col("n")).over(w6))
+        .withColumn("n_err_6h", sum(col("n_err")).over(w6))
+        .select(col("hour"), col("n"), col("n_err"),
+          round((col("n_err") / col("n")) / budget, 6).as("burn_1h"),
+          round((col("n_err_6h") / col("n_6h")) / budget, 6).as("burn_6h"))
+        .withColumn("alert", col("burn_1h") > 1.0 && col("burn_6h") > 1.0)
+        .orderBy("hour")
+    },
+
     // ---- A2/A3: t-digest percentile sketch (README p95 query shape) -------
     // No DuckDB oracle: sketch estimates are approximate and merge-order
     // dependent; PercentileAggSpec pins accuracy against exact percentiles.
@@ -660,6 +687,25 @@ object TimeSeries {
         |   list(value ORDER BY CAST(ts AS TIMESTAMP), event_id),
         |   (acc, x) -> 0.25 * x + 0.75 * acc), 6) AS ewma
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q114_burn_rate" ->
+      """WITH h AS (
+        | SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |  count(*) AS n,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_err
+        | FROM events GROUP BY 1),
+        |r AS (
+        | SELECT hour, n, n_err,
+        |  CAST(sum(n) OVER w AS BIGINT) AS n6,
+        |  CAST(sum(n_err) OVER w AS BIGINT) AS e6
+        | FROM h WINDOW w AS (ORDER BY hour
+        |   ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+        |SELECT hour, n, n_err,
+        | round((n_err / n) / 0.10, 6) AS burn_1h,
+        | round((e6 / n6) / 0.10, 6) AS burn_6h,
+        | round((n_err / n) / 0.10, 6) > 1.0
+        |   AND round((e6 / n6) / 0.10, 6) > 1.0 AS alert
+        |FROM r ORDER BY hour""".stripMargin,
 
     "q86_time_weighted_avg" ->
       """WITH seq AS (
