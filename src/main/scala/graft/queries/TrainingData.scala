@@ -335,6 +335,17 @@ object TrainingData {
         .orderBy("lang")
     },
 
+    // ---- edit-distance similarity join (typo-tolerant entity resolution):
+    // PassJoin τ=1 segment blocking — one edit leaves one segment intact,
+    // so candidates equi-join on (segment, index, length) and exact
+    // levenshtein verifies; the O(n²) pair space never materializes.
+    // Supplier names give a dense fuzzy domain (digit-run ids). -------------
+    "q115_edit_distance_join" -> { (s, dir) =>
+      TextDedup.editDistancePairs(Tables.supplier(s, dir), "s_suppkey",
+          "s_name")
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- weighted sampling: systematic PPS (Madow), integer-exact ----------
     // Σ multiplicity = k by construction; a doc heavier than W/k draws
     // more than once. Pure integer arithmetic (no pow/ln whose libm
@@ -942,6 +953,14 @@ object TrainingData {
           | CAST(sum(CASE WHEN h < thr THEN 1 END) AS BIGINT) AS n_sampled,
           | CAST(sum(CASE WHEN h < thr THEN doc_id END) AS BIGINT) AS id_sum
           |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q115_edit_distance_join" ->
+        """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+          | CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+          |FROM supplier a JOIN supplier b
+          | ON a.s_suppkey < b.s_suppkey
+          |  AND levenshtein(a.s_name, b.s_name) <= 1
+          |ORDER BY id_a, id_b""".stripMargin,
 
       "q113_weighted_sample" ->
         """WITH w AS (

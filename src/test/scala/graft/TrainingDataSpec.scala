@@ -551,6 +551,30 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("PassJoin edit-distance pairs equal the naive cross join (ed<=1)") {
+    import spark.implicits._
+    val names = Seq("kitten", "sitten", "sittin", "mitten", "kitte",
+      "kittens", "abc", "abd", "xbc", "a", "ab", "zzzz", "kitten")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val df = names.toDF("id", "name")
+    val got = TextDedup.editDistancePairs(df, "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = (for {
+      (ia, sa) <- names; (ib, sb) <- names
+      if ia < ib && lev(sa, sb) <= 1
+    } yield (ia, ib)).toSet
+    assert(got == naive, s"missing=${naive -- got} extra=${got -- naive}")
+  }
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
   test("PPS sample: multiplicities sum to exactly k, heavy docs always draw") {
     import spark.implicits._
     val k = 10
