@@ -425,8 +425,11 @@ object TextDedup {
     * caveat (AQE skew-join splits a hot half). */
   def editDistancePairs(df: DataFrame, idCol: String,
       strCol: String): DataFrame = {
-    val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"),
-      length(col(strCol)).as("__n"))
+    // contract: empty strings don't participate (an empty "name" is not
+    // an entity; every length-1 string would trivially pair with it)
+    val base = df.filter(length(col(strCol)) > 0)
+      .select(col(idCol).as("__id"), col(strCol).as("__s"),
+        length(col(strCol)).as("__n"))
     // index side: the two segments of each string at their home positions
     val halfN = floor(col("__n") / 2).cast("int")
     val index = base.select(col("__id"), col("__s"), col("__n"),

@@ -566,6 +566,29 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got == naive, s"missing=${naive -- got} extra=${got -- naive}")
   }
 
+  test("PassJoin equals naive on dense random short strings, 3 seeds") {
+    import spark.implicits._
+    // {a,b}* of length 0..5 is the densest ed<=1 neighborhood space —
+    // every blocking edge case (empty segs, off-by-one starts, length
+    // straddles) occurs. Deterministic seeds keep the pin reproducible.
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val names = (0 until 60).map { i =>
+        (i.toLong, (0 until rnd.nextInt(6)).map(_ =>
+          if (rnd.nextBoolean()) 'a' else 'b').mkString)
+      }.filter(_._2.nonEmpty).distinct
+      val got = TextDedup
+        .editDistancePairs(names.toDF("id", "name"), "id", "name")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = (for {
+        (ia, sa) <- names; (ib, sb) <- names
+        if ia < ib && lev(sa, sb) <= 1
+      } yield (ia, ib)).toSet
+      assert(got == naive,
+        s"seed=$seed missing=${naive -- got} extra=${got -- naive}")
+    }
+  }
+
   private def lev(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
       if (i == 0) j else if (j == 0) i else 0)
