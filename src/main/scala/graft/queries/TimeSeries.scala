@@ -196,6 +196,45 @@ object TimeSeries {
         .orderBy("user_id", "bucket")
     },
 
+    // ---- gapfill with LINEAR interpolation (TimescaleDB `interpolate`,
+    // the other half of the q87 LOCF family): an empty bucket takes the
+    // line between its surrounding observed points; buckets before the
+    // first / after the last observation stay null. Two bounded windows
+    // per series carry the (epoch, value) of the nearest observed point
+    // in each direction; identical double arithmetic on both engines →
+    // oracle-exact. -------------------------------------------------------
+    "q116_gapfill_interp" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.events(s, dir)
+        .filter(col("user_id") < 10 &&
+          col("ts") < lit("2024-01-08").cast("timestamp_ntz"))
+        .groupBy(col("user_id"),
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("bucket"))
+        .agg(dsum(col("value")).as("sum_value"), count(lit(1)).as("n"))
+      val series = hourly.groupBy("user_id")
+        .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+        .select(col("user_id"), explode(sequence(col("b0"), col("b1"),
+          expr("INTERVAL 1 HOUR"))).as("bucket"))
+      val wb = Window.partitionBy("user_id").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("user_id").orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obs = when(col("v").isNotNull,
+        struct(col("bus").as("b"), col("v").as("v")))
+      series.join(hourly, Seq("user_id", "bucket"), "left")
+        .withColumn("v", col("sum_value") / col("n"))
+        .withColumn("bus", unix_micros(col("bucket").cast("timestamp")))
+        .withColumn("p", last(obs, ignoreNulls = true).over(wb))
+        .withColumn("nx", first(obs, ignoreNulls = true).over(wf))
+        .select(col("user_id"), col("bucket"), col("n").isNull.as("filled"),
+          round(when(col("v").isNotNull, col("v"))
+            .when(col("p").isNotNull && col("nx").isNotNull,
+              col("p.v") + (col("nx.v") - col("p.v")) *
+                ((col("bus") - col("p.b")).cast("double") /
+                  (col("nx.b") - col("p.b")))), 6).as("value_interp"))
+        .orderBy("user_id", "bucket")
+    },
+
     // ---- time-weighted average (TimescaleDB toolkit's third pillar next
     // to time_bucket/percentile_agg): LOCF integral over each user's
     // observation span — irregular samples weighted by how long they held,
@@ -687,6 +726,41 @@ object TimeSeries {
         |   list(value ORDER BY CAST(ts AS TIMESTAMP), event_id),
         |   (acc, x) -> 0.25 * x + 0.75 * acc), 6) AS ewma
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q116_gapfill_interp" ->
+      """WITH hourly AS (
+        | SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  count(*) AS n
+        | FROM events
+        | WHERE user_id < 10 AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08'
+        | GROUP BY 1, 2),
+        |series AS (
+        | SELECT user_id,
+        |  unnest(generate_series(min(bucket), max(bucket),
+        |    INTERVAL 1 HOUR)) AS bucket
+        | FROM hourly GROUP BY user_id),
+        |j AS (
+        | SELECT s.user_id, s.bucket, h.n, h.sum_value / h.n AS v,
+        |  epoch_us(s.bucket) AS bus
+        | FROM series s LEFT JOIN hourly h USING (user_id, bucket)),
+        |e AS (
+        | SELECT *,
+        |  last_value(CASE WHEN v IS NOT NULL
+        |    THEN struct_pack(b := bus, v := v) END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY bucket
+        |     ROWS UNBOUNDED PRECEDING) AS p,
+        |  first_value(CASE WHEN v IS NOT NULL
+        |    THEN struct_pack(b := bus, v := v) END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY bucket
+        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+        | FROM j)
+        |SELECT user_id, bucket, n IS NULL AS filled,
+        | round(CASE WHEN v IS NOT NULL THEN v
+        |   WHEN p IS NOT NULL AND nx IS NOT NULL
+        |   THEN p.v + (nx.v - p.v) *
+        |     ((bus - p.b)::DOUBLE / (nx.b - p.b)) END, 6) AS value_interp
+        |FROM e ORDER BY user_id, bucket""".stripMargin,
 
     "q114_burn_rate" ->
       """WITH h AS (
