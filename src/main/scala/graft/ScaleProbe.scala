@@ -35,7 +35,10 @@ object ScaleProbe {
     // the similarity family — where a degenerate blocking bucket or an
     // unblocked pair join would hide its quadratic
     "q25_near_dup_jaccard", "q26_minhash_lsh", "q53_ngram_jaccard",
-    "q47_embedding_dedup", "q57_cross_doc_ngrams")
+    "q47_embedding_dedup", "q57_cross_doc_ngrams",
+    // PassJoin edit-distance join: a degenerate segment bucket (every
+    // name sharing a half) would quadratic here
+    "q115_edit_distance_join")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,11 +53,13 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // resume guard keys on the LAST artifact amplify writes: a run that
-    // died between the documents and embeddings writes must rebuild, not
-    // silently serve a half-built scale dir
-    if (!Files.exists(Paths.get(out, "embeddings.parquet")))
+    // resume guard keys on a marker written AFTER every amplify write: a
+    // run that died mid-build (or an older build lacking a newer table's
+    // amplification) must rebuild, not silently serve a stale scale dir
+    if (!Files.exists(Paths.get(out, "_amplified_v2"))) {
       amplify(spark, base, out, factor)
+      Files.createFile(Paths.get(out, "_amplified_v2"))
+    }
 
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -81,7 +86,7 @@ object ScaleProbe {
   def amplify(spark: SparkSession, base: String, out: String,
       factor: Int): Unit = {
     Files.createDirectories(Paths.get(out))
-    val all = Seq("region", "nation", "customer", "supplier", "part",
+    val all = Seq("region", "nation", "customer", "part",
       "orders", "lineitem", "events")
     all.foreach { t =>
       // raw copy, not a Spark rewrite: preserves exact parquet physical
@@ -89,6 +94,19 @@ object ScaleProbe {
       Files.copy(Paths.get(base, s"$t.parquet"),
         Paths.get(out, s"$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
     }
+    // supplier: replica r appends a constant 3-char suffix — appending
+    // the same suffix to both strings preserves every intra-replica edit
+    // distance exactly, and two distinct replicas' suffixes differ in ≥2
+    // chars so no cross-replica pair enters τ=1. N× rows → N× pairs.
+    val sup = spark.read.parquet(s"$base/supplier.parquet")
+    val maxSup = sup.agg(max("s_suppkey")).head.getLong(0) + 1
+    replicate(sup, factor) { (df, r) =>
+      val name =
+        if (r == 0) col("s_name")
+        else concat(col("s_name"), lit("_" + ("" + ('a' + r).toChar) * 2))
+      df.select((col("s_suppkey") + lit(r * maxSup)).as("s_suppkey"),
+        name.as("s_name"), col("s_nationkey"), col("s_acctbal"))
+    }.coalesce(1).write.mode("overwrite").parquet(s"$out/supplier.parquet")
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val maxDoc = docs.agg(max("doc_id")).head.getLong(0) + 1
     replicate(docs, factor) { (df, r) =>

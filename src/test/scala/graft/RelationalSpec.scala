@@ -40,7 +40,9 @@ class RelationalSpec extends AnyFunSuite {
       "q33_fingerprint", // xxhash64-based sketch; determinism spec-checked
       "q42_ann_ivf", // k-means cells are seed-dependent; recall spec-checked
       "q75_semantic_dedup", // k-means cells seed-dependent; invariants spec-checked
-      "q91_ann_pq" // PQ codebooks seed-dependent; recall + exact-scores spec-checked
+      "q91_ann_pq", // PQ codebooks seed-dependent; recall + exact-scores spec-checked
+      "q110_pca_project", // eigenvectors unique only up to sign/rotation; orthonormality + variance=eigenvalue spec
+      "q111_bpe_encode" // greedy rank-ordered merging has no SQL form; merges + counts pinned in BpeTrainerSpec
     )
     assert((missing -- allowedRowsOnly).isEmpty || missing == allowedRowsOnly,
       s"queries without oracle: $missing")
