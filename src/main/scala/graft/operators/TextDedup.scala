@@ -477,16 +477,19 @@ object TextDedup {
         col("__n")), Seq("__n"))
       .filter(col("__ida") =!= col("__idb"))
       .select("__ida", "__idb", "__pa", "__pb")
+    // verify BEFORE deduplicating: a candidate repeats at most a few
+    // times (one per generating probe key), so running the banded
+    // levenshtein first — the 3-arg threshold form is O(τ·n) per pair,
+    // not O(n²), and -1 marks "exceeds τ" — means the distinct shuffles
+    // only survivors (13.5k at bench scale) instead of the full
+    // candidate multiset (500k+ when a segment bucket degenerates, e.g.
+    // every supplier name sharing its first half).
     segCands.unionByName(shortCands)
+      .withColumn("dist",
+        levenshtein(col("__pa"), col("__pb"), 1).cast("long"))
+      .filter(col("dist") >= 0)
       .select(least(col("__ida"), col("__idb")).as("id_a"),
-        greatest(col("__ida"), col("__idb")).as("id_b"),
-        when(col("__ida") < col("__idb"), col("__pa")).otherwise(col("__pb"))
-          .as("__sa"),
-        when(col("__ida") < col("__idb"), col("__pb")).otherwise(col("__pa"))
-          .as("__sb"))
+        greatest(col("__ida"), col("__idb")).as("id_b"), col("dist"))
       .distinct()
-      .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
-      .filter(col("dist") <= 1)
-      .select("id_a", "id_b", "dist")
   }
 }
