@@ -411,18 +411,26 @@ object TextDedup {
   }
 
   /** Edit-distance similarity join at threshold 1 (typo-tolerant fuzzy
-    * matching / entity resolution) via PassJoin segment blocking (Li et
-    * al. 2011, the standard sub-quadratic scheme): split every indexed
-    * string into 2 segments; ONE edit touches at most one segment, so any
-    * string within distance 1 contains the OTHER segment exactly, at a
-    * start shifted by at most 1 and a length differing by at most 1.
-    * Candidates come from an equi-join on (substring, segment index,
-    * indexed length) — the probe side over-generates a bounded set of
-    * substrings (≤ 2 segs × 3 lengths × 2 starts per row) and exact
-    * `levenshtein` verifies, so over-generation never costs correctness,
-    * only candidates. The O(n²) pair space is never materialized; key
-    * fan-out is bounded by names sharing a half, the usual blocking-skew
-    * caveat (AQE skew-join splits a hot half). */
+    * matching / entity resolution) via DELETION-NEIGHBORHOOD blocking
+    * (FastSS, Bocek et al. 2007 — the SymSpell scheme): each string
+    * contributes itself plus its n single-deletion variants as blocking
+    * keys. For ed ≤ 1 the characterization is exact — a and b are within
+    * one edit iff a = b (share the full key), b deletes to a / a deletes
+    * to b (insertion), or they share a common deletion (substitution) —
+    * so candidates are COMPLETE by construction, no pigeonhole shifts,
+    * no short-string special case.
+    *
+    * Why not substring segments (PassJoin): template-shaped entity names
+    * ("Supplier#000000042") share long constant halves, so any fixed
+    * substring bucket degenerates and candidates go quadratic — the
+    * sf1 scale probe measured exactly that (64× at 10× rows). Deletion
+    * keys are nearly FULL-length, so they carry the discriminative
+    * characters wherever they sit; the only degenerate bucket is a set
+    * of near-identical strings, which is output-sized by definition.
+    * Shuffle volume is Σ(len+1) keys ≈ corpus bytes × average length —
+    * linear in rows. The banded 3-arg `levenshtein` (O(τ·n) per pair,
+    * -1 marks over-threshold) verifies BEFORE the distinct, so only
+    * survivors shuffle through deduplication. */
   def editDistancePairs(df: DataFrame, idCol: String,
       strCol: String): DataFrame = {
     // contract: empty strings don't participate (an empty "name" is not
@@ -430,66 +438,18 @@ object TextDedup {
     val base = df.filter(length(col(strCol)) > 0)
       .select(col(idCol).as("__id"), col(strCol).as("__s"),
         length(col(strCol)).as("__n"))
-    // index side: the two segments of each string at their home positions
-    val halfN = floor(col("__n") / 2).cast("int")
-    val index = base.select(col("__id"), col("__s"), col("__n"),
-      explode(array(
-        struct(lit(0).as("i"),
-          col("__s").substr(lit(1), halfN).as("seg")),
-        struct(lit(1).as("i"),
-          col("__s").substr(halfN + 1, col("__n") - halfN).as("seg"))))
-        .as("k"))
-      .select(col("__id"), col("__s"), col("k.i"), col("k.seg"), col("__n"))
-    // probe side: for each candidate indexed length n ∈ m±1 and segment,
-    // the substrings of this string at start ± 1 — over-generation is
-    // harmless (exact verify below), misses are impossible (pigeonhole)
-    val probes = base.select(col("__id"), col("__s"), col("__n"),
-        explode(sequence(col("__n") - 1, col("__n") + 1)).as("n2"))
-      .filter(col("n2") >= 2)
-      .select(col("__id"), col("__s"), col("n2"),
-        explode(array((for (i <- 0 to 1; d <- -1 to 1) yield {
-          val l1 = floor(col("n2") / 2).cast("int")
-          val start = (if (i == 0) lit(1) else l1 + 1) + lit(d)
-          val len = if (i == 0) l1 else col("n2") - l1
-          struct(lit(i).as("i"),
-            col("__s").substr(start.cast("int"), len.cast("int")).as("seg"),
-            start.cast("int").as("__st"))
-        }): _*)).as("k"))
-      .filter(col("k.__st") >= 1 && col("k.seg") =!= "")
-      .select(col("__id"), col("__s"), col("k.i"), col("k.seg"),
-        col("n2").as("__n"))
-    val segCands = probes.as("p").join(index.as("x"),
-        Seq("i", "seg", "__n"))
-      .filter(col("p.__id") =!= col("x.__id"))
-      .select(col("p.__id").as("__ida"), col("x.__id").as("__idb"),
-        col("p.__s").as("__pa"), col("x.__s").as("__pb"))
-    // short-string fallback: a string of length ≤ 2 has an empty or
-    // 1-char segment, where the pigeonhole argument degenerates (the
-    // untouched segment may be EMPTY — unjoinable). Such strings block on
-    // candidate length alone (partners are within length ± 1); strings
-    // this short are rare in entity data, so the fan-out is bounded in
-    // practice and exactness is preserved in all cases.
-    val shortCands = base.filter(col("__n") <= 2)
-      .select(col("__id").as("__ida"), col("__s").as("__pa"),
-        explode(sequence(greatest(col("__n") - 1, lit(1)), col("__n") + 1))
-          .as("__n"))
-      .join(base.select(col("__id").as("__idb"), col("__s").as("__pb"),
-        col("__n")), Seq("__n"))
-      .filter(col("__ida") =!= col("__idb"))
-      .select("__ida", "__idb", "__pa", "__pb")
-    // verify BEFORE deduplicating: a candidate repeats at most a few
-    // times (one per generating probe key), so running the banded
-    // levenshtein first — the 3-arg threshold form is O(τ·n) per pair,
-    // not O(n²), and -1 marks "exceeds τ" — means the distinct shuffles
-    // only survivors (13.5k at bench scale) instead of the full
-    // candidate multiset (500k+ when a segment bucket degenerates, e.g.
-    // every supplier name sharing its first half).
-    segCands.unionByName(shortCands)
-      .withColumn("dist",
-        levenshtein(col("__pa"), col("__pb"), 1).cast("long"))
+    val keyed = base.select(col("__id"), col("__s"),
+      explode(concat(
+        array(col("__s")),
+        transform(sequence(lit(1), col("__n")), i =>
+          concat(col("__s").substr(lit(1), (i - 1).cast("int")),
+            col("__s").substr((i + 1).cast("int"),
+              (col("__n") - i).cast("int")))))).as("__k"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.__k") === col("b.__k") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        levenshtein(col("a.__s"), col("b.__s"), 1).cast("long").as("dist"))
       .filter(col("dist") >= 0)
-      .select(least(col("__ida"), col("__idb")).as("id_a"),
-        greatest(col("__ida"), col("__idb")).as("id_b"), col("dist"))
       .distinct()
   }
 }
