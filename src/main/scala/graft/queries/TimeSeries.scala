@@ -505,6 +505,39 @@ object TimeSeries {
         .orderBy("hour")
     },
 
+    // ---- lag-24h autocorrelation of hourly volume (seasonality
+    // detection — the "is this metric daily-periodic" question behind
+    // seasonal baselines and anomaly suppression): Pearson r between the
+    // hourly count series and itself shifted one day, per event type.
+    // Deviations are doubles, so every product routes through DECIMAL
+    // before summing (q102's rule: the only floating steps are per-row
+    // arithmetic and the final division — order-independent on both
+    // engines). The corpus-sized stage is the hourly aggregation; the
+    // window/statistics run over retention-bounded hourly rows. -----------
+    "q117_autocorrelation" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = DecimalType(30, 8)
+      val lagHours = 24
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val wAll = Window.partitionBy("event_type")
+      val wSeq = Window.partitionBy("event_type").orderBy("hour")
+      val dev = hourly
+        .withColumn("mean", avg(col("n")).over(wAll))
+        .withColumn("dx", col("n") - col("mean"))
+        .withColumn("dy", lead(col("dx"), lagHours).over(wSeq))
+      dev.groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_hours"),
+          (sum(when(col("dy").isNotNull, col("dx") * col("dy")).cast(d))
+            .cast("double") /
+            sum((col("dx") * col("dx")).cast(d)).cast("double")).as("r_raw"))
+        .select(col("event_type"), col("n_hours"),
+          round(col("r_raw"), 6).as("acf_24h"))
+        .orderBy("event_type")
+    },
+
     // ---- A2/A3: t-digest percentile sketch (README p95 query shape) -------
     // No DuckDB oracle: sketch estimates are approximate and merge-order
     // dependent; PercentileAggSpec pins accuracy against exact percentiles.
@@ -761,6 +794,26 @@ object TimeSeries {
         |   THEN p.v + (nx.v - p.v) *
         |     ((bus - p.b)::DOUBLE / (nx.b - p.b)) END, 6) AS value_interp
         |FROM e ORDER BY user_id, bucket""".stripMargin,
+
+    "q117_autocorrelation" ->
+      """WITH h AS (
+        | SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |  count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |d AS (
+        | SELECT event_type, hour, n,
+        |  n - avg(n) OVER (PARTITION BY event_type) AS dx
+        | FROM h),
+        |d2 AS (
+        | SELECT *, lead(dx, 24) OVER (PARTITION BY event_type ORDER BY hour)
+        |   AS dy
+        | FROM d)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        | round(CAST(sum(CAST(CASE WHEN dy IS NOT NULL THEN dx * dy END
+        |     AS DECIMAL(30,8))) AS DOUBLE)
+        |   / CAST(sum(CAST(dx * dx AS DECIMAL(30,8))) AS DOUBLE), 6)
+        |   AS acf_24h
+        |FROM d2 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q114_burn_rate" ->
       """WITH h AS (

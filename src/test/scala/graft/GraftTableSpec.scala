@@ -46,6 +46,72 @@ class GraftTableSpec extends AnyFunSuite {
       concat(lit("name-"), col("id") % 4).as("name"))
   }
 
+  test("randomized DML/maintenance sequences match an in-memory model, 3 seeds") {
+    import spark.implicits._
+    // state-machine pin: a random interleaving of append / UPDATE /
+    // UPDATE…FROM-style MERGE / DELETE / compact / partial-compact /
+    // vacuum must keep the resolved view equal to a trivial last-write-
+    // wins map after EVERY operation. Hand-built scenarios (below) cover
+    // each feature; this covers their interactions.
+    for (seed <- Seq(11, 22, 33)) {
+      val rnd = new scala.util.Random(seed)
+      val t = freshTable()
+      val model = scala.collection.mutable.Map[Int, String]()
+      def rows(ids: Seq[Int], prefix: String) =
+        ids.toDF("n").select(
+          (col("n") % 3).cast("string").as("project_id"),
+          (lit("2024-03-01 00:00:00").cast("timestamp_ntz")
+            + expr("make_interval(0, 0, 0, 0, 0, n, 0)")).as("timestamp"),
+          concat(lit("row-"), col("n")).as("id"),
+          concat(lit(prefix + "-row-"), col("n")).as("name"))
+      def pick(k: Int): Seq[Int] =
+        Seq.fill(k)(rnd.nextInt(30)).distinct
+      def check(step: Int, op: String): Unit = {
+        val got = t.readResolved().select("id", "name").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSet
+        val want = model.map { case (i, n) => (s"row-$i", n) }.toSet
+        assert(got == want, s"seed=$seed step=$step after $op: " +
+          s"missing=${want -- got} extra=${got -- want}")
+      }
+      for (step <- 1 to 20) {
+        val vt = t0(step)
+        val op = rnd.nextInt(6) match {
+          case 0 | 1 =>
+            val ids = pick(6)
+            t.append(rows(ids, s"app$step"), vt)
+            ids.foreach(i => model(i) = s"app$step-row-$i")
+            "append"
+          case 2 =>
+            val ids = pick(5)
+            t.update(col("id").isin(ids.map("row-" + _): _*),
+              Map("name" -> concat(lit(s"upd$step-"), col("id"))), vt)
+            ids.filter(model.contains)
+              .foreach(i => model(i) = s"upd$step-row-$i")
+            "update"
+          case 3 =>
+            val ids = pick(5)
+            t.merge(rows(ids, s"mrg$step"), Seq("project_id", "id"),
+              Map("name" -> col("s.name")), insertUnmatched = true,
+              versionTime = vt)
+            ids.foreach(i => model(i) = s"mrg$step-row-$i")
+            "merge"
+          case 4 =>
+            val ids = pick(4)
+            t.delete(col("id").isin(ids.map("row-" + _): _*), vt)
+            ids.foreach(model.remove)
+            "delete"
+          case 5 =>
+            if (rnd.nextBoolean()) t.compact()
+            else t.compactRange(java.time.LocalDate.of(2024, 3, 1),
+              java.time.LocalDate.of(2024, 3, 1))
+            if (rnd.nextBoolean()) t.vacuum()
+            "maintenance"
+        }
+        check(step, op)
+      }
+    }
+  }
+
   test("append + resolve returns each identity once") {
     val t = freshTable()
     t.append(sampleRows(100), t0(0))
