@@ -538,6 +538,56 @@ object TimeSeries {
         .orderBy("event_type")
     },
 
+    // ---- CUSUM change-point detection (drift alerting): the one-sided
+    // cumulative-sum recursion s_t = max(0, s_{t-1} + x_t − μ − k) over
+    // each series' hourly means, with the running max and the count of
+    // hours in alarm (s > h) carried in the SAME fold. Like q108, both
+    // engines run the identical left fold in the identical order — here
+    // with STRUCT state (level, max, alarms), proving the technique
+    // extends beyond scalar recursions: Spark `aggregate` takes the
+    // struct zero directly; DuckDB's `list_reduce` seeds from the first
+    // element, so the oracle maps elements to structs and prepends the
+    // zero. μ is the series' DECIMAL-routed mean; k and h are literals;
+    // s' is written out three times (no let-binding in SQL lambdas) with
+    // identical arithmetic, so the folds stay bit-equal. ------------------
+    "q118_cusum" -> { (s, dir) =>
+      val k = 2.0
+      val h = 8.0
+      val d = DecimalType(30, 8)
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"))
+        .agg((dsum(col("value")) / count(lit(1))).as("xm"))
+      val series = hourly.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("hour"), col("xm"))))
+          .as("ser"),
+          (sum(col("xm").cast(d)).cast("double") / count(lit(1)))
+            .as("mu"))
+      // field order (mx, al, s) matches the oracle, where it is
+      // LOAD-BEARING: DuckDB evaluates lambda struct fields sequentially
+      // and later fields see already-recomputed earlier ones, so `s` must
+      // come last for `mx`/`al` to read the PREVIOUS level — that ordering
+      // makes DuckDB behave like Spark's pure `struct` expression.
+      def step(acc: org.apache.spark.sql.Column,
+          x: org.apache.spark.sql.Column) = {
+        val sNew = greatest(lit(0.0),
+          acc("s") + x - col("mu") - lit(k))
+        struct(greatest(acc("mx"), sNew).as("mx"),
+          (acc("al") + when(sNew > h, 1).otherwise(0)).as("al"),
+          sNew.as("s"))
+      }
+      series.select(col("event_type"),
+          size(col("ser")).cast("long").as("n_hours"),
+          aggregate(transform(col("ser"), p => p("xm")),
+            struct(lit(0.0).as("mx"), lit(0).as("al"), lit(0.0).as("s")),
+            step).as("f"))
+        .select(col("event_type"), col("n_hours"),
+          round(col("f.s"), 6).as("cusum_final"),
+          round(col("f.mx"), 6).as("cusum_max"),
+          col("f.al").cast("long").as("alarm_hours"))
+        .orderBy("event_type")
+    },
+
     // ---- A2/A3: t-digest percentile sketch (README p95 query shape) -------
     // No DuckDB oracle: sketch estimates are approximate and merge-order
     // dependent; PercentileAggSpec pins accuracy against exact percentiles.
@@ -794,6 +844,39 @@ object TimeSeries {
         |   THEN p.v + (nx.v - p.v) *
         |     ((bus - p.b)::DOUBLE / (nx.b - p.b)) END, 6) AS value_interp
         |FROM e ORDER BY user_id, bucket""".stripMargin,
+
+    // `s` LAST in the lambda struct: DuckDB evaluates struct fields
+    // sequentially and later fields see the step's already-recomputed
+    // values, so mx/al must be computed before s to read the previous
+    // level (trace-verified; makes the fold match Spark's pure struct)
+    "q118_cusum" ->
+      """WITH hourly AS (
+        | SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS xm
+        | FROM events GROUP BY 1, 2),
+        |ser AS (
+        | SELECT event_type, list(xm ORDER BY hour) AS l,
+        |  CAST(sum(CAST(xm AS DECIMAL(30,8))) AS DOUBLE) / count(*) AS mu,
+        |  count(*) AS n_hours
+        | FROM hourly GROUP BY 1),
+        |f AS (
+        | SELECT event_type, n_hours,
+        |  list_reduce(
+        |    list_prepend({'mx': 0.0::DOUBLE, 'al': 0, 's': 0.0::DOUBLE},
+        |      list_transform(l, x -> {'mx': 0.0::DOUBLE, 'al': 0, 's': x})),
+        |    (acc, e) -> {
+        |     'mx': greatest(acc.mx,
+        |       greatest(0.0::DOUBLE, acc.s + e.s - mu - 2.0::DOUBLE)),
+        |     'al': acc.al + CASE WHEN
+        |       greatest(0.0::DOUBLE, acc.s + e.s - mu - 2.0::DOUBLE) > 8.0
+        |       THEN 1 ELSE 0 END,
+        |     's': greatest(0.0::DOUBLE, acc.s + e.s - mu - 2.0::DOUBLE)})
+        |   AS r
+        | FROM ser)
+        |SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+        | round(r.s, 6) AS cusum_final, round(r.mx, 6) AS cusum_max,
+        | CAST(r.al AS BIGINT) AS alarm_hours
+        |FROM f ORDER BY 1""".stripMargin,
 
     "q117_autocorrelation" ->
       """WITH h AS (
