@@ -563,11 +563,10 @@ object TimeSeries {
           .as("ser"),
           (sum(col("xm").cast(d)).cast("double") / count(lit(1)))
             .as("mu"))
-      // field order (mx, al, s) matches the oracle, where it is
-      // LOAD-BEARING: DuckDB evaluates lambda struct fields sequentially
-      // and later fields see already-recomputed earlier ones, so `s` must
-      // come last for `mx`/`al` to read the PREVIOUS level — that ordering
-      // makes DuckDB behave like Spark's pure `struct` expression.
+      // the oracle replays this recursion as a recursive CTE (DuckDB's
+      // lambda struct-field aliasing proved unstable for multi-field
+      // state); s' is written out once here and three times there, with
+      // identical arithmetic either way
       def step(acc: org.apache.spark.sql.Column,
           x: org.apache.spark.sql.Column) = {
         val sNew = greatest(lit(0.0),
@@ -585,6 +584,49 @@ object TimeSeries {
           round(col("f.s"), 6).as("cusum_final"),
           round(col("f.mx"), 6).as("cusum_max"),
           col("f.al").cast("long").as("alarm_hours"))
+        .orderBy("event_type")
+    },
+
+    // ---- Holt linear smoothing (double exponential — level + trend):
+    // l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1}),
+    // b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}, seeded l_1 = x_1, b_1 = 0;
+    // the one-step forecast l + b is the seasonal-naive baseline
+    // anomaly scorers subtract. Same cross-engine struct fold as q118;
+    // the trend needs BOTH the previous and the new level, so the state
+    // carries `lp` (previous level) and the oracle orders fields
+    // (lp, l, b): under DuckDB's sequential field evaluation `lp` reads
+    // the old level before `l` overwrites it, and `b` then reads the NEW
+    // `l` and the saved `lp` — matching Spark's pure struct exactly. -------
+    "q119_holt" -> { (s, dir) =>
+      val alpha = 0.5
+      val beta = 0.25
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"))
+        .agg((dsum(col("value")) / count(lit(1))).as("xm"))
+      val series = hourly.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("hour"), col("xm"))))
+          .as("ser"))
+      def step(acc: org.apache.spark.sql.Column,
+          x: org.apache.spark.sql.Column) = {
+        val lNew = when(acc("n") === 0, x)
+          .otherwise(lit(alpha) * x +
+            lit(1.0 - alpha) * (acc("l") + acc("b")))
+        struct(acc("l").as("lp"), lNew.as("l"),
+          when(acc("n") === 0, lit(0.0))
+            .otherwise(lit(beta) * (lNew - acc("l")) +
+              lit(1.0 - beta) * acc("b")).as("b"),
+          (acc("n") + 1).as("n"))
+      }
+      series.select(col("event_type"),
+          aggregate(transform(col("ser"), p => p("xm")),
+            struct(lit(0.0).as("lp"), lit(0.0).as("l"), lit(0.0).as("b"),
+              lit(0).as("n")),
+            step).as("f"))
+        .select(col("event_type"), col("f.n").cast("long").as("n_hours"),
+          round(col("f.l"), 6).as("level"),
+          round(col("f.b"), 6).as("trend"),
+          round(col("f.l") + col("f.b"), 6).as("forecast_next"))
         .orderBy("event_type")
     },
 
@@ -845,38 +887,83 @@ object TimeSeries {
         |     ((bus - p.b)::DOUBLE / (nx.b - p.b)) END, 6) AS value_interp
         |FROM e ORDER BY user_id, bucket""".stripMargin,
 
-    // `s` LAST in the lambda struct: DuckDB evaluates struct fields
-    // sequentially and later fields see the step's already-recomputed
-    // values, so mx/al must be computed before s to read the previous
-    // level (trace-verified; makes the fold match Spark's pure struct)
+    // oracle via RECURSIVE CTE, like q119: DuckDB's lambda struct-field
+    // aliasing is not stable enough to carry multi-field fold state (a
+    // field can observe another field's NEW value — probed on q119), so
+    // the recursion steps row-by-row with pure CTE semantics; s' is
+    // inlined three times with identical arithmetic, matching Spark's
+    // fold bit-for-bit.
     "q118_cusum" ->
-      """WITH hourly AS (
+      """WITH RECURSIVE hourly AS (
         | SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS xm
         | FROM events GROUP BY 1, 2),
-        |ser AS (
-        | SELECT event_type, list(xm ORDER BY hour) AS l,
-        |  CAST(sum(CAST(xm AS DECIMAL(30,8))) AS DOUBLE) / count(*) AS mu,
-        |  count(*) AS n_hours
+        |stats AS (
+        | SELECT event_type,
+        |  CAST(sum(CAST(xm AS DECIMAL(30,8))) AS DOUBLE) / count(*) AS mu
         | FROM hourly GROUP BY 1),
-        |f AS (
-        | SELECT event_type, n_hours,
-        |  list_reduce(
-        |    list_prepend({'mx': 0.0::DOUBLE, 'al': 0, 's': 0.0::DOUBLE},
-        |      list_transform(l, x -> {'mx': 0.0::DOUBLE, 'al': 0, 's': x})),
-        |    (acc, e) -> {
-        |     'mx': greatest(acc.mx,
-        |       greatest(0.0::DOUBLE, acc.s + e.s - mu - 2.0::DOUBLE)),
-        |     'al': acc.al + CASE WHEN
-        |       greatest(0.0::DOUBLE, acc.s + e.s - mu - 2.0::DOUBLE) > 8.0
-        |       THEN 1 ELSE 0 END,
-        |     's': greatest(0.0::DOUBLE, acc.s + e.s - mu - 2.0::DOUBLE)})
-        |   AS r
-        | FROM ser)
-        |SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
-        | round(r.s, 6) AS cusum_final, round(r.mx, 6) AS cusum_max,
-        | CAST(r.al AS BIGINT) AS alarm_hours
-        |FROM f ORDER BY 1""".stripMargin,
+        |r AS (
+        | SELECT event_type, xm,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+        | FROM hourly),
+        |c AS (
+        | SELECT r.event_type, r.rn,
+        |  greatest(0.0::DOUBLE, r.xm - st.mu - 2.0::DOUBLE) AS s,
+        |  greatest(0.0::DOUBLE, r.xm - st.mu - 2.0::DOUBLE) AS mx,
+        |  CASE WHEN greatest(0.0::DOUBLE, r.xm - st.mu - 2.0::DOUBLE) > 8.0
+        |    THEN 1 ELSE 0 END AS al
+        | FROM r JOIN stats st USING (event_type) WHERE r.rn = 1
+        | UNION ALL
+        | SELECT n.event_type, n.rn,
+        |  greatest(0.0::DOUBLE, c.s + n.xm - st.mu - 2.0::DOUBLE) AS s,
+        |  greatest(c.mx,
+        |    greatest(0.0::DOUBLE, c.s + n.xm - st.mu - 2.0::DOUBLE)) AS mx,
+        |  c.al + CASE WHEN
+        |    greatest(0.0::DOUBLE, c.s + n.xm - st.mu - 2.0::DOUBLE) > 8.0
+        |    THEN 1 ELSE 0 END AS al
+        | FROM c JOIN r n
+        |  ON n.event_type = c.event_type AND n.rn = c.rn + 1
+        | JOIN stats st ON st.event_type = n.event_type),
+        |last AS (SELECT event_type, max(rn) AS mxr FROM c GROUP BY 1)
+        |SELECT c.event_type, CAST(c.rn AS BIGINT) AS n_hours,
+        | round(c.s, 6) AS cusum_final, round(c.mx, 6) AS cusum_max,
+        | CAST(c.al AS BIGINT) AS alarm_hours
+        |FROM c JOIN last t ON c.event_type = t.event_type AND c.rn = t.mxr
+        |ORDER BY 1""".stripMargin,
+
+    // oracle via RECURSIVE CTE (row-per-step), not a struct list_reduce:
+    // a two-field recursion needs the old AND new level in one step, and
+    // DuckDB's lambda struct-field aliasing is not stable enough to carry
+    // multi-field state (probed: a field reading acc.l can observe the
+    // NEW level even when written later). The CTE has standard pure
+    // semantics; the level expression is inlined twice in the trend with
+    // identical arithmetic, matching Spark's fold bit-for-bit.
+    "q119_holt" ->
+      """WITH RECURSIVE hourly AS (
+        | SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS xm
+        | FROM events GROUP BY 1, 2),
+        |r AS (
+        | SELECT event_type, xm,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+        | FROM hourly),
+        |hw AS (
+        | SELECT event_type, rn, xm AS l, 0.0::DOUBLE AS b
+        | FROM r WHERE rn = 1
+        | UNION ALL
+        | SELECT n.event_type, n.rn,
+        |  0.5::DOUBLE * n.xm + 0.5::DOUBLE * (h.l + h.b) AS l,
+        |  0.25::DOUBLE * ((0.5::DOUBLE * n.xm + 0.5::DOUBLE * (h.l + h.b))
+        |    - h.l) + 0.75::DOUBLE * h.b AS b
+        | FROM hw h JOIN r n
+        |  ON n.event_type = h.event_type AND n.rn = h.rn + 1),
+        |last AS (SELECT event_type, max(rn) AS mx FROM hw GROUP BY 1)
+        |SELECT h.event_type, CAST(h.rn AS BIGINT) AS n_hours,
+        | round(h.l, 6) AS level, round(h.b, 6) AS trend,
+        | round(h.l + h.b, 6) AS forecast_next
+        |FROM hw h JOIN last t
+        | ON h.event_type = t.event_type AND h.rn = t.mx
+        |ORDER BY 1""".stripMargin,
 
     "q117_autocorrelation" ->
       """WITH h AS (
