@@ -345,6 +345,49 @@ object StreamingQueries {
       r
     })
 
+  private val cusumBuilt = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Streaming CUSUM drift alert run to completion: every event as 3
+    * files/micro-batches keyed by event_type, two far-future sentinel
+    * batches (same watermark mechanics as the other fixtures). Hours
+    * fold only when the watermark closes them, with the batch dsum
+    * hourly-mean semantics replayed digit for digit — the final
+    * snapshot per key must equal the batch recursion under the
+    * recursive-CTE oracle with the same fixed target. */
+  private def cusumOut(s: SparkSession, dir: String): String =
+    cusumBuilt.getOrElseUpdate(dir, {
+      val r = graft.tables.TempDirs.create("graft_stream_cusum_")
+      Tables.events(s, dir)
+        .select(col("event_type").as("key"),
+          col("ts").cast("timestamp").as("ts"), col("value"))
+        .repartition(3).write.parquet(r + "/src")
+      import s.implicits._
+      def sentinel(t: String): Unit = {
+        Thread.sleep(1100)
+        Seq(("__sentinel", t, 0.0)).toDF("key", "t", "value")
+          .select(col("key"), col("t").cast("timestamp").as("ts"),
+            col("value"))
+          .coalesce(1).write.mode("append").parquet(r + "/src")
+      }
+      sentinel("2031-01-01 00:00:00")
+      sentinel("2031-01-02 00:00:00")
+      val sch = StructType(Seq(StructField("key", StringType),
+        StructField("ts", TimestampType),
+        StructField("value", org.apache.spark.sql.types.DoubleType)))
+      val src = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(r + "/src")
+      val q = StreamingAnalytics.cusumStream(src, target = 50.0, k = 10.0,
+          h = 60.0, watermark = "400 days")
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", r + "/out")
+        .option("checkpointLocation", r + "/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      r
+    })
+
   private val funnelBuilt = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Streaming conversion funnel run to completion: the three funnel step
@@ -451,6 +494,22 @@ object StreamingQueries {
         .orderBy("user_id")
     },
 
+    // ---- streaming CUSUM drift alert (the q118 recursion, in-stream,
+    // against a fixed target) --------------------------------------------
+    "q120_streaming_cusum" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("key").orderBy(col("n_hours").desc)
+      s.read.parquet(cusumOut(s, dir) + "/out")
+        .filter(col("key") =!= "__sentinel")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("key").as("event_type"), col("n_hours"),
+          round(col("s"), 6).as("cusum_final"),
+          round(col("mx"), 6).as("cusum_max"),
+          col("alarms").as("alarm_hours"))
+        .orderBy("event_type")
+    },
+
     // ---- streaming conversion funnel (the q80 operator, incrementally) ----
     "q85_streaming_funnel" -> { (s, dir) =>
       s.read.parquet(funnelOut2(s, dir) + "/out")
@@ -511,6 +570,42 @@ object StreamingQueries {
         |   list(value ORDER BY CAST(ts AS TIMESTAMP), event_id),
         |   (acc, x) -> 0.25 * x + 0.75 * acc), 6) AS ewma
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the q118 recursion with a LITERAL target (a stream cannot know the
+    // series' own mean upfront); recursive CTE, not a lambda fold — see
+    // the q118 oracle note
+    "q120_streaming_cusum" ->
+      """WITH RECURSIVE hourly AS (
+        | SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS xm
+        | FROM events GROUP BY 1, 2),
+        |r AS (
+        | SELECT event_type, xm,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+        | FROM hourly),
+        |c AS (
+        | SELECT r.event_type, r.rn,
+        |  greatest(0.0::DOUBLE, r.xm - 60.0::DOUBLE) AS s,
+        |  greatest(0.0::DOUBLE, r.xm - 60.0::DOUBLE) AS mx,
+        |  CASE WHEN greatest(0.0::DOUBLE, r.xm - 60.0::DOUBLE) > 60.0
+        |    THEN 1 ELSE 0 END AS al
+        | FROM r WHERE r.rn = 1
+        | UNION ALL
+        | SELECT n.event_type, n.rn,
+        |  greatest(0.0::DOUBLE, c.s + n.xm - 60.0::DOUBLE) AS s,
+        |  greatest(c.mx,
+        |    greatest(0.0::DOUBLE, c.s + n.xm - 60.0::DOUBLE)) AS mx,
+        |  c.al + CASE WHEN
+        |    greatest(0.0::DOUBLE, c.s + n.xm - 60.0::DOUBLE) > 60.0
+        |    THEN 1 ELSE 0 END AS al
+        | FROM c JOIN r n
+        |  ON n.event_type = c.event_type AND n.rn = c.rn + 1),
+        |last AS (SELECT event_type, max(rn) AS mxr FROM c GROUP BY 1)
+        |SELECT c.event_type, CAST(c.rn AS BIGINT) AS n_hours,
+        | round(c.s, 6) AS cusum_final, round(c.mx, 6) AS cusum_max,
+        | CAST(c.al AS BIGINT) AS alarm_hours
+        |FROM c JOIN last t ON c.event_type = t.event_type AND c.rn = t.mxr
+        |ORDER BY 1""".stripMargin,
 
     "q70_stream_stream_join" ->
       """WITH v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts

@@ -513,6 +513,83 @@ object StreamingAnalytics {
     * points. The row with the highest `n` per key is the current level. */
   case class EwmaSnap(key: String, n: Long, ewma: Double)
 
+  /** Input row for [[cusumStream]]. */
+  case class CusumIn(key: String, ts: Timestamp, us: Long, value: Double)
+  /** Per-key state: the CUSUM fold so far over `hours` COMPLETE hours
+    * plus the raw (us, value) points of hours the watermark has not yet
+    * closed. Pending is bounded by the watermark delay × arrival rate;
+    * the fold itself is O(1). */
+  case class CusumBuf(s: Double, mx: Double, al: Long, hours: Long,
+      pending: List[(Long, Double)])
+  /** Snapshot after a drain: the fold over the first `n_hours` complete
+    * hours. Highest `n_hours` per key = the current alert state. */
+  case class CusumSnap(key: String, n_hours: Long, s: Double, mx: Double,
+      alarms: Long)
+
+  /** Streaming CUSUM drift alerting — the q118 recursion maintained
+    * in-stream against a FIXED target (the deployed-alert shape: μ comes
+    * from the SLO/baseline, not from the series' own mean, which a
+    * stream cannot know upfront). An hour folds exactly once, when the
+    * watermark passes its end — every event of that hour has then
+    * arrived (later arrivals would be late) — and its mean replays the
+    * batch dsum semantics digit for digit: each value rounds to
+    * DECIMAL(18,2) via `BigDecimal.valueOf` (the same shortest-repr
+    * conversion Spark's double→decimal cast uses), sums exactly, casts
+    * to double, divides by the count. Hours fold in ascending order
+    * across watermark-monotone drains, so the final snapshot per key is
+    * bit-equal to the batch fold and sits under the same recursive-CTE
+    * oracle with the literal target. */
+  def cusumStream(events: DataFrame, target: Double, k: Double, h: Double,
+      watermark: String): Dataset[CusumSnap] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    def fn(key: String, evs: Iterator[CusumIn],
+        state: GroupState[CusumBuf]): Iterator[CusumSnap] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val st = state.getOption.getOrElse(CusumBuf(0.0, 0.0, 0L, 0L, Nil))
+      val pending = st.pending ++ evs.map(e => (e.us, e.value))
+      val (ready, rest) = pending.partition { case (us, _) =>
+        us - us % hourUs + hourUs <= wmUs
+      }
+      var s = st.s; var mx = st.mx; var al = st.al; var hours = st.hours
+      ready.groupBy { case (us, _) => us - us % hourUs }
+        .toSeq.sortBy(_._1).foreach { case (_, pts) =>
+          val sum = pts.foldLeft(java.math.BigDecimal.ZERO) { (a, p) =>
+            a.add(java.math.BigDecimal.valueOf(p._2)
+              .setScale(2, java.math.RoundingMode.HALF_UP))
+          }
+          val xm = sum.doubleValue() / pts.size
+          // ONE combined threshold subtraction — the oracle writes
+          // `s + xm − (target+k)` as a single literal, and
+          // ((a − target) − k) is not bit-equal to (a − (target+k))
+          val sNew = math.max(0.0, s + xm - (target + k))
+          mx = math.max(mx, sNew)
+          if (sNew > h) al += 1L
+          s = sNew
+          hours += 1L
+        }
+      if (rest.isEmpty && hours == 0L) state.remove()
+      else {
+        state.update(CusumBuf(s, mx, al, hours, rest))
+        if (rest.nonEmpty)
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+      }
+      if (ready.nonEmpty) Iterator.single(CusumSnap(key, hours, s, mx, al))
+      else Iterator.empty
+    }
+    events
+      .select(col("key").cast("string").as("key"),
+        col("ts").cast("timestamp").as("ts"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", watermark)
+      .withColumn("us", unix_micros(col("ts")))
+      .as[CusumIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Streaming per-series EWMA — the batch q108 recursion
     * (s_t = α·x_t + (1−α)·s_{t−1}, seeded at the first point) maintained
     * incrementally. A point folds exactly once, when the watermark
