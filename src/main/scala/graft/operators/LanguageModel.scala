@@ -51,6 +51,55 @@ object LanguageModel {
       .agg(count(lit(1)).as("n_bigrams"), avg(col("__nll")).as("avg_nll"))
   }
 
+  /** Per-document mean trigram surprisal under a Jelinek–Mercer
+    * λ-interpolated model — the smoothing step between the add-one
+    * bigram filter above and a production KenLM:
+    * `P(w3|w1w2) = λ3·c(w1w2w3)/c(w1w2) + λ2·c(w2w3)/c(w2)
+    *             + λ1·(c(w3)+1)/(N+V)`.
+    * Unseen trigrams fall back smoothly through the bigram and smoothed
+    * unigram mass instead of cliffing to the add-one floor, so the score
+    * separates merely-novel word orders from true gibberish.
+    *
+    * Scale shape: three count tables (unigram/bigram/trigram — map-side
+    * combinable groupBys), scoring joins the exploded document trigrams
+    * many-to-one against them plus a 1-row totals broadcast; same
+    * word-count shuffles as [[bigramSurprisal]]. Term order and
+    * associativity mirror the DuckDB oracle exactly, so per-row
+    * probabilities are bit-equal. */
+  def trigramSurprisal(df: DataFrame, idCol: String, textCol: String,
+      l3: Double = 0.6, l2: Double = 0.3, l1: Double = 0.1): DataFrame = {
+    val uni = df.select(explode(TextAnalysis.wordArr(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__cu"))
+    val totals = uni.agg(count(lit(1)).cast("double").as("__v"),
+      sum(col("__cu")).cast("double").as("__n"))
+    val bgc = df.select(
+        explode(TextAnalysis.wordNgrams(col(textCol), 2)).as("__bg"))
+      .groupBy("__bg").agg(count(lit(1)).as("__cb"))
+    val tg = df.select(col(idCol),
+      explode(TextAnalysis.wordNgrams(col(textCol), 3)).as("__tg"))
+    val tgc = tg.groupBy("__tg").agg(count(lit(1)).as("__ct"))
+    tg.join(tgc, "__tg")
+      .withColumn("__w1w2", substring_index(col("__tg"), " ", 2))
+      .withColumn("__w2w3", substring_index(col("__tg"), " ", -2))
+      .withColumn("__w2", substring_index(col("__w2w3"), " ", 1))
+      .withColumn("__w3", substring_index(col("__tg"), " ", -1))
+      .join(bgc.select(col("__bg").as("__w1w2"), col("__cb").as("__c12")),
+        "__w1w2")
+      .join(bgc.select(col("__bg").as("__w2w3"), col("__cb").as("__c23")),
+        "__w2w3")
+      .join(uni.select(col("__w").as("__w2"), col("__cu").as("__c2")),
+        "__w2")
+      .join(uni.select(col("__w").as("__w3"), col("__cu").as("__c3")),
+        "__w3")
+      .crossJoin(broadcast(totals))
+      .withColumn("__nll", -log2(
+        lit(l3) * col("__ct") / col("__c12") +
+          lit(l2) * col("__c23") / col("__c2") +
+          lit(l1) * (col("__c3") + lit(1)) / (col("__n") + col("__v"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), avg(col("__nll")).as("avg_nll"))
+  }
+
   /** Multinomial Naive Bayes text classifier, trained and applied on the
     * corpus itself — the trainable counterpart of the fixed-stopword
     * [[TextAnalysis.langId]] heuristic, and the classic

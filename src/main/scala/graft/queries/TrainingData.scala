@@ -491,6 +491,18 @@ object TrainingData {
         .orderBy("doc_id")
     },
 
+    // ---- λ-interpolated trigram surprisal (Jelinek–Mercer smoothing:
+    // the step between the add-one bigram filter and a production KenLM;
+    // unseen trigrams back off through bigram and smoothed unigram mass
+    // instead of cliffing) -------------------------------------------------
+    "q121_trigram_surprisal" -> { (s, dir) =>
+      LanguageModel.trigramSurprisal(Tables.documents(s, dir), "doc_id",
+          "text")
+        .select(col("doc_id"), col("n_trigrams"),
+          round(col("avg_nll"), 4).as("avg_nll"))
+        .orderBy("doc_id")
+    },
+
     // ---- BPE tokenizer training: first-iteration pair statistics ----------
     // (the corpus-scan half of BpeTrainer.train; the iterative merge loop
     // is pinned by BpeTrainerSpec against hand-computed merges)
@@ -1177,6 +1189,44 @@ object TrainingData {
           |JOIN uni ON uni.w = split_part(bgs.bg, ' ', 1)
           |CROSS JOIN vocab
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q121_trigram_surprisal" ->
+        """WITH toks AS (
+          | SELECT doc_id,
+          |  regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+          | FROM documents),
+          |uni AS (
+          | SELECT w, count(*) AS cu
+          | FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY 1),
+          |tot AS (SELECT CAST(count(*) AS DOUBLE) AS v,
+          |  CAST(sum(cu) AS DOUBLE) AS n FROM uni),
+          |bgs AS (
+          | SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+          |   i -> ws[i] || ' ' || ws[i + 1])) AS bg
+          | FROM toks),
+          |bgc AS (SELECT bg, count(*) AS cb FROM bgs GROUP BY 1),
+          |tgs AS (
+          | SELECT doc_id,
+          |  unnest(list_transform(generate_series(1, len(ws) - 2),
+          |   i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS tg
+          | FROM toks),
+          |tgc AS (SELECT tg, count(*) AS ct FROM tgs GROUP BY 1),
+          |x AS (
+          | SELECT t.doc_id, tgc.ct, b1.cb AS c12, b2.cb AS c23,
+          |  u2.cu AS c2, u3.cu AS c3
+          | FROM tgs t
+          | JOIN tgc USING (tg)
+          | JOIN bgc b1 ON b1.bg = split_part(t.tg, ' ', 1) || ' ' ||
+          |   split_part(t.tg, ' ', 2)
+          | JOIN bgc b2 ON b2.bg = split_part(t.tg, ' ', 2) || ' ' ||
+          |   split_part(t.tg, ' ', 3)
+          | JOIN uni u2 ON u2.w = split_part(t.tg, ' ', 2)
+          | JOIN uni u3 ON u3.w = split_part(t.tg, ' ', 3))
+          |SELECT doc_id, count(*) AS n_trigrams,
+          | round(avg(-log2(0.6::DOUBLE * ct / c12
+          |   + 0.3::DOUBLE * c23 / c2
+          |   + 0.1::DOUBLE * (c3 + 1) / (n + v))), 4) AS avg_nll
+          |FROM x CROSS JOIN tot GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "q90_bpe_pairs" ->
         """WITH words AS (
