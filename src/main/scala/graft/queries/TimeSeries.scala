@@ -630,6 +630,67 @@ object TimeSeries {
         .orderBy("event_type")
     },
 
+    // ---- seasonal-naive residuals (the baseline q117's seasonality
+    // detection justifies): per series, the hour-of-day mean over all
+    // days is the expected volume; the top-3 hours by positive residual
+    // are "unusually busy FOR THAT time of day" — the seasonal anomaly
+    // surface a flat threshold cannot express. Counts are integers, the
+    // baseline is one exact division, ranking is total-ordered —
+    // oracle-exact. ------------------------------------------------------
+    "q122_seasonal_residual" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("hod", hour(col("hour")))
+      val base = hourly.groupBy("event_type", "hod")
+        .agg((sum(col("n")).cast("double") / count(lit(1))).as("baseline"))
+      val w = Window.partitionBy("event_type")
+        .orderBy((col("n") - col("baseline")).desc, col("hour"))
+      hourly.join(base, Seq("event_type", "hod"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("event_type"), col("rnk"), col("hour"), col("n"),
+          round(col("baseline"), 6).as("baseline"),
+          round(col("n") - col("baseline"), 6).as("residual"))
+        .orderBy("event_type", "rnk")
+    },
+
+    // ---- cross-series correlation (incident triage's "which metrics
+    // move together"): Pearson r between every pair of event types'
+    // hourly volume series over their common hours. Five DECIMAL-routed
+    // sums per pair, sqrt (correctly-rounded IEEE, identical in any
+    // engine) and division at the end — oracle-exact. The pair join keys
+    // on the hour; series count is small (it is a metric catalog, not
+    // data), so the pair space is catalog², never data². ------------------
+    "q123_series_correlation" -> { (s, dir) =>
+      val d = DecimalType(30, 8)
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val a = hourly.select(col("event_type").as("type_a"), col("hour"),
+        col("n").as("x"))
+      val b = hourly.select(col("event_type").as("type_b"), col("hour"),
+        col("n").as("y"))
+      a.join(b, Seq("hour")).filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).cast("double").as("np"),
+          sum(col("x").cast(d)).cast("double").as("sx"),
+          sum(col("y").cast(d)).cast("double").as("sy"),
+          sum((col("x") * col("y")).cast(d)).cast("double").as("sxy"),
+          sum((col("x") * col("x")).cast(d)).cast("double").as("sx2"),
+          sum((col("y") * col("y")).cast(d)).cast("double").as("sy2"))
+        .select(col("type_a"), col("type_b"),
+          col("np").cast("long").as("n_hours"),
+          round((col("np") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("np") * col("sx2") - col("sx") * col("sx")) *
+              sqrt(col("np") * col("sy2") - col("sy") * col("sy"))), 6)
+            .as("r"))
+        .orderBy("type_a", "type_b")
+    },
+
     // ---- A2/A3: t-digest percentile sketch (README p95 query shape) -------
     // No DuckDB oracle: sketch estimates are approximate and merge-order
     // dependent; PercentileAggSpec pins accuracy against exact percentiles.
@@ -964,6 +1025,47 @@ object TimeSeries {
         |FROM hw h JOIN last t
         | ON h.event_type = t.event_type AND h.rn = t.mx
         |ORDER BY 1""".stripMargin,
+
+    "q122_seasonal_residual" ->
+      """WITH hourly AS (
+        | SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |  count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |h2 AS (SELECT *, extract(hour FROM hour) AS hod FROM hourly),
+        |base AS (
+        | SELECT event_type, hod,
+        |  CAST(sum(n) AS DOUBLE) / count(*) AS baseline
+        | FROM h2 GROUP BY 1, 2),
+        |r AS (
+        | SELECT h2.event_type, h2.hour, h2.n, base.baseline,
+        |  row_number() OVER (PARTITION BY h2.event_type
+        |    ORDER BY h2.n - base.baseline DESC, h2.hour) AS rnk
+        | FROM h2 JOIN base USING (event_type, hod))
+        |SELECT event_type, CAST(rnk AS BIGINT) AS rnk, hour, n,
+        | round(baseline, 6) AS baseline,
+        | round(n - baseline, 6) AS residual
+        |FROM r WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
+
+    "q123_series_correlation" ->
+      """WITH hourly AS (
+        | SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |  count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |p AS (
+        | SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(count(*) AS DOUBLE) AS np,
+        |  CAST(sum(CAST(a.n AS DECIMAL(30,8))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(b.n AS DECIMAL(30,8))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(a.n * b.n AS DECIMAL(30,8))) AS DOUBLE) AS sxy,
+        |  CAST(sum(CAST(a.n * a.n AS DECIMAL(30,8))) AS DOUBLE) AS sx2,
+        |  CAST(sum(CAST(b.n * b.n AS DECIMAL(30,8))) AS DOUBLE) AS sy2
+        | FROM hourly a JOIN hourly b
+        |  ON a.hour = b.hour AND a.event_type < b.event_type
+        | GROUP BY 1, 2)
+        |SELECT type_a, type_b, CAST(np AS BIGINT) AS n_hours,
+        | round((np * sxy - sx * sy) /
+        |   (sqrt(np * sx2 - sx * sx) * sqrt(np * sy2 - sy * sy)), 6) AS r
+        |FROM p ORDER BY 1, 2""".stripMargin,
 
     "q117_autocorrelation" ->
       """WITH h AS (
