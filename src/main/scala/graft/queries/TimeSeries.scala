@@ -691,6 +691,27 @@ object TimeSeries {
         .orderBy("type_a", "type_b")
     },
 
+    // ---- Apdex score (the industry SLA satisfaction index): with target
+    // T, requests ≤ T are satisfied, ≤ 4T tolerating, else frustrated;
+    // Apdex = (satisfied + tolerating/2) / total. Pure integer counts
+    // until one final division — oracle-exact; one map-side-combinable
+    // aggregation per (service, day). --------------------------------------
+    "q124_apdex" -> { (s, dir) =>
+      val t = 50.0
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("value") <= t, lit(1))).as("n_satisfied"),
+          count(when(col("value") > t && col("value") <= 4 * t, lit(1)))
+            .as("n_tolerating"))
+        .select(col("event_type"), col("day"), col("n"),
+          col("n_satisfied"), col("n_tolerating"),
+          round((col("n_satisfied") + col("n_tolerating") / lit(2.0)) /
+            col("n"), 6).as("apdex"))
+        .orderBy("event_type", "day")
+    },
+
     // ---- A2/A3: t-digest percentile sketch (README p95 query shape) -------
     // No DuckDB oracle: sketch estimates are approximate and merge-order
     // dependent; PercentileAggSpec pins accuracy against exact percentiles.
@@ -1025,6 +1046,17 @@ object TimeSeries {
         |FROM hw h JOIN last t
         | ON h.event_type = t.event_type AND h.rn = t.mx
         |ORDER BY 1""".stripMargin,
+
+    "q124_apdex" ->
+      """SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        | count(*) AS n,
+        | count(CASE WHEN value <= 50.0 THEN 1 END) AS n_satisfied,
+        | count(CASE WHEN value > 50.0 AND value <= 200.0 THEN 1 END)
+        |   AS n_tolerating,
+        | round((count(CASE WHEN value <= 50.0 THEN 1 END)
+        |   + count(CASE WHEN value > 50.0 AND value <= 200.0 THEN 1 END)
+        |     / 2.0::DOUBLE) / count(*), 6) AS apdex
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q122_seasonal_residual" ->
       """WITH hourly AS (
