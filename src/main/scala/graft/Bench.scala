@@ -125,6 +125,7 @@ object Bench {
     //    so gate pressure is visible in the artifact.
     var tierStats = Map.empty[String, Long]
     var gateStats = Map.empty[String, Long]
+    var analytics = Seq.empty[(String, Double)]
     val (ingest, compactMs, idleMs, underMs, coldWinMs, hotWinMs,
         churnHotMs, churnColdMs) =
       if (only.isDefined && !legsOnly)
@@ -273,6 +274,70 @@ object Bench {
         gateStats = gate.stats
         churnTier.release()
       }
+      // Training-data analytics idle vs under ingest (the reference's
+      // `bench/query_under_ingest.py` extended from dashboard shapes to
+      // the HEAVY analytical scans): the documents corpus through a
+      // doc_store MOR table, three dedup-family operators over the
+      // resolved view first on a quiet table, then while StreamingIngest
+      // commits micro-batches — measures the dedup-window + buffered-
+      // union tax a training pipeline pays when it scans a LIVE table.
+      analytics = try {
+        import graft.operators.{Curation, TextDedup}
+        val docRoot = graft.tables.TempDirs.create("bench_docs_")
+        val dt = new graft.sources.GraftTable(spark, docRoot,
+          graft.schema.TableSchemas.docStore)
+        dt.append(graft.tables.Tables.documents(spark, sfDir).select(
+          lit("0").as("project_id"),
+          (lit("2024-01-01 00:00:00").cast("timestamp_ntz") + expr(
+            "make_interval(0, 0, 0, 0, 0, cast(doc_id % 720 as int), 0)"))
+            .as("timestamp"),
+          col("doc_id").cast("string").as("id"),
+          col("lang").as("name"),
+          col("text").as("content")),
+          Some(java.time.LocalDateTime.of(2024, 6, 1, 0, 0)))
+        dt.compact()
+        def view = dt.readResolved()
+        def ms(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+        }
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        val ops: Seq[(String, () => Unit)] = Seq(
+          "q25_jaccard_pairs" -> (() => noop(
+            TextDedup.jaccardPairs(view, "id", "content", Seq("name"), 0.9))),
+          "q43_dedup_clusters" -> (() => noop(
+            TextDedup.connectedComponents(
+                view.select(col("id").as("__id")),
+                TextDedup.jaccardPairs(view, "id", "content", Seq("name"),
+                  0.9).select("id_a", "id_b"))
+              .groupBy(col("__lbl")).agg(count(lit(1)).as("n")))),
+          "q92_exact_substr" -> (() => noop(
+            Curation.exactSubstrRemove(view, "id", "content"))))
+        ops.foreach(_._2()) // warm each shape once, unrecorded
+        val idleA = ops.map { case (k, f) =>
+          k -> Seq.fill(3)(ms(f())).sorted.apply(1) }
+        val docSrc = spark.readStream.format("rate")
+          .option("rowsPerSecond", "200").load()
+          .select(lit("0").as("project_id"),
+            col("timestamp").cast("timestamp_ntz").as("timestamp"),
+            concat(lit("s"), col("value")).as("id"),
+            lit("xx").as("name"),
+            concat(lit("streamed doc body token"), col("value")).as("content"))
+        val sq3 = graft.streaming.StreamingIngest.start(dt, docSrc,
+          docRoot + "/_chk",
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime(500L),
+          sweepEvery = 8)
+        val underA = try {
+          Thread.sleep(1500)
+          ops.map { case (k, f) => k -> Seq.fill(3)(ms(f())).sorted.apply(1) }
+        } finally {
+          try { sq3.stop(); sq3.awaitTermination(10000L) }
+          catch { case _: Throwable => }
+        }
+        idleA.map { case (k, v) => (s"${k}_idle_ms", v) } ++
+          underA.map { case (k, v) => (s"${k}_under_ingest_ms", v) }
+      } catch { case e: Throwable => e.printStackTrace(); Seq.empty }
+
       (rps, cMs, idle, under, coldWin, hotWin, churnHot, churnCold)
     } catch { case e: Throwable =>
       e.printStackTrace()
@@ -291,7 +356,9 @@ object Bench {
     def counters(m: Map[String, Long]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s"\"$k\":$v" }
         .mkString("{", ",", "}")
-    val record = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"ingest_rows_per_sec":${ingest.round},"compact_ms":${compactMs.round},"query_idle_ms":${idleMs.round},"query_under_ingest_ms":${underMs.round},"window_read_cold_ms":${coldWinMs.round},"window_read_hot_ms":${hotWinMs.round},"churn_read_hot_ms":${churnHotMs.round},"churn_read_cold_ms":${churnColdMs.round},"hot_tier":${counters(tierStats)},"scan_gate":${counters(gateStats)},"queries":$qs,"sf":"$sfDir"}"""
+    val analyticsJs = analytics
+      .map { case (k, v) => s"\"$k\":${v.round}" }.mkString("{", ",", "}")
+    val record = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"ingest_rows_per_sec":${ingest.round},"compact_ms":${compactMs.round},"query_idle_ms":${idleMs.round},"query_under_ingest_ms":${underMs.round},"window_read_cold_ms":${coldWinMs.round},"window_read_hot_ms":${hotWinMs.round},"churn_read_hot_ms":${churnHotMs.round},"churn_read_cold_ms":${churnColdMs.round},"hot_tier":${counters(tierStats)},"scan_gate":${counters(gateStats)},"analytics_under_ingest":$analyticsJs,"queries":$qs,"sf":"$sfDir"}"""
     // the driver snapshots only a truncated stdout tail — persist the FULL
     // record (every per-query timing + the storage/tier/gate legs) to a
     // file committed each round so the bench surface is auditable like the

@@ -275,6 +275,34 @@ object TextDedup {
     }
   }
 
+  /** LSH bucket-size distribution for the exact banding
+    * [[verifiedMinhashPairs]] joins on (exact duplicates collapsed to one
+    * representative first, matching the real join input). One summary row:
+    * bucket count, max/p99/p999 bucket size, and the self-join fan-out
+    * `sum(m·(m−1)/2)` — the quantity that actually goes quadratic when a
+    * bucket degenerates. Diagnostic companion to the scale probe: a max
+    * bucket growing superlinearly under N× replication means the banding
+    * key has collapsed and the join needs a width cap. */
+  def lshBucketStats(df: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val withHash = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+      .withColumn("__ch", md5(col("__text")))
+    val reps = withHash.groupBy("__ch").agg(min(col("__id")).as("__id"),
+      first(col("__text")).as("__text"))
+    val sigs = minhashSignatures(reps, "__id", "__text", bands * rowsPerBand)
+    val banded = sigs.select(col("__id"),
+      posexplode(array((0 until bands).map { bnd =>
+        xxhash64(slice(col("__sig"), bnd * rowsPerBand + 1, rowsPerBand)
+          .cast("string"))
+      }: _*)).as(Seq("band", "key")))
+    banded.groupBy("band", "key").agg(count(lit(1)).as("m"))
+      .agg(count(lit(1)).as("buckets"),
+        max(col("m")).as("max_bucket"),
+        expr("percentile(m, 0.99)").as("p99_bucket"),
+        expr("percentile(m, 0.999)").as("p999_bucket"),
+        sum(col("m") * (col("m") - 1) / 2).cast("long").as("join_fanout"))
+  }
+
   /** MinHash+LSH with exact-Jaccard verification of the candidates: the
     * scalable near-dup operator (candidates from banding, score from the
     * true token sets — 100% precision, recall set by the band shape).
@@ -307,9 +335,16 @@ object TextDedup {
     val toks = repDocs.select(col("__id").as("__tid"),
       hashedTokenSet(col("__text")).as("__ts"))
       .transform(Pin(_))
+    // shuffle_hash, NOT sort-merge: the stream side is tens of millions of
+    // candidate pairs widening to ~KB rows as token arrays attach — SMJ
+    // must SORT that side (measured 8–100 s at the 10× probe, the spread
+    // being sort spill), while the build side is only the rep token sets,
+    // a few thousand rows per partition to hash. Same shuffle, no sort.
     val repPairs = cands
-      .join(toks.withColumnRenamed("__tid", "id_a").withColumnRenamed("__ts", "ts_a"), "id_a")
-      .join(toks.withColumnRenamed("__tid", "id_b").withColumnRenamed("__ts", "ts_b"), "id_b")
+      .join(toks.withColumnRenamed("__tid", "id_a")
+        .withColumnRenamed("__ts", "ts_a").hint("shuffle_hash"), "id_a")
+      .join(toks.withColumnRenamed("__tid", "id_b")
+        .withColumnRenamed("__ts", "ts_b").hint("shuffle_hash"), "id_b")
       .withColumn("__inter",
         graft.functions.SortedIntersectCount(col("ts_a"), col("ts_b")).cast("double"))
       .withColumn("jaccard", col("__inter") /
@@ -367,13 +402,31 @@ object TextDedup {
     labels
   }
 
+  /** Signed-long token hash from md5 — DuckDB's `md5_number_lower` (the
+    * digest's last 8 bytes, little-endian) reassembled from Spark's hex
+    * digest, so an oracle can replay every SimHash bit cross-engine.
+    * ~10× slower per token than xxhash64; the verification hash, not the
+    * production default. */
+  def md5TokenHash(c: Column): Column = {
+    val h = md5(c)
+    def le4(p1: Int, p2: Int, p3: Int, p4: Int) =
+      conv(concat(substring(h, p1, 2), substring(h, p2, 2),
+        substring(h, p3, 2), substring(h, p4, 2)), 16, 10).cast("long")
+    // bits 32..63 from digest bytes 16..13, bits 0..31 from bytes 12..9;
+    // shiftleft wraps into the sign bit exactly as the unsigned value does
+    shiftleft(le4(31, 29, 27, 25), 32).bitwiseOR(le4(23, 21, 19, 17))
+  }
+
   /** 64-bit SimHash over the token set: per bit, sum +1/−1 weighted by token
     * hash bits, take the sign. Expressed as one aggregate over exploded
-    * tokens (64 conditional sums → bit reassembly). */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * tokens (64 conditional sums → bit reassembly). `tokenHash` defaults to
+    * codegen'd xxhash64; pass [[md5TokenHash]] for an oracle-replayable
+    * run (same operator plan, different hash kernel). */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val tokens = df.select(col(idCol).as("__id"),
       explode(tokenSet(col(textCol))).as("__tok"))
-      .withColumn("__h", xxhash64(col("__tok")))
+      .withColumn("__h", tokenHash(col("__tok")))
     val bitSums = (0 until 64).map { b =>
       sum(when(shiftright(col("__h"), b).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"__b$b")
@@ -390,10 +443,10 @@ object TextDedup {
     * `maxDist+1` chunks — any pair within distance shares ≥1 exact chunk, so
     * the join key space is chunks, never all pairs. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int): DataFrame = {
+      maxDist: Int, tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
-    val sigs = simhash(df, idCol, textCol)
+    val sigs = simhash(df, idCol, textCol, tokenHash)
     val banded = sigs.select(col("__id"), col("simhash"),
       explode(array((0 until chunks).map { i =>
         struct(lit(i).as("chunk"),

@@ -388,6 +388,50 @@ object StreamingQueries {
       r
     })
 
+  private val gapfillBuilt = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Streaming gapfill-interpolate run to completion: the q116 slice
+    * (user_id < 10, first week) as 3 files/micro-batches in arbitrary
+    * arrival order, two far-future sentinel batches (the shared watermark
+    * mechanics). Observed buckets emit when the watermark closes them;
+    * empty buckets emit the interpolated line when their RIGHT endpoint
+    * closes — the appended union of every drain must be row-for-row the
+    * batch q116 output under the same DuckDB oracle. */
+  private def gapfillOut(s: SparkSession, dir: String): String =
+    gapfillBuilt.getOrElseUpdate(dir, {
+      val r = graft.tables.TempDirs.create("graft_stream_gapfill_")
+      Tables.events(s, dir)
+        .filter(col("user_id") < 10 &&
+          col("ts") < lit("2024-01-08").cast("timestamp_ntz"))
+        .select(col("user_id").cast("string").as("key"),
+          col("ts").cast("timestamp").as("ts"), col("value"))
+        .repartition(3).write.parquet(r + "/src")
+      import s.implicits._
+      def sentinel(t: String): Unit = {
+        Thread.sleep(1100)
+        Seq(("__sentinel", t, 0.0)).toDF("key", "t", "value")
+          .select(col("key"), col("t").cast("timestamp").as("ts"),
+            col("value"))
+          .coalesce(1).write.mode("append").parquet(r + "/src")
+      }
+      sentinel("2031-01-01 00:00:00")
+      sentinel("2031-01-02 00:00:00")
+      val sch = StructType(Seq(StructField("key", StringType),
+        StructField("ts", TimestampType),
+        StructField("value", org.apache.spark.sql.types.DoubleType)))
+      val src = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(r + "/src")
+      val q = StreamingAnalytics.gapfillInterpStream(src, "400 days")
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", r + "/out")
+        .option("checkpointLocation", r + "/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      r
+    })
+
   private val funnelBuilt = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Streaming conversion funnel run to completion: the three funnel step
@@ -510,6 +554,20 @@ object StreamingQueries {
         .orderBy("event_type")
     },
 
+    // ---- streaming gapfill + linear interpolation (the q116 operator,
+    // incrementally: observed buckets close on watermark, empty buckets
+    // interpolate when their right endpoint fixes) ------------------------
+    "q125_streaming_gapfill" -> { (s, dir) =>
+      s.read.parquet(gapfillOut(s, dir) + "/out")
+        .filter(col("key") =!= "__sentinel")
+        .select(col("key").cast("long").as("user_id"),
+          expr("cast(timestamp_micros(bucket_us) as timestamp_ntz)")
+            .as("bucket"),
+          col("filled"),
+          round(col("value_interp"), 6).as("value_interp"))
+        .orderBy("user_id", "bucket")
+    },
+
     // ---- streaming conversion funnel (the q80 operator, incrementally) ----
     "q85_streaming_funnel" -> { (s, dir) =>
       s.read.parquet(funnelOut2(s, dir) + "/out")
@@ -570,6 +628,10 @@ object StreamingQueries {
         |   list(value ORDER BY CAST(ts AS TIMESTAMP), event_id),
         |   (acc, x) -> 0.25 * x + 0.75 * acc), 6) AS ewma
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the batch q116 oracle VERBATIM: the appended union of every drain
+    // must be row-for-row the batch gapfill output
+    "q125_streaming_gapfill" -> TimeSeries.oracle("q116_gapfill_interp"),
 
     // the q118 recursion with a LITERAL target (a stream cannot know the
     // series' own mean upfront); recursive CTE, not a lambda fold — see

@@ -106,9 +106,16 @@ object TrainingData {
     },
 
     // ---- SimHash near-dup -------------------------------------------------
+    // Oracle-gated cross-engine: the whole operator — token-set hashing,
+    // per-bit ±1 sums, sign assembly, pigeonhole chunk blocking, hamming
+    // verify — runs over [[TextDedup.md5TokenHash]] (DuckDB's
+    // md5_number_lower reassembled in Spark), and the oracle recomputes
+    // every signature plus ALL-PAIRS hamming ≤ 3; the pigeonhole blocking
+    // is exact at maxDist, so the blocked pair set must equal the
+    // brute-force one. Production callers keep the xxhash64 default.
     "q27_simhash" -> { (s, dir) =>
       TextDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
-          maxDist = 3)
+          maxDist = 3, tokenHash = TextDedup.md5TokenHash)
         .orderBy("id_a", "id_b")
     },
 
@@ -287,14 +294,20 @@ object TrainingData {
     },
 
     // ---- fingerprinting (min-sketch of char 8-gram hashes) -------------------
-    // The fingerprint array is serialized with to_json so the group key is a
-    // scalar string — array-typed keys crash the driver's pandas sort.
+    // Oracle-gated via md5: the min-sketch SEMANTICS (all char 8-grams →
+    // hash each → keep the 4 smallest) replayed in DuckDB over a hash both
+    // engines compute; lowercase hex strings order identically in both, so
+    // the lexicographic minima are the numeric-md5 minima. The production
+    // xxhash64 kernel ([[TextAnalysis.fingerprint]]/RollingFingerprint) is
+    // spec-pinned bit-equal to this same declarative shape
+    // (TrainingDataSpec), so kernel and semantics are both gated.
     "q33_fingerprint" -> { (s, dir) =>
+      val fp = array_join(slice(array_sort(transform(
+        sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
+        i => md5(col("text").substr(i, lit(8))))), 1, 4), ",")
       Tables.documents(s, dir)
-        .select(col("doc_id"),
-          to_json(TextAnalysis.fingerprint(col("text"))).as("fp"))
+        .select(col("doc_id"), fp.as("fp"))
         .groupBy("fp").agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
-        .filter(col("n") >= 1)
         .orderBy("keeper")
     },
 
@@ -896,6 +909,56 @@ object TrainingData {
            | len(string_split_regex(trim(text), '\\s+')) AS n_ws,
            | len(regexp_extract_all(text, '${TextAnalysis.BpeTokenPattern}')) AS n_bpe
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // SimHash replayed bit for bit: md5_number_lower IS the Spark-side
+      // token hash (TextDedup.md5TokenHash reassembles it from the hex
+      // digest), bits extract from the unsigned value, signatures
+      // assemble into the same signed 64-bit, and the oracle compares
+      // ALL pairs — equality also proves the pigeonhole blocking lost
+      // nothing. (string_split_regex mirrors tokenSet on this corpus:
+      // no leading/trailing/double whitespace — checked — so the Java
+      // trailing-empty-strings split quirk never fires.)
+      "q27_simhash" ->
+        """WITH toks AS (
+          | SELECT doc_id,
+          |  unnest(list_distinct(string_split_regex(lower(text), '\s+'))) AS tok
+          | FROM documents),
+          |bits AS (
+          | SELECT doc_id, b.b,
+          |  sum(CASE WHEN ((md5_number_lower(tok) >> b.b) & 1) = 1
+          |      THEN 1 ELSE -1 END) AS s
+          | FROM toks CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b
+          | GROUP BY 1, 2),
+          |sigs AS (
+          | SELECT doc_id,
+          |  CAST(sum(CASE WHEN b = 63 OR s <= 0 THEN 0
+          |           ELSE (1::BIGINT << CAST(b AS INT)) END) AS BIGINT)
+          |  + CASE WHEN max(CASE WHEN b = 63 AND s > 0 THEN 1 ELSE 0 END) = 1
+          |         THEN -9223372036854775808 ELSE 0 END AS sig
+          | FROM bits GROUP BY doc_id)
+          |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+          | CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS hamming
+          |FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+          |WHERE bit_count(xor(x.sig, y.sig)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin,
+
+      // the md5-hex min-sketch replayed gram for gram: every char 8-gram
+      // (substring semantics saturate at the string tail, so docs shorter
+      // than 8 chars contribute their whole text once), md5 each, keep the
+      // 4 lexicographically smallest (duplicates retained, as slice does)
+      "q33_fingerprint" ->
+        """WITH grams AS (
+          | SELECT doc_id,
+          |  md5(substring(text, CAST(i AS INT), 8)) AS h
+          | FROM (SELECT doc_id, text,
+          |        unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+          |       FROM documents)),
+          |fps AS (
+          | SELECT doc_id,
+          |  array_to_string((list(h ORDER BY h))[:4], ',') AS fp
+          | FROM grams GROUP BY doc_id)
+          |SELECT fp, count(*) AS n, min(doc_id) AS keeper
+          |FROM fps GROUP BY fp ORDER BY keeper""".stripMargin,
 
       // replay of the per-row folds as the conventional explode + count +
       // row_number pipeline (count DESC, gram ASC == first max run over the

@@ -32,10 +32,16 @@ import org.apache.spark.sql.DataFrame
   * r1–r6 behavior is unchanged: durability starts at flush, a crashed
   * session loses its unflushed buffer.
   *
-  * Single-owner contract: one live layer per table directory (the
-  * reference's WAL flock). Recovery at construction adopts a CRASHED
-  * predecessor's batches; two concurrently-live durable layers over one
-  * table would double-adopt.
+  * Single-owner contract: one live durable layer per table directory,
+  * ENFORCED (the reference's WAL flock, `src/wal.rs:222`): construction
+  * registers the layer as the table's WAL owner and fails LOUDLY if a
+  * live owner already holds it — double-adoption is an error, not a
+  * silent data duplication. Liveness is the in-process owner registry
+  * (like flock, ownership dies with the process), with an on-disk
+  * `_wal/_lock` marker carrying the owner id for post-mortem forensics;
+  * a lock file whose owner is not live (crashed predecessor) is taken
+  * over and its committed batches adopted. [[close]] flushes and
+  * releases ownership, letting a successor open cleanly in-session.
   *
   * Mechanics: each batch is conformed (stamped, date-derived,
   * schema-projected) at insert time and pinned with `localCheckpoint` —
@@ -70,10 +76,27 @@ final class BufferedWriteLayer(val table: GraftTable,
   private def fs = new Path(walRoot)
     .getFileSystem(table.spark.sparkContext.hadoopConfiguration)
 
-  // ---- crash recovery: adopt a crashed predecessor's committed batches
+  private val ownerId = java.util.UUID.randomUUID.toString
+  @volatile private var closed = false
+
+  // ---- single-owner lock + crash recovery ------------------------------
+  // Ownership is acquired BEFORE replay: a second live durable layer must
+  // fail fast instead of double-adopting the same committed batches.
   if (durable) {
+    val prior = BufferedWriteLayer.owners.putIfAbsent(lockKey, ownerId)
+    if (prior.isDefined) throw new IllegalStateException(
+      s"${table.meta.name}: WAL at $walRoot is already owned by a live " +
+        s"durable BufferedWriteLayer (owner ${prior.get}); close() it " +
+        "before opening another — concurrent durable layers over one " +
+        "table would double-adopt the WAL")
     val root = new Path(walRoot)
-    if (fs.exists(root)) {
+    try {
+      fs.mkdirs(root)
+      // on-disk marker (forensics + cross-process signal): overwrite is
+      // fine here — reaching this point means no LIVE in-process owner
+      // exists, so an existing file is a crashed predecessor's
+      val out = fs.create(new Path(root, "_lock"), true)
+      out.write(ownerId.getBytes("UTF-8")); out.close()
       fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
         .sortBy(_.getName).foreach { d =>
           if (fs.exists(new Path(d, "_SUCCESS"))) {
@@ -85,7 +108,38 @@ final class BufferedWriteLayer(val table: GraftTable,
             else fs.delete(d, true)
           } else fs.delete(d, true) // mid-write crash: the un-fsynced tail
         }
+    } catch {
+      case t: Throwable =>
+        BufferedWriteLayer.owners.remove(lockKey, ownerId); throw t
     }
+    // a predecessor that crashed at (or above) the cap must not leave the
+    // reconstructed buffer silently over-limit until the next insert:
+    // recovery honors the same auto-flush trigger insert does
+    if (buffered >= maxBufferedRows) flush()
+  }
+
+  private def lockKey: String = fs.makeQualified(new Path(walRoot)).toString
+
+  /** Flush and release WAL ownership; the layer must not be used after.
+    * A successor durable layer over the same table can then open
+    * in-session without tripping the double-open guard. */
+  def close(): Unit = {
+    if (durable && !closed) {
+      flush()
+      fs.delete(new Path(walRoot, "_lock"), false)
+      BufferedWriteLayer.owners.remove(lockKey, ownerId)
+    }
+    closed = true
+  }
+
+  /** Drop in-process ownership WITHOUT flushing or touching the WAL —
+    * models a process crash (where the flock-like liveness vanishes but
+    * the on-disk WAL and `_lock` marker remain) so recovery paths can be
+    * exercised in one JVM. Never call this on a layer still serving
+    * traffic. */
+  private[graft] def simulateCrash(): Unit = {
+    if (durable) BufferedWriteLayer.owners.remove(lockKey, ownerId)
+    closed = true
   }
 
   /** Rows visible to [[readResolved]] but not yet committed to storage. */
@@ -148,4 +202,15 @@ final class BufferedWriteLayer(val table: GraftTable,
       toWrite.flatMap(_._2).foreach(d => fs.delete(new Path(d), true))
     }
   }
+}
+
+object BufferedWriteLayer {
+  /** Live durable-layer owners by qualified WAL path — the in-process
+    * liveness oracle behind the single-owner lock (the flock analogue:
+    * ownership dies with the process, so a crashed JVM's lock file is
+    * recognizably stale). Cross-process deployments on a shared object
+    * store should back this with a conditional-put lease; in a
+    * single-driver Spark app the driver IS the serialization point. */
+  private[sources] val owners =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 }

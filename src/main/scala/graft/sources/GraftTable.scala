@@ -59,6 +59,18 @@ object GraftTable {
     * int64 micros (see `rgShadowExpr`); never part of a read schema. */
   val RgKeyColumn = "__rg_key"
 
+  /** Free a `localCheckpoint`ed frame's executor blocks eagerly. The
+    * blocks belong to the RDD the checkpoint wrapped (LogicalRDD in the
+    * analyzed plan); without this they survive until the driver GCs the
+    * frame and the ContextCleaner drains — an executor-memory leak when
+    * the frame was a discarded probe. The frame is unusable after. */
+  private[graft] def dropCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+
   /** Cached raw-union plans per (session, table): a bounded MRU of
     * ((schema, dir-set) fingerprint → plan) entries — the current
     * snapshot's full union plus the base/append sub-plans the
@@ -993,21 +1005,25 @@ class GraftTable(
     while (n < dates.length) {
       val sel = dates.take(n)
       val lb = lookbackTo(sel)
-      gateOpt match {
-        case Some(_) =>
-          // gated serving: ONE admitted execution materializes the page
-          // (≤ k rows); the count probe then reads the checkpointed frame,
-          // so a satisfying probe IS the served result — no second gated
-          // scan, and no commit race between probe and serve
-          val page0 = gatedAction(lb)(page(resolvedOn(sel)).localCheckpoint())
-          if (page0.count() >= k) return page0
-        case None =>
-          if (page(resolvedOn(sel)).count() >= k)
-            return page(resolvedOn(sel))
+      // ONE execution per widening step, gated or not: the probe
+      // MATERIALIZES its page (`localCheckpoint` of ≤ k rows), the
+      // widening test reads the checkpointed frame, and a satisfying
+      // probe IS the served result — no count+fetch double scan and no
+      // commit race between probe and serve. (A date selection holding
+      // ≥ k rows is complete: every unselected date is strictly older
+      // than every selected row, so its limit-k page is the global one.)
+      val probe = gateOpt match {
+        case Some(_) => gatedAction(lb)(page(resolvedOn(sel)).localCheckpoint())
+        case None => page(resolvedOn(sel)).localCheckpoint()
       }
+      if (probe.count() >= k) return probe
+      // a failed probe's checkpointed rows are dead the moment we widen:
+      // free the executor blocks now instead of leaking them until the
+      // driver GCs the frame (several widening steps per serving call)
+      GraftTable.dropCheckpoint(probe)
       n *= 2
     }
-    if (gateOpt.isEmpty) page(readResolved())
+    if (gateOpt.isEmpty) page(readResolved()).localCheckpoint()
     else gatedAction(None)(page(readResolved()).localCheckpoint())
   }
 
@@ -1085,8 +1101,14 @@ class GraftTable(
           .select(col("file"), lower(col("t")).as("gram"), col("k"))
       else rows.select(col("file"),
         explode(trigrams(col("t"))).as("gram"), col("k"))
+    // `knulls`: count of NULL-keyed holders per (file, gram). min/max
+    // skip nulls, so a null-keyed hit row is invisible to [klo, khi] —
+    // the empty-intersection drop below is only sound against a gram
+    // with zero null-keyed holders (such a row would have to hold EVERY
+    // query gram).
     terms.groupBy("file", "gram")
-      .agg(min(col("k")).as("klo"), max(col("k")).as("khi"))
+      .agg(min(col("k")).as("klo"), max(col("k")).as("khi"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("knulls"))
       .write.mode(SaveMode.Overwrite).parquet(textIndexDir(v, column))
   }
 
@@ -1138,10 +1160,14 @@ class GraftTable(
       // outside it. `raw` hits are whole matching values, so the range is
       // their UNION [min(klo), max(khi)].
       val idxDfRaw = spark.read.parquet(idx)
-      val idxDf = // indexes written before range recording: file-only
+      val idxDf0 = // indexes written before range recording: file-only
         if (idxDfRaw.columns.contains("klo")) idxDfRaw
         else idxDfRaw.withColumn("klo", lit(null))
           .withColumn("khi", lit(null))
+      val idxDf = // pre-knulls indexes: unknown → conservative (assume
+        // null-keyed holders exist, so the lo>hi drop never fires)
+        if (idxDf0.columns.contains("knulls")) idxDf0
+        else idxDf0.withColumn("knulls", lit(1L))
       val cand: Array[(String, Any, Any)] =
         (if (raw) idxDf
           .filter(toks.map(t => col("gram").contains(lit(t))).reduce(_ && _))
@@ -1151,10 +1177,16 @@ class GraftTable(
           .filter(col("gram").isin(grams: _*))
           .groupBy("file")
           .agg(count_distinct(col("gram")).as("n"),
-            max(col("klo")).as("lo"), min(col("khi")).as("hi"))
+            max(col("klo")).as("lo"), min(col("khi")).as("hi"),
+            // a null-keyed hit row must hold EVERY gram, so one gram
+            // with zero null-keyed holders disproves it and makes the
+            // empty-intersection drop sound; otherwise keep the file —
+            // the scan's isNull escape serves the possible null-key hits
+            min(col("knulls")).as("minnulls"))
           .filter(col("n") === grams.length &&
-            (col("lo").isNull || col("hi").isNull || col("lo") <= col("hi")))
-          .drop("n"))
+            (col("lo").isNull || col("hi").isNull || col("minnulls") > 0 ||
+              col("lo") <= col("hi")))
+          .drop("n", "minnulls"))
           .collect().map(r => (r.getString(0), r.get(1), r.get(2)))
       val keyCol = rgRangeColumn
       val legSchema =

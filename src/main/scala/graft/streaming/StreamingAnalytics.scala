@@ -514,6 +514,16 @@ object StreamingAnalytics {
   case class EwmaSnap(key: String, n: Long, ewma: Double)
 
   /** Input row for [[cusumStream]]. */
+  case class GapfillIn(key: String, ts: Timestamp, us: Long, value: Double)
+  /** `lastObs`: the newest CLOSED observed bucket (left endpoint of any
+    * future gap) — kept for the key's lifetime; `pending`:
+    * bucket_us → (decimal cents, count) for buckets the watermark has
+    * not closed yet. */
+  case class GapfillBuf(lastObs: Option[(Long, Double)],
+      pending: Map[Long, (Long, Long)])
+  case class GapfillRow(key: String, bucket_us: Long, filled: Boolean,
+      value_interp: Double)
+
   case class CusumIn(key: String, ts: Timestamp, us: Long, value: Double)
   /** Per-key state: the CUSUM fold so far over `hours` COMPLETE hours
     * plus the raw (us, value) points of hours the watermark has not yet
@@ -590,6 +600,79 @@ object StreamingAnalytics {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Streaming gapfill with LINEAR interpolation — the batch q116
+    * operator (TimescaleDB continuous-aggregate `interpolate`) maintained
+    * incrementally: per series, hourly buckets; an observed bucket emits
+    * its mean when the watermark closes it, and an EMPTY bucket emits the
+    * line between its surrounding observed buckets the moment the RIGHT
+    * endpoint closes (the left one closed earlier — drains are
+    * watermark-monotone, so by then every bucket between the endpoints is
+    * provably empty). Buckets before the first / after the last
+    * observation never materialize, exactly the batch series' min..max
+    * span. Per-bucket means go through the same 2-dp decimal summation as
+    * the batch `dsum` (order-independent), and the interpolation is the
+    * identical double expression, so the union of all drains is bit-equal
+    * to the batch rows and sits under the same DuckDB oracle. State per
+    * key: the last closed observed bucket plus the open tail — bounded by
+    * the watermark delay, never by stream length. */
+  def gapfillInterpStream(events: DataFrame,
+      watermark: String): Dataset[GapfillRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    def fn(key: String, evs: Iterator[GapfillIn],
+        state: GroupState[GapfillBuf]): Iterator[GapfillRow] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val st = state.getOption.getOrElse(GapfillBuf(None, Map.empty))
+      var pending = st.pending
+      evs.foreach { e =>
+        val b = e.us - java.lang.Math.floorMod(e.us, hourUs)
+        val cents = java.math.BigDecimal.valueOf(e.value)
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .unscaledValue().longValueExact()
+        val (c0, n0) = pending.getOrElse(b, (0L, 0L))
+        pending = pending.updated(b, (c0 + cents, n0 + 1L))
+      }
+      // a bucket closes when its END is ≤ the watermark: any further
+      // arrival for it would be strictly older than the watermark and is
+      // dropped by Spark's late-row filter, so "absent from pending and
+      // closed" proves the bucket empty
+      val (closed, open) = pending.partition(_._1 + hourUs <= wmUs)
+      var lastObs = st.lastObs
+      val out = Seq.newBuilder[GapfillRow]
+      closed.toSeq.sortBy(_._1).foreach { case (b, (cents, n)) =>
+        val v = (cents / 100.0) / n
+        lastObs.foreach { case (pb, pv) =>
+          var e = pb + hourUs
+          while (e < b) {
+            out += GapfillRow(key, e, filled = true,
+              pv + (v - pv) * ((e - pb).toDouble / (b - pb)))
+            e += hourUs
+          }
+        }
+        out += GapfillRow(key, b, filled = false, v)
+        lastObs = Some((b, v))
+      }
+      if (open.isEmpty && lastObs.isEmpty) state.remove()
+      else {
+        state.update(GapfillBuf(lastObs, open))
+        if (open.nonEmpty)
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+      }
+      out.result().iterator
+    }
+    events
+      .select(col("key").cast("string").as("key"),
+        col("ts").cast("timestamp").as("ts"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", watermark)
+      .withColumn("us", unix_micros(col("ts")))
+      .as[GapfillIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Streaming per-series EWMA — the batch q108 recursion
     * (s_t = α·x_t + (1−α)·s_{t−1}, seeded at the first point) maintained
     * incrementally. A point folds exactly once, when the watermark
@@ -610,7 +693,12 @@ object StreamingAnalytics {
       val wmUs = state.getCurrentWatermarkMs() * 1000L
       val st = state.getOption.getOrElse(EwmaBuf(None, 0L, Nil))
       val pending = st.pending ++ evs.map(e => (e.us, e.id, e.value))
-      val (ready, rest) = pending.partition(_._1 <= wmUs)
+      // STRICT <: Spark's late-row filter drops only rows strictly older
+      // than the watermark, so a peer with event time == watermark (and a
+      // smaller tiebreak id) can still be admitted in a later drain —
+      // folding the boundary point now would break (ts, id) total order
+      // and with it the bit-equality to the batch fold
+      val (ready, rest) = pending.partition(_._1 < wmUs)
       var acc = st.acc
       var n = st.n
       ready.sortBy(p => (p._1, p._2)).foreach { case (_, _, x) =>

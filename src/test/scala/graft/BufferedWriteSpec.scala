@@ -71,6 +71,7 @@ class BufferedWriteSpec extends AnyFunSuite {
     // rows (nothing was committed); the durable one must not
     assert(tbl.currentVersion() == 1, "nothing flushed before the crash")
     assert(tbl.readResolved().count() == 50)
+    buf.simulateCrash() // process death releases the flock-like ownership
 
     val recovered = new BufferedWriteLayer(tbl, durable = true)
     assert(recovered.bufferedRows == 11, "WAL replay adopts both batches")
@@ -83,6 +84,7 @@ class BufferedWriteSpec extends AnyFunSuite {
     recovered.flush()
     assert(tbl.currentVersion() == 2)
     assert(tbl.readResolved().collect().toSet == before)
+    recovered.close()
     val fresh = new BufferedWriteLayer(tbl, durable = true)
     assert(fresh.bufferedRows == 0L, "flushed WAL must be truncated")
   }
@@ -109,8 +111,10 @@ class BufferedWriteSpec extends AnyFunSuite {
       s"${tbl.root}/${tbl.meta.name}/_wal")
     val fs = walRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     buf.insert(rows(15 until 20, "torn"), t(2))
-    val torn = fs.listStatus(walRoot).map(_.getPath).sortBy(_.getName).last
+    val torn = fs.listStatus(walRoot).filter(_.isDirectory)
+      .map(_.getPath).sortBy(_.getName).last
     fs.delete(new org.apache.hadoop.fs.Path(torn, "_SUCCESS"), false)
+    buf.simulateCrash()
 
     val recovered = new BufferedWriteLayer(tbl, durable = true)
     assert(recovered.bufferedRows == 5, "only the committed record replays")
@@ -136,6 +140,7 @@ class BufferedWriteSpec extends AnyFunSuite {
     buf.flush()
     assert(tbl.readResolved().collect().toSet == want)
     fs.rename(bak, walDir)
+    buf.simulateCrash()
     // recovery re-adopts the already-committed batch; re-flush collapses
     // to the same view (identical identity+stamp rows dedup to one)
     val recovered = new BufferedWriteLayer(tbl, durable = true)
@@ -149,7 +154,45 @@ class BufferedWriteSpec extends AnyFunSuite {
     val walRoot = new org.apache.hadoop.fs.Path(
       s"${tbl.root}/${tbl.meta.name}/_wal")
     val fs = walRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(walRoot).map(_.getPath).sortBy(_.getName).toSeq
+    fs.listStatus(walRoot).filter(_.isDirectory)
+      .map(_.getPath).sortBy(_.getName).toSeq
+  }
+
+  test("a second live durable layer over the same table fails fast") {
+    val tbl = freshTable()
+    tbl.append(rows(0 until 10, "stored"), t(0))
+    val owner = new BufferedWriteLayer(tbl, durable = true)
+    owner.insert(rows(10 until 15, "buffered"), t(1))
+    // double-open while the owner is live: loud failure, no double-adopt
+    val e = intercept[IllegalStateException] {
+      new BufferedWriteLayer(tbl, durable = true)
+    }
+    assert(e.getMessage.contains("already owned"))
+    assert(owner.bufferedRows == 5, "the failed open must not disturb the owner")
+    // clean handoff: close() releases ownership, a successor opens clean
+    owner.close()
+    val next = new BufferedWriteLayer(tbl, durable = true)
+    assert(next.bufferedRows == 0L, "close() flushed, so nothing re-adopts")
+    assert(tbl.readResolved().count() == 15)
+    next.close()
+  }
+
+  test("WAL recovery honors maxBufferedRows (auto-flush after replay)") {
+    val tbl = freshTable()
+    // predecessor with a LARGER cap crashes holding 12 buffered rows
+    val big = new BufferedWriteLayer(tbl, maxBufferedRows = 100,
+      durable = true)
+    big.insert(rows(0 until 12, "buffered"), t(0))
+    big.simulateCrash()
+    // successor with a smaller cap: replay reconstructs 12 ≥ 5, so the
+    // same auto-flush trigger insert uses must fire at construction —
+    // the documented bound holds from the first moment the layer serves
+    val small = new BufferedWriteLayer(tbl, maxBufferedRows = 5,
+      durable = true)
+    assert(small.bufferedRows == 0L, "over-limit recovered buffer must flush")
+    assert(tbl.currentVersion() == 1, "recovery flush committed one version")
+    assert(small.readResolved().count() == 12)
+    small.close()
   }
 
   test("auto-flush at maxBufferedRows bounds the buffer") {

@@ -241,4 +241,44 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       assert(fin._2 == 35.15625, s"final level ${fin._2} != 35.15625")
     } finally q.stop()
   }
+
+  test("gapfillInterpStream: empty buckets interpolate only once the right " +
+      "endpoint closes; each bucket emits exactly once") {
+    import spark.implicits._
+    val src = tmp("graft_gapfill_src_")
+    def file(rows: Seq[(String, String, Double)]): DataFrame =
+      rows.toDF("key", "t", "value")
+        .select(col("key"), col("t").cast("timestamp").as("ts"), col("value"))
+    // observations at 10:00 (v=10) and 13:00 (v=40): gap buckets 11:00,
+    // 12:00 must come out as 20, 30
+    appendFile(src, file(Seq(("u1", "2024-03-01 10:10:00", 10.0))))
+    val stream = spark.readStream
+      .schema(file(Seq(("k", "2024-03-01 00:00:00", 0.0))).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = StreamingAnalytics.gapfillInterpStream(stream, "10 seconds")
+      .writeStream.format("memory").queryName("gapfill")
+      .outputMode("append").start()
+    def rows() = spark.table("gapfill").filter(col("key") === "u1")
+      .select("bucket_us", "filled", "value_interp").collect()
+      .map(r => (r.getLong(0) / 3600000000L % 24, r.getBoolean(1),
+        r.getDouble(2))).sortBy(_._1).toSeq
+    try {
+      q.processAllAvailable()
+      assert(rows().isEmpty, "10:00 is still open — nothing may emit")
+      // watermark passes 11:00 → the 10:00 bucket closes and emits; the
+      // gap after it must NOT emit (right endpoint unknown)
+      appendFile(src, file(Seq(("zz", "2024-03-01 11:30:00", 0.0))))
+      q.processAllAvailable()
+      assert(rows() == Seq((10L, false, 10.0)),
+        s"only the closed observed bucket may emit: ${rows()}")
+      // second observation lands at 13:00, then the watermark closes it:
+      // both gap buckets emit the line in the same drain
+      appendFile(src, file(Seq(("u1", "2024-03-01 13:00:00", 40.0))))
+      appendFile(src, file(Seq(("zz", "2024-03-01 15:00:00", 0.0))))
+      q.processAllAvailable()
+      assert(rows() == Seq((10L, false, 10.0), (11L, true, 20.0),
+        (12L, true, 30.0), (13L, false, 40.0)),
+        s"gap buckets must interpolate once the right endpoint closes: ${rows()}")
+    } finally q.stop()
+  }
 }
