@@ -179,3 +179,84 @@ object ScaleProbe {
       f: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until factor).map(r => f(df, r)).reduce(_ unionByName _)
 }
+
+/** Full-corpus amplification for the sf1 correctness sweep: on top of
+  * [[ScaleProbe.amplify]]'s structure-preserving documents/embeddings/
+  * supplier replicas, the relational and event tables replicate with
+  * consistently SHIFTED keys (lineitem.l_orderkey shifts with orders,
+  * orders.o_custkey with customer, l_partkey/l_suppkey with part/supplier)
+  * — referential joins stay intact, so every oracle-gated query runs a
+  * genuine 10× volume. Correctness needs no ground-truth argument at all:
+  * Spark and DuckDB read the SAME amplified files, so any disagreement is
+  * an engine-semantics or overflow bug, which is exactly what the sweep
+  * hunts at 100× the sf0.01 gate scale.
+  *
+  * Usage: `runMain graft.AmplifyFull` (env: SPARK_GRAFT_SF_DIR base,
+  * SPARK_GRAFT_SCALE_DIR out, SPARK_GRAFT_SCALE_FACTOR), then
+  * `runMain graft.Verify <out> <dump>` with the similarity family
+  * excluded (its oracles are pair-quadratic in DuckDB; the family's 10×
+  * behavior is the scale probe's job). */
+object AmplifyFull {
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf1_full")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (Files.exists(Paths.get(out, "_amplified_full_v1"))) {
+      spark.stop(); return
+    }
+    ScaleProbe.amplify(spark, base, out, factor)
+    def rep(table: String, parts: Int)(
+        f: (DataFrame, Int) => DataFrame): Unit =
+      (0 until factor).map(r => f(spark.read.parquet(s"$base/$table.parquet"), r))
+        .reduce(_ unionByName _)
+        .coalesce(parts).write.mode("overwrite")
+        .parquet(s"$out/$table.parquet")
+    def maxOf(table: String, c: String): Long =
+      spark.read.parquet(s"$base/$table.parquet")
+        .agg(max(col(c)).cast("long")).head.getLong(0) + 1
+    val (maxEid, maxUid) = (maxOf("events", "event_id"),
+      maxOf("events", "user_id"))
+    val (maxOrd, maxCust, maxPart, maxSup) = (maxOf("orders", "o_orderkey"),
+      maxOf("customer", "c_custkey"), maxOf("part", "p_partkey"),
+      maxOf("supplier", "s_suppkey"))
+    rep("events", 8) { (df, r) =>
+      df.select((col("event_id") + lit(r * maxEid)).as("event_id"),
+        col("ts"), (col("user_id") + lit(r * maxUid)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+    rep("orders", 4) { (df, r) =>
+      df.select((col("o_orderkey") + lit(r * maxOrd)).as("o_orderkey"),
+        (col("o_custkey") + lit(r * maxCust)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    }
+    rep("lineitem", 16) { (df, r) =>
+      df.select((col("l_orderkey") + lit(r * maxOrd)).as("l_orderkey"),
+        (col("l_partkey") + lit(r * maxPart)).as("l_partkey"),
+        (col("l_suppkey") + lit(r * maxSup)).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+    }
+    rep("customer", 2) { (df, r) =>
+      df.select((col("c_custkey") + lit(r * maxCust)).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment"))
+    }
+    rep("part", 2) { (df, r) =>
+      df.select((col("p_partkey") + lit(r * maxPart)).as("p_partkey"),
+        col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+        col("p_retailprice"))
+    }
+    Files.createFile(Paths.get(out, "_amplified_full_v1"))
+    spark.stop()
+    println(s"""{"metric":"amplify_full","out":"$out","factor":$factor}""")
+  }
+}

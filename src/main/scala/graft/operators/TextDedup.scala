@@ -159,9 +159,17 @@ object TextDedup {
     val cands = prefA.as("a").join(prefB.as("b"), joinCond)
       .select(col("a.__id").as(outA), col("b.__id").as(outB))
       .distinct() // ids only — set payloads re-join after the dedup
+    // shuffle_hash (not sort-merge) for the verify attach joins: either
+    // side can be the wide one (adversarial corpora blow up `cands`;
+    // ordinary ones make the token-set side dominate), and hashing the
+    // token-set side avoids SORTING multi-hundred-byte array rows on
+    // whichever side is large — the q26-probe lesson applied to the
+    // shared exact-join core
     cands
-      .join(ta.select(col("__id").as(outA), col("__ts").as("__ta")), outA)
-      .join(tb.getOrElse(ta).select(col("__id").as(outB), col("__ts").as("__tb")), outB)
+      .join(ta.select(col("__id").as(outA), col("__ts").as("__ta"))
+        .hint("shuffle_hash"), outA)
+      .join(tb.getOrElse(ta).select(col("__id").as(outB), col("__ts").as("__tb"))
+        .hint("shuffle_hash"), outB)
       .withColumn("__inter",
         graft.functions.SortedIntersectCount(col("__ta"), col("__tb"))
           .cast("double"))
