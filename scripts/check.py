@@ -18,7 +18,12 @@ def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # testdata ships single files; amplified corpora (AmplifyFull) are
+        # Spark-written DIRECTORIES of part files under the same name
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     names = sorted([os.path.basename(p) for p in glob.glob(f"{outdir}/*")
                     if os.path.isdir(p)])

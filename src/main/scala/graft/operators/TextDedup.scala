@@ -425,6 +425,51 @@ object TextDedup {
     shiftleft(le4(31, 29, 27, 25), 32).bitwiseOR(le4(23, 21, 19, 17))
   }
 
+  /** GREEDY minimum-id survivor set over a near-dup pair graph — the
+    * dedup-at-ingest keep rule: processing documents in id order, a doc is
+    * kept iff it near-dups NO already-kept doc. Batching-invariant by
+    * construction (survival depends only on lower-id survivors), so a
+    * streaming pipeline appending id-ordered micro-batches converges to
+    * exactly this set — unlike component-representative dedup, where the
+    * kept set depends on where batch boundaries fall.
+    *
+    * Computed distributively by ITERATED ELIMINATION: start from all
+    * paired docs and repeat "keep d iff no edge (e, d) with e < d and e
+    * currently kept". Each vertex's final status depends only on its
+    * lower-id neighbors', so after k rounds every vertex whose
+    * lower-neighbor dependency chain is ≤ k deep is fixed — the fixpoint
+    * IS the sequential greedy set, reached in O(longest decreasing-id
+    * path) rounds of one equi-join + one anti-join each (shuffle keyed on
+    * edge endpoints, O(edges) per round — the connectedComponents cost
+    * model). Unpaired docs bypass the loop entirely. */
+  def greedySurvivors(ids: DataFrame, pairs: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(least(col("id_a"), col("id_b")).as("__lo"),
+        greatest(col("id_a"), col("id_b")).as("__hi"))
+      .distinct().transform(Pin(_))
+    val paired = edges.select(col("__lo").as("__id"))
+      .unionByName(edges.select(col("__hi").as("__id")))
+      .distinct().transform(Pin(_))
+    val loners = ids.join(paired, Seq("__id"), "left_anti")
+    var surv = paired
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val blocked = edges.join(surv, edges("__lo") === surv("__id"))
+        .select(col("__hi").as("__id")).distinct()
+      val next = Pin(paired.join(blocked, Seq("__id"), "left_anti"))
+      // f is not monotone (a doc can re-enter when its blocker drops), so
+      // convergence is set EQUALITY, not a count
+      converged =
+        next.join(surv, Seq("__id"), "left_anti").isEmpty &&
+          surv.join(next, Seq("__id"), "left_anti").isEmpty
+      surv = next
+      i += 1
+    }
+    loners.unionByName(surv)
+  }
+
   /** 64-bit SimHash over the token set: per bit, sum +1/−1 weighted by token
     * hash bits, take the sign. Expressed as one aggregate over exploded
     * tokens (64 conditional sums → bit reassembly). `tokenHash` defaults to

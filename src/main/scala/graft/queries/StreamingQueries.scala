@@ -388,6 +388,69 @@ object StreamingQueries {
       r
     })
 
+  private val nearDupBuilt = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Near-dup dedup AT INGEST run to completion: the documents corpus in
+    * three id-ordered micro-batches; each batch drops docs that
+    * exact-Jaccard (≥ 0.9, lang-blocked) an already-committed SURVIVOR
+    * ([[graft.operators.TextDedup.jaccardPairsAgainst]] — cost scales
+    * with the batch, never the corpus²), then keeps the greedy min-id
+    * survivor set within itself
+    * ([[graft.operators.TextDedup.greedySurvivors]]), and appends the
+    * keepers to a doc_store MOR table. The greedy rule is
+    * batching-invariant, so the final table must equal the GLOBAL
+    * sequential "keep unless it near-dups an earlier keeper" pass —
+    * which the oracle replays as a recursive CTE over the exact pair
+    * graph. The production shape for keeping a training corpus clean
+    * incrementally instead of re-deduplicating it per snapshot. */
+  private def nearDupIngestOut(s: SparkSession, dir: String): String =
+    nearDupBuilt.getOrElseUpdate(dir, {
+      val r = graft.tables.TempDirs.create("graft_stream_neardup_")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val maxId = docs.agg(max("doc_id")).head.getLong(0) + 1
+      (0 until 3).foreach { b =>
+        if (b > 0) Thread.sleep(1100) // distinct mod-times: oldest-first
+        docs.filter(col("doc_id") >= lit(b * maxId / 3) &&
+            col("doc_id") < lit((b + 1) * maxId / 3))
+          .coalesce(1).write.mode("append").parquet(r + "/src")
+      }
+      val tbl = new GraftTable(s, r + "/table", TableSchemas.docStore)
+      val sch = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("lang", StringType)))
+      val src = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(r + "/src")
+      val q = src.writeStream
+        .option("checkpointLocation", r + "/chk")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val base = tbl.readResolved()
+            .select(col("id").cast("long").as("doc_id"),
+              col("content").as("text"), col("name").as("lang"))
+          val blocked = graft.operators.TextDedup.jaccardPairsAgainst(
+              batch, base, "doc_id", "text", Seq("lang"), 0.9)
+            .select(col("new_id").as("doc_id")).distinct()
+          val clean = batch.join(blocked, Seq("doc_id"), "left_anti")
+          val within = graft.operators.TextDedup.jaccardPairs(
+            clean, "doc_id", "text", Seq("lang"), 0.9)
+          val surv = graft.operators.TextDedup.greedySurvivors(
+            clean.select(col("doc_id").as("__id")), within)
+          tbl.append(
+            clean.join(surv.select(col("__id").as("doc_id")), "doc_id")
+              .select(lit("0").as("project_id"),
+                (lit("2024-01-01 00:00:00").cast("timestamp_ntz") + expr(
+                  "make_interval(0, 0, 0, 0, 0, cast(doc_id % 720 as int), 0)"))
+                  .as("timestamp"),
+                col("doc_id").cast("string").as("id"),
+                col("lang").as("name"), col("text").as("content")),
+            Some(java.time.LocalDateTime.of(2024, 6, 1, 0, batchId.toInt)))
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      r
+    })
+
   private val gapfillBuilt = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Streaming gapfill-interpolate run to completion: the q116 slice
@@ -568,6 +631,16 @@ object StreamingQueries {
         .orderBy("user_id", "bucket")
     },
 
+    // ---- near-dup dedup at ingest (greedy min-id keep rule, streamed in
+    // id-ordered micro-batches against the committed survivors) -----------
+    "q126_streaming_neardup_ingest" -> { (s, dir) =>
+      new GraftTable(s, nearDupIngestOut(s, dir) + "/table",
+          TableSchemas.docStore)
+        .readResolved()
+        .select(col("id").cast("long").as("doc_id"), col("name").as("lang"))
+        .orderBy("doc_id")
+    },
+
     // ---- streaming conversion funnel (the q80 operator, incrementally) ----
     "q85_streaming_funnel" -> { (s, dir) =>
       s.read.parquet(funnelOut2(s, dir) + "/out")
@@ -632,6 +705,47 @@ object StreamingQueries {
     // the batch q116 oracle VERBATIM: the appended union of every drain
     // must be row-for-row the batch gapfill output
     "q125_streaming_gapfill" -> TimeSeries.oracle("q116_gapfill_interp"),
+
+    // the GLOBAL sequential greedy keep rule, replayed as a recursive CTE
+    // over the exact lang-blocked Jaccard pair graph (the q25 pair
+    // semantics): doc d is kept iff it near-dups no already-kept doc in
+    // doc_id order. Streamed micro-batches must converge to exactly this
+    // set — the greedy rule is batching-invariant, so equality here also
+    // proves the cross-batch blocking (against survivors only) and the
+    // within-batch iterated elimination compose to the sequential pass.
+    // CTEs are MATERIALIZED: DuckDB otherwise re-inlines the pair join
+    // into every recursion step.
+    "q126_streaming_neardup_ingest" ->
+      """WITH RECURSIVE toks AS MATERIALIZED (
+        | SELECT doc_id, lang,
+        |  list_distinct(string_split_regex(lower(text), '\s+')) AS ts
+        | FROM documents),
+        |pairs AS MATERIALIZED (
+        | SELECT a.doc_id AS lo, b.doc_id AS hi FROM toks a JOIN toks b
+        | ON a.lang = b.lang AND a.doc_id < b.doc_id
+        | AND len(list_intersect(a.ts, b.ts))::DOUBLE /
+        |     (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+        |     >= 0.9),
+        |pd AS MATERIALIZED (
+        | SELECT DISTINCT doc_id FROM
+        |  (SELECT lo AS doc_id FROM pairs
+        |   UNION ALL SELECT hi AS doc_id FROM pairs)),
+        |ord AS MATERIALIZED (
+        | SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn FROM pd),
+        |g AS (
+        | SELECT 0 AS rn, []::BIGINT[] AS surv
+        | UNION ALL
+        | SELECT o.rn,
+        |  CASE WHEN EXISTS (SELECT 1 FROM pairs p WHERE p.hi = o.doc_id
+        |                    AND list_contains(g.surv, p.lo))
+        |   THEN g.surv ELSE list_append(g.surv, o.doc_id) END
+        | FROM g JOIN ord o ON o.rn = g.rn + 1),
+        |final AS (SELECT surv FROM g ORDER BY rn DESC LIMIT 1)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM pd WHERE pd.doc_id = d.doc_id)
+        |   OR EXISTS (SELECT 1 FROM final
+        |              WHERE list_contains(final.surv, d.doc_id))
+        |ORDER BY d.doc_id""".stripMargin,
 
     // the q118 recursion with a LITERAL target (a stream cannot know the
     // series' own mean upfront); recursive CTE, not a lambda fold — see

@@ -52,6 +52,42 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"LSH recall $recall (found ${lsh.size}/${exact.size})")
   }
 
+  test("greedySurvivors equals the sequential min-id keep rule") {
+    import spark.implicits._
+    def run(n: Long, edges: Seq[(Long, Long)]): Set[Long] = {
+      val ids = (0L until n).toDF("__id")
+      val pairs = edges.toDF("id_a", "id_b")
+      TextDedup.greedySurvivors(ids, pairs)
+        .collect().map(_.getLong(0)).toSet
+    }
+    def sequential(n: Long, edges: Seq[(Long, Long)]): Set[Long] = {
+      val adj = edges.flatMap { case (a, b) =>
+        Seq(math.min(a, b) -> math.max(a, b)) }
+        .groupBy(_._2).map { case (hi, es) => hi -> es.map(_._1).toSet }
+      var kept = Set.empty[Long]
+      (0L until n).foreach { d =>
+        if (!adj.getOrElse(d, Set.empty).exists(kept)) kept += d
+      }
+      kept
+    }
+    // chain 0-1-2: 1 blocked by 0, 2 RE-ENTERS when 1 drops (the
+    // non-monotone case iterated elimination must converge through)
+    assert(run(4, Seq((0L, 1L), (1L, 2L))) == Set(0L, 2L, 3L))
+    // triangle keeps only the minimum
+    assert(run(3, Seq((0L, 1L), (0L, 2L), (1L, 2L))) == Set(0L))
+    // star: center 0 kept, leaves dropped
+    assert(run(4, Seq((0L, 1L), (0L, 2L), (0L, 3L))) == Set(0L))
+    // randomized graphs vs the sequential reference
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val n = 30L
+      val edges = Seq.fill(45)(
+        (rnd.nextLong(n), rnd.nextLong(n))).filter(e => e._1 != e._2)
+      assert(run(n, edges) == sequential(n, edges),
+        s"diverged on $edges")
+    }
+  }
+
   test("connected components label chains, stars, and singletons") {
     import spark.implicits._
     // chain 1-2-3-4, star 10-{11,12}, singleton 20
