@@ -159,17 +159,15 @@ object TextDedup {
     val cands = prefA.as("a").join(prefB.as("b"), joinCond)
       .select(col("a.__id").as(outA), col("b.__id").as(outB))
       .distinct() // ids only — set payloads re-join after the dedup
-    // shuffle_hash (not sort-merge) for the verify attach joins: either
-    // side can be the wide one (adversarial corpora blow up `cands`;
-    // ordinary ones make the token-set side dominate), and hashing the
-    // token-set side avoids SORTING multi-hundred-byte array rows on
-    // whichever side is large — the q26-probe lesson applied to the
-    // shared exact-join core
+    // verify attach joins stay UNHINTED (sort-merge), unlike
+    // verifiedMinhashPairs' shuffle_hash: prefix filtering keeps the
+    // exact-join candidate side output-sized (thousands, not the LSH
+    // path's tens of millions), so SMJ's sort is trivial while a hash
+    // join would pay per-partition map builds over the corpus token sets
+    // — A/B at sf0.1 measured the hint 10-25% SLOWER here
     cands
-      .join(ta.select(col("__id").as(outA), col("__ts").as("__ta"))
-        .hint("shuffle_hash"), outA)
-      .join(tb.getOrElse(ta).select(col("__id").as(outB), col("__ts").as("__tb"))
-        .hint("shuffle_hash"), outB)
+      .join(ta.select(col("__id").as(outA), col("__ts").as("__ta")), outA)
+      .join(tb.getOrElse(ta).select(col("__id").as(outB), col("__ts").as("__tb")), outB)
       .withColumn("__inter",
         graft.functions.SortedIntersectCount(col("__ta"), col("__tb"))
           .cast("double"))

@@ -116,6 +116,23 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q26 verify joins hash, not sort-merge (the r8 spill-variance fix)") {
+    // the verify stage attaches token-set arrays to tens of millions of
+    // candidate pairs; a sort-merge join SORTS that side and its spill was
+    // an 8-100 s variance at the 10x probe. The shuffle_hash hints must
+    // keep winning: hash joins present, and no SortMergeJoin anywhere in
+    // the pair-verify subtree (the plan has no other join reason to sort).
+    val df = graft.operators.TextDedup.verifiedMinhashPairs(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
+      bands = 12, rowsPerBand = 8, threshold = 0.9)
+    // the banded-bucket SELF-join legitimately sort-merges (narrow rows:
+    // id + band keys); the assertion targets the two ATTACH joins, whose
+    // rows widen to token arrays
+    val names = nodeNames(df)
+    assert(names.count(_.contains("ShuffledHashJoin")) >= 2,
+      s"verify attach joins lost their shuffle_hash strategy: $names")
+  }
+
   test("q109 gram matrix partial-aggregates map-side before the exchange") {
     val df = SparkEntry.queries("q109_gram_matrix")(spark, sf)
     val plan = finalPlan(df)
