@@ -388,6 +388,47 @@ object StreamingQueries {
       r
     })
 
+  private val burnBuilt = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Streaming burn-rate alert run to completion: every event as 3
+    * files/micro-batches carrying (ts, is_error), two far-future
+    * sentinels (shared watermark mechanics). Hours close on watermark
+    * advance and emit their fast/slow burns incrementally; the appended
+    * rows must be row-for-row the batch q114 output under its oracle. */
+  private def burnOut(s: SparkSession, dir: String): String =
+    burnBuilt.getOrElseUpdate(dir, {
+      val r = graft.tables.TempDirs.create("graft_stream_burn_")
+      Tables.events(s, dir)
+        .select(lit("all").as("key"), col("ts").cast("timestamp").as("ts"),
+          (col("event_type") === "error").as("is_err"))
+        .repartition(3).write.parquet(r + "/src")
+      import s.implicits._
+      def sentinel(t: String): Unit = {
+        Thread.sleep(1100)
+        Seq(("__sentinel", t, false)).toDF("key", "t", "is_err")
+          .select(col("key"), col("t").cast("timestamp").as("ts"),
+            col("is_err"))
+          .coalesce(1).write.mode("append").parquet(r + "/src")
+      }
+      sentinel("2031-01-01 00:00:00")
+      sentinel("2031-01-02 00:00:00")
+      val sch = StructType(Seq(StructField("key", StringType),
+        StructField("ts", TimestampType),
+        StructField("is_err", org.apache.spark.sql.types.BooleanType)))
+      val src = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(r + "/src")
+      val q = StreamingAnalytics.burnRateStream(src, budget = 0.10,
+          watermark = "400 days")
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", r + "/out")
+        .option("checkpointLocation", r + "/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      r
+    })
+
   private val nearDupBuilt = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Near-dup dedup AT INGEST run to completion: the documents corpus in
@@ -631,6 +672,20 @@ object StreamingQueries {
         .orderBy("user_id", "bucket")
     },
 
+    // ---- streaming multi-window burn rate (the q114 alert guard,
+    // incrementally — the shape an alert evaluator deploys) ----------------
+    "q127_streaming_burn_rate" -> { (s, dir) =>
+      s.read.parquet(burnOut(s, dir) + "/out")
+        .filter(col("key") =!= "__sentinel")
+        .select(
+          expr("cast(timestamp_micros(hour_us) as timestamp_ntz)").as("hour"),
+          col("n"), col("n_err"),
+          round(col("burn_1h"), 6).as("burn_1h"),
+          round(col("burn_6h"), 6).as("burn_6h"))
+        .withColumn("alert", col("burn_1h") > 1.0 && col("burn_6h") > 1.0)
+        .orderBy("hour")
+    },
+
     // ---- near-dup dedup at ingest (greedy min-id keep rule, streamed in
     // id-ordered micro-batches against the committed survivors) -----------
     "q126_streaming_neardup_ingest" -> { (s, dir) =>
@@ -705,6 +760,10 @@ object StreamingQueries {
     // the batch q116 oracle VERBATIM: the appended union of every drain
     // must be row-for-row the batch gapfill output
     "q125_streaming_gapfill" -> TimeSeries.oracle("q116_gapfill_interp"),
+
+    // the batch q114 oracle verbatim — hours stream-closed one at a time
+    // must equal the batch rolling window
+    "q127_streaming_burn_rate" -> TimeSeries.oracle("q114_burn_rate"),
 
     // the GLOBAL sequential greedy keep rule, replayed as a recursive CTE
     // over the exact lang-blocked Jaccard pair graph (the q25 pair

@@ -514,6 +514,16 @@ object StreamingAnalytics {
   case class EwmaSnap(key: String, n: Long, ewma: Double)
 
   /** Input row for [[cusumStream]]. */
+  case class BurnIn(key: String, ts: Timestamp, us: Long, isErr: Boolean)
+  /** `last5`: the 5 most recent CLOSED hourly rows (hour_us, n, n_err) —
+    * the trailing window of the SRE fast+slow guard is ROW-based over
+    * non-empty hours, exactly the batch `rowsBetween(-5, 0)`; `pending`:
+    * hour_us → (n, n_err) for hours the watermark has not closed. */
+  case class BurnBuf(last5: List[(Long, Long, Long)],
+      pending: Map[Long, (Long, Long)])
+  case class BurnRow(key: String, hour_us: Long, n: Long, n_err: Long,
+      burn_1h: Double, burn_6h: Double)
+
   case class GapfillIn(key: String, ts: Timestamp, us: Long, value: Double)
   /** `lastObs`: the newest CLOSED observed bucket (left endpoint of any
     * future gap) — kept for the key's lifetime; `pending`:
@@ -595,6 +605,65 @@ object StreamingAnalytics {
       .withWatermark("ts", watermark)
       .withColumn("us", unix_micros(col("ts")))
       .as[CusumIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Streaming multi-window SLO burn rate — the batch q114 operator (the
+    * SRE-workbook fast+slow alert guard) maintained incrementally, i.e.
+    * the shape an alert evaluator actually DEPLOYS: per series, hourly
+    * (total, error) counts buffer until the watermark closes the hour;
+    * a closing hour joins a deque of the 5 previous closed non-empty
+    * hours (the trailing window is ROW-based, exactly the batch
+    * `rowsBetween(-5, 0)`) and emits its 1 h and 6 h error-budget burn.
+    * Counts are integers until the final divisions — the identical
+    * double expressions as batch — so the appended union of all drains
+    * is row-for-row the batch output under the same oracle. State per
+    * key: 5 closed rows + the open tail; bounded by the watermark delay.
+    * Keying: per (service, SLO) in deployment — each key's state and
+    * emission are independent, so alert cardinality scales with the key
+    * space, not the event volume. */
+  def burnRateStream(events: DataFrame, budget: Double,
+      watermark: String): Dataset[BurnRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    def fn(key: String, evs: Iterator[BurnIn],
+        state: GroupState[BurnBuf]): Iterator[BurnRow] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val st = state.getOption.getOrElse(BurnBuf(Nil, Map.empty))
+      var pending = st.pending
+      evs.foreach { e =>
+        val h = e.us - java.lang.Math.floorMod(e.us, hourUs)
+        val (n0, e0) = pending.getOrElse(h, (0L, 0L))
+        pending = pending.updated(h, (n0 + 1L, e0 + (if (e.isErr) 1L else 0L)))
+      }
+      val (closed, open) = pending.partition(_._1 + hourUs <= wmUs)
+      var last5 = st.last5
+      val out = Seq.newBuilder[BurnRow]
+      closed.toSeq.sortBy(_._1).foreach { case (h, (n, nerr)) =>
+        val n6 = n + last5.map(_._2).sum
+        val e6 = nerr + last5.map(_._3).sum
+        out += BurnRow(key, h, n, nerr,
+          (nerr.toDouble / n) / budget, (e6.toDouble / n6) / budget)
+        last5 = ((h, n, nerr) :: last5).take(5)
+      }
+      if (open.isEmpty && last5.isEmpty) state.remove()
+      else {
+        state.update(BurnBuf(last5, open))
+        if (open.nonEmpty)
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+      }
+      out.result().iterator
+    }
+    events
+      .select(col("key").cast("string").as("key"),
+        col("ts").cast("timestamp").as("ts"),
+        col("is_err").cast("boolean").as("isErr"))
+      .withWatermark("ts", watermark)
+      .withColumn("us", unix_micros(col("ts")))
+      .as[BurnIn]
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
