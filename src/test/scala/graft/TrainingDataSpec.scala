@@ -52,6 +52,86 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"LSH recall $recall (found ${lsh.size}/${exact.size})")
   }
 
+  test("jaccardPairs equals local brute force on randomized corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { trial =>
+      val vocab = (1 to 12).map(i => s"w$i")
+      val corpus = (0 until 30).map { i =>
+        (i.toLong,
+          Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+            .mkString(" "))
+      }
+      val docsDf = corpus.toDF("doc_id", "text")
+      Seq(0.5, 0.8).foreach { t =>
+        val got = TextDedup.jaccardPairs(docsDf, "doc_id", "text",
+            Seq.empty, t)
+          .select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val sets = corpus.map { case (id, tx) =>
+          id -> tx.toLowerCase.split("\\s+").toSet }
+        val want = (for {
+          (a, sa) <- sets; (b, sb) <- sets if a < b
+          inter = (sa & sb).size.toDouble
+          if inter / (sa.size + sb.size - inter) >= t
+        } yield (a, b)).toSet
+        assert(got == want, s"trial $trial t=$t: got ${got.size}, " +
+          s"want ${want.size}; missing=${want -- got} extra=${got -- want}")
+      }
+    }
+  }
+
+  test("ngramJaccardPairs equals local brute force on randomized corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = (1 to 8).map(i => s"t$i")
+    val corpus = (0 until 25).map { i =>
+      (i.toLong,
+        Seq.fill(2 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+    }
+    val docsDf = corpus.toDF("doc_id", "text")
+    val got = TextDedup.ngramJaccardPairs(docsDf, "doc_id", "text",
+        Seq.empty, 0.5, n = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = corpus.map { case (id, tx) =>
+      id -> tx.toLowerCase.split("\\s+").sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet }
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets
+      if a < b && sa.nonEmpty && sb.nonEmpty
+      inter = (sa & sb).size.toDouble
+      if inter / (sa.size + sb.size - inter) >= 0.5
+    } yield (a, b)).toSet
+    assert(got == want,
+      s"missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("simhash pigeonhole blocking finds every all-pairs hamming hit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val vocab = (1 to 10).map(i => s"s$i")
+    val docsDf = (0 until 40).map { i =>
+      (i.toLong,
+        Seq.fill(4 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+    }.toDF("doc_id", "text")
+    val blocked = TextDedup.simhashPairs(docsDf, "doc_id", "text",
+        maxDist = 3)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = TextDedup.simhash(docsDf, "doc_id", "text")
+    val all = sigs.as("x").join(sigs.as("y"),
+        col("x.__id") < col("y.__id"))
+      .select(col("x.__id"), col("y.__id"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter(_._3 <= 3).toSet
+    assert(blocked == all,
+      s"pigeonhole lost pairs: missing=${all -- blocked} extra=${blocked -- all}")
+  }
+
   test("greedySurvivors equals the sequential min-id keep rule") {
     import spark.implicits._
     def run(n: Long, edges: Seq[(Long, Long)]): Set[Long] = {
