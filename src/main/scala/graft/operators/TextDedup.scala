@@ -188,13 +188,27 @@ object TextDedup {
     * verification computes true Jaccard on the full hashed token sets, so
     * the result equals the brute-force cross join at any blocking. */
   def jaccardPairsAgainst(newDf: DataFrame, baseDf: DataFrame, idCol: String,
-      textCol: String, blockCols: Seq[String], threshold: Double): DataFrame = {
-    def sets(df: DataFrame) =
-      df.select(Seq(col(idCol).as("__id"),
-        hashedTokenSet(col(textCol)).as("__ts")) ++ blockCols.map(col): _*)
-    setJaccardJoin(sets(newDf), Some(sets(baseDf)), blockCols, threshold,
+      textCol: String, blockCols: Seq[String], threshold: Double): DataFrame =
+    jaccardPairsAgainstSets(hashedSets(newDf, idCol, textCol, blockCols),
+      hashedSets(baseDf, idCol, textCol, blockCols), blockCols, threshold)
+
+  /** The set frame [[jaccardPairsAgainstSets]] consumes: `(__id, __ts,
+    * blockCols…)` with `__ts` the sorted hashed token set. Exposed so a
+    * CONTINUOUS ingest-dedup pipeline can maintain the base side
+    * incrementally — hash each batch once, union the survivors' set rows
+    * into a pinned base frame — instead of re-tokenizing the whole
+    * corpus text on every micro-batch (at fleet scale the corpus
+    * re-scan, not the join, is the dominant per-batch cost). */
+  def hashedSets(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String]): DataFrame =
+    df.select(Seq(col(idCol).as("__id"),
+      hashedTokenSet(col(textCol)).as("__ts")) ++ blockCols.map(col): _*)
+
+  /** [[jaccardPairsAgainst]] over pre-built [[hashedSets]] frames. */
+  def jaccardPairsAgainstSets(newSets: DataFrame, baseSets: DataFrame,
+      blockCols: Seq[String], threshold: Double): DataFrame =
+    setJaccardJoin(newSets, Some(baseSets), blockCols, threshold,
       outA = "new_id", outB = "base_id")
-  }
 
   /** MinHash signatures as ONE aggregation: tokens exploded once, then
     * `numHashes` `min(xxhash64(seed_i, tokenHash))` aggregates per doc.

@@ -461,15 +461,27 @@ object StreamingQueries {
         StructField("text", StringType), StructField("lang", StringType)))
       val src = s.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1").parquet(r + "/src")
+      // the base side is maintained INCREMENTALLY as pinned hashed-set
+      // rows (id + long array + lang): each batch tokenizes once, and the
+      // survivors' set rows union into the base — the corpus TEXT is
+      // never re-scanned per micro-batch (the fleet-scale cost; the
+      // remaining per-batch corpus-sized work is the rarity-order
+      // frequency pass over the hashed sets, which the shared
+      // prefix-filter core computes over both sides for ordering
+      // consistency)
+      var baseSets = graft.operators.Pin(graft.operators.TextDedup
+        .hashedSets(s.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), sch),
+          "doc_id", "text", Seq("lang")))
       val q = src.writeStream
         .option("checkpointLocation", r + "/chk")
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val base = tbl.readResolved()
-            .select(col("id").cast("long").as("doc_id"),
-              col("content").as("text"), col("name").as("lang"))
-          val blocked = graft.operators.TextDedup.jaccardPairsAgainst(
-              batch, base, "doc_id", "text", Seq("lang"), 0.9)
+          val newSets = graft.operators.Pin(graft.operators.TextDedup
+            .hashedSets(batch.localCheckpoint(), "doc_id", "text",
+              Seq("lang")))
+          val blocked = graft.operators.TextDedup.jaccardPairsAgainstSets(
+              newSets, baseSets, Seq("lang"), 0.9)
             .select(col("new_id").as("doc_id")).distinct()
           val clean = batch.join(blocked, Seq("doc_id"), "left_anti")
           val within = graft.operators.TextDedup.jaccardPairs(
@@ -485,6 +497,8 @@ object StreamingQueries {
                 col("doc_id").cast("string").as("id"),
                 col("lang").as("name"), col("text").as("content")),
             Some(java.time.LocalDateTime.of(2024, 6, 1, 0, batchId.toInt)))
+          baseSets = graft.operators.Pin(baseSets.unionByName(
+            newSets.join(surv.select(col("__id")), Seq("__id"))))
           ()
         }
         .start()
