@@ -388,6 +388,47 @@ object StreamingQueries {
       r
     })
 
+  private val holtBuilt = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Streaming Holt smoothing run to completion: events keyed by
+    * event_type in 3 files/micro-batches + the two sentinel batches;
+    * hours fold only when the watermark closes them, and the final
+    * snapshot per key must be bit-equal to the batch q119 recursion
+    * under its recursive-CTE oracle. */
+  private def holtOut(s: SparkSession, dir: String): String =
+    holtBuilt.getOrElseUpdate(dir, {
+      val r = graft.tables.TempDirs.create("graft_stream_holt_")
+      Tables.events(s, dir)
+        .select(col("event_type").as("key"),
+          col("ts").cast("timestamp").as("ts"), col("value"))
+        .repartition(3).write.parquet(r + "/src")
+      import s.implicits._
+      def sentinel(t: String): Unit = {
+        Thread.sleep(1100)
+        Seq(("__sentinel", t, 0.0)).toDF("key", "t", "value")
+          .select(col("key"), col("t").cast("timestamp").as("ts"),
+            col("value"))
+          .coalesce(1).write.mode("append").parquet(r + "/src")
+      }
+      sentinel("2031-01-01 00:00:00")
+      sentinel("2031-01-02 00:00:00")
+      val sch = StructType(Seq(StructField("key", StringType),
+        StructField("ts", TimestampType),
+        StructField("value", org.apache.spark.sql.types.DoubleType)))
+      val src = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(r + "/src")
+      val q = StreamingAnalytics.holtStream(src, alpha = 0.5, beta = 0.25,
+          watermark = "400 days")
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", r + "/out")
+        .option("checkpointLocation", r + "/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      r
+    })
+
   private val burnBuilt = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Streaming burn-rate alert run to completion: every event as 3
@@ -686,6 +727,21 @@ object StreamingQueries {
         .orderBy("user_id", "bucket")
     },
 
+    // ---- streaming Holt level+trend (the q119 recursion, in-stream) ------
+    "q128_streaming_holt" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("key").orderBy(col("n_hours").desc)
+      s.read.parquet(holtOut(s, dir) + "/out")
+        .filter(col("key") =!= "__sentinel")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("key").as("event_type"), col("n_hours"),
+          round(col("l"), 6).as("level"),
+          round(col("b"), 6).as("trend"),
+          round(col("l") + col("b"), 6).as("forecast_next"))
+        .orderBy("event_type")
+    },
+
     // ---- streaming multi-window burn rate (the q114 alert guard,
     // incrementally — the shape an alert evaluator deploys) ----------------
     "q127_streaming_burn_rate" -> { (s, dir) =>
@@ -778,6 +834,10 @@ object StreamingQueries {
     // the batch q114 oracle verbatim — hours stream-closed one at a time
     // must equal the batch rolling window
     "q127_streaming_burn_rate" -> TimeSeries.oracle("q114_burn_rate"),
+
+    // the batch q119 oracle verbatim — the streamed level/trend fold must
+    // converge to the identical recursion, bit for bit
+    "q128_streaming_holt" -> TimeSeries.oracle("q119_holt"),
 
     // the GLOBAL sequential greedy keep rule, replayed as a recursive CTE
     // over the exact lang-blocked Jaccard pair graph (the q25 pair

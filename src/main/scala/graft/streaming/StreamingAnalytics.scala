@@ -514,6 +514,11 @@ object StreamingAnalytics {
   case class EwmaSnap(key: String, n: Long, ewma: Double)
 
   /** Input row for [[cusumStream]]. */
+  case class HoltIn(key: String, ts: Timestamp, us: Long, value: Double)
+  case class HoltBuf(l: Double, b: Double, hours: Long,
+      pending: List[(Long, Double)])
+  case class HoltSnap(key: String, n_hours: Long, l: Double, b: Double)
+
   case class BurnIn(key: String, ts: Timestamp, us: Long, isErr: Boolean)
   /** `last5`: the 5 most recent CLOSED hourly rows (hour_us, n, n_err) —
     * the trailing window of the SRE fast+slow guard is ROW-based over
@@ -605,6 +610,65 @@ object StreamingAnalytics {
       .withWatermark("ts", watermark)
       .withColumn("us", unix_micros(col("ts")))
       .as[CusumIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Streaming Holt linear smoothing — the batch q119 level+trend
+    * recursion maintained in-stream (the forecasting half of
+    * seasonal-baseline alerting, deployed per series): hourly means
+    * buffer until the watermark closes the hour, then fold through the
+    * identical double expressions as the batch `aggregate` HOF
+    * (l₁ = x₁, b₁ = 0; lₜ = α·x + (1−α)·(l+b), bₜ = β·(lₜ−l) + (1−β)·b),
+    * hourly means replaying batch dsum DECIMAL semantics digit for digit
+    * — the final snapshot per key is bit-equal to the batch fold under
+    * the same recursive-CTE oracle. State: (l, b, n) + the open hours. */
+  def holtStream(events: DataFrame, alpha: Double, beta: Double,
+      watermark: String): Dataset[HoltSnap] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    def fn(key: String, evs: Iterator[HoltIn],
+        state: GroupState[HoltBuf]): Iterator[HoltSnap] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val st = state.getOption.getOrElse(HoltBuf(0.0, 0.0, 0L, Nil))
+      val pending = st.pending ++ evs.map(e => (e.us, e.value))
+      val (ready, rest) = pending.partition { case (us, _) =>
+        us - us % hourUs + hourUs <= wmUs
+      }
+      var l = st.l; var b = st.b; var hours = st.hours
+      ready.groupBy { case (us, _) => us - us % hourUs }
+        .toSeq.sortBy(_._1).foreach { case (_, pts) =>
+          val sum = pts.foldLeft(java.math.BigDecimal.ZERO) { (a, p) =>
+            a.add(java.math.BigDecimal.valueOf(p._2)
+              .setScale(2, java.math.RoundingMode.HALF_UP))
+          }
+          val xm = sum.doubleValue() / pts.size
+          if (hours == 0L) { l = xm; b = 0.0 }
+          else {
+            val lNew = alpha * xm + (1.0 - alpha) * (l + b)
+            b = beta * (lNew - l) + (1.0 - beta) * b
+            l = lNew
+          }
+          hours += 1L
+        }
+      if (rest.isEmpty && hours == 0L) state.remove()
+      else {
+        state.update(HoltBuf(l, b, hours, rest))
+        if (rest.nonEmpty)
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+      }
+      if (ready.nonEmpty) Iterator.single(HoltSnap(key, hours, l, b))
+      else Iterator.empty
+    }
+    events
+      .select(col("key").cast("string").as("key"),
+        col("ts").cast("timestamp").as("ts"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", watermark)
+      .withColumn("us", unix_micros(col("ts")))
+      .as[HoltIn]
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
