@@ -253,7 +253,21 @@ object TextDedup {
         xxhash64(slice(col("__sig"), bnd * rowsPerBand + 1, rowsPerBand)
           .cast("string"))
       }: _*).as("__keys"))
-      .transform(Pin(_))
+    bandedCandidateJoin(keyed, bands, maxBucketSize)
+  }
+
+  /** The LSH bucket self-join over a `(__id, __keys)` frame — one key per
+    * band, any key type (the production path hashes each band slice to a
+    * long; the md5-replayable path concatenates hex minima). Shared by
+    * [[minhashCandidates]] and [[verifiedMinhashPairsMd5]] so a fix to the
+    * first-match-band dedup or the bucket cap cannot diverge the two. */
+  private def bandedCandidateJoin(keyed0: DataFrame, bands: Int,
+      maxBucketSize: Int): DataFrame = {
+    // pin (__id, __keys) — id + `bands` keys per doc — so the bucket
+    // SELF-join's two sides share one signature pass instead of each
+    // re-hashing every token numHashes times (the dominant cost; same
+    // small-rows-only checkpoint policy as the verify join's token sets)
+    val keyed = keyed0.transform(Pin(_))
     val banded = keyed.select(col("__id"), col("__keys"),
       posexplode(col("__keys")).as(Seq("band", "key")))
     if (maxBucketSize == Int.MaxValue) {
@@ -335,7 +349,138 @@ object TextDedup {
     * back to members (identical token sets ⇒ identical scores). */
   def verifiedMinhashPairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int, rowsPerBand: Int, threshold: Double,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = Int.MaxValue): DataFrame =
+    verifiedLshCore(df, idCol, textCol, threshold,
+      repDocs => minhashCandidates(repDocs, "__id", "__text", bands,
+        rowsPerBand, maxBucketSize))
+
+  /** Mersenne prime 2⁶¹−1: modulus of the oracle-replayable affine MinHash
+    * permutation family ([[md5MinhashBandKeys]]). */
+  private val P61 = (1L << 61) - 1
+
+  /** Permutation constants for [[md5MinhashBandKeys]], derived from md5 so
+    * BOTH engines compute them rather than sharing a hardcoded table:
+    * `a_p = (md5_number_lower("a|p") & (2³¹−1)) | 1` (odd, nonzero),
+    * `b_p = md5_number_lower("b|p") & (2⁶⁰−1)`. Foldable literals —
+    * Catalyst constant-folds the md5 at optimization time, zero per-row
+    * cost. */
+  private def permA(p: Int): Column =
+    md5TokenHash(lit(s"a|$p")).bitwiseAND(lit((1L << 31) - 1)).bitwiseOR(lit(1L))
+  private def permB(p: Int): Column =
+    md5TokenHash(lit(s"b|$p")).bitwiseAND(lit((1L << 60) - 1))
+
+  /** MinHash band keys in the md5-AFFINE hash family — the textbook
+    * `min_t ((a_p·x(t) + b_p) mod P)`, P = 2⁶¹−1, over ONE md5-derived
+    * 64-bit token hash ([[md5TokenHash]], DuckDB's `md5_number_lower`).
+    * One digest per token (a 96-digest-per-token variant measured 100×
+    * the hash allocations and progressive GC degradation at the 10×
+    * probe) plus 96 ALU-only permutations; aggregation state is 96 longs
+    * per doc.
+    *
+    * The modular arithmetic is OVERFLOW-FREE by construction: `x` is the
+    * Mersenne fold of the uint64 bits (low 61 + high 3), `a·x` splits as
+    * `a·(x>>31)·2³¹ + a·(x & 2³¹−1)` with each product < 2⁶² and each
+    * partial reduced by 2⁶¹ ≡ 1 (mod P). Every intermediate stays in
+    * [0, 2⁶²), so Spark's signed long and DuckDB's BIGINT (which ERRORS
+    * on overflow rather than wrapping) evaluate bit-identically — the
+    * property the q26 oracle rests on.
+    *
+    * Two implementations, spec-pinned bit-equal:
+    * [[md5MinhashBandKeys]] computes the signature with the codegen'd
+    * one-pass kernel ([[graft.functions.Md5AffineMinHash]]) — a
+    * 96-column projection chain exceeds `spark.sql.codegen.maxFields`
+    * and falls out of whole-stage codegen (measured 7×) — while
+    * [[md5MinhashBandKeysDeclarative]] is the layered-projection form
+    * whose shape the DuckDB oracle replays hash for hash (one select per
+    * reduction step with named intermediates: the same chain as nested
+    * Column trees duplicates every `when` operand ~3× per level — a
+    * 50 MiB task binary at 96 perms). Band key = the `rowsPerBand`
+    * minima as decimal strings, comma-joined in permutation order.
+    * Returns `(__id, __keys: array<string>)` for
+    * [[bandedCandidateJoin]]. The production near-dup path
+    * ([[minhashSignatures]]) keeps the single-pass xxhash64 kernel: same
+    * banding structure, cheaper hashing, not oracle-replayable. */
+  def md5MinhashBandKeys(df: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val sigs = df.select(col(idCol).as("__id"),
+      graft.functions.Md5AffineMinHash(
+        split(lower(col(textCol)), "\\s+"), bands * rowsPerBand).as("__sig"))
+    // slice + array-cast, NOT 96 element_at calls: ANSI element_at carries
+    // a per-call out-of-bounds error branch and the 96-call projection
+    // measured 20× slower than the sliced form (3.9 s vs 0.2 s at sf0.1)
+    sigs.select(col("__id"), array((0 until bands).map { bnd =>
+      concat_ws(",",
+        slice(col("__sig"), bnd * rowsPerBand + 1, rowsPerBand)
+          .cast("array<string>"))
+    }: _*).as("__keys"))
+  }
+
+  /** The layered declarative form of [[md5MinhashBandKeys]] — the shape
+    * the q26 oracle replays; kept as the spec reference for the codegen
+    * kernel. */
+  def md5MinhashBandKeysDeclarative(df: DataFrame, idCol: String,
+      textCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val n = bands * rowsPerBand
+    val ps = 0 until n
+    val mask61 = lit(P61)
+    def sub61(c: Column): Column = when(c >= P61, c - P61).otherwise(c)
+    val toks = df.select(col(idCol).as("__id"),
+        explode(tokenSet(col(textCol))).as("__tok"))
+      .select(col("__id"), md5TokenHash(col("__tok")).as("__m"))
+      // Mersenne fold of the raw uint64 bits → x ∈ [0, P)
+      .select(col("__id"), (col("__m").bitwiseAND(mask61) +
+        shiftrightunsigned(col("__m"), 61)).as("__r0"))
+      .select(col("__id"), sub61(col("__r0")).as("__x"))
+    // per-perm split products: u = a·hi31, w = a·lo31 (each < 2⁶²)
+    val l1 = toks.select(col("__id") +:
+      ps.flatMap(p => Seq(
+        (permA(p) * shiftrightunsigned(col("__x"), 31)).as(s"__u$p"),
+        (permA(p) * col("__x").bitwiseAND(lit((1L << 31) - 1))).as(s"__w$p"))): _*)
+    // reduce each partial mod P: u·2³¹ ≡ (u & 2³⁰−1)·2³¹ + (u >> 30)
+    val l2 = l1.select(col("__id") +:
+      ps.flatMap(p => Seq(
+        (shiftleft(col(s"__u$p").bitwiseAND(lit((1L << 30) - 1)), 31) +
+          shiftrightunsigned(col(s"__u$p"), 30)).as(s"__t$p"),
+        (col(s"__w$p").bitwiseAND(mask61) +
+          shiftrightunsigned(col(s"__w$p"), 61)).as(s"__v$p"))): _*)
+    // sum with b_p (< 2.5P) and take h = sum mod P via two conditional subtracts
+    val l3 = l2.select(col("__id") +:
+      ps.map(p => (sub61(col(s"__t$p")) + sub61(col(s"__v$p")) + permB(p))
+        .as(s"__s$p")): _*)
+    val l4 = l3.select(col("__id") +:
+      ps.map(p => sub61(col(s"__s$p")).as(s"__z$p")): _*)
+    val hashed = l4.select(col("__id") +:
+      ps.map(p => sub61(col(s"__z$p")).as(s"__h$p")): _*)
+    val aggs = ps.map(p => min(col(s"__h$p")).as(s"__h$p"))
+    hashed.groupBy("__id").agg(aggs.head, aggs.tail: _*)
+      .select(col("__id"), array((0 until bands).map { bnd =>
+        concat_ws(",", (0 until rowsPerBand).map(r =>
+          col(s"__h${bnd * rowsPerBand + r}").cast("string")): _*)
+      }: _*).as("__keys"))
+  }
+
+  /** [[verifiedMinhashPairs]] with the md5 permutation family — the
+    * ORACLE-GATED variant (q26): signatures, banding, candidate join,
+    * exact-Jaccard verification, and duplicate-cluster expansion all
+    * recompute in DuckDB digest for digest, so the cross-engine compare
+    * pins the entire operator, not just the verify stage. Production
+    * callers keep [[verifiedMinhashPairs]]'s xxhash64 kernel (identical
+    * band shape and recall math; the hash family is the only difference,
+    * and the recall spec pins that path). */
+  def verifiedMinhashPairsMd5(df: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int, threshold: Double): DataFrame =
+    verifiedLshCore(df, idCol, textCol, threshold,
+      repDocs => bandedCandidateJoin(
+        md5MinhashBandKeys(repDocs, "__id", "__text", bands, rowsPerBand),
+        bands, Int.MaxValue))
+
+  /** Shared exact-duplicate collapse + exact-Jaccard verify + cluster
+    * expansion around a pluggable candidate generator: `candidates` maps
+    * the representative-doc frame `(__id, __text)` to distinct
+    * `(id_a < id_b)` candidate pairs. */
+  private def verifiedLshCore(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double,
+      candidates: DataFrame => DataFrame): DataFrame = {
     val withHash = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
       .withColumn("__ch", md5(col("__text")))
     val reps = withHash.groupBy("__ch").agg(min(col("__id")).as("__rep"))
@@ -344,8 +489,7 @@ object TextDedup {
         withHash("__id") === reps("__rep"))
       .select(col("__id"), col("__text"))
 
-    val cands = minhashCandidates(repDocs, "__id", "__text", bands,
-      rowsPerBand, maxBucketSize)
+    val cands = candidates(repDocs)
     // hashed sets materialized ONCE (the setJaccardPairs pattern): the
     // verify join consumes this frame on both sides, and without the
     // checkpoint each side re-runs the text scan + collapse joins + the

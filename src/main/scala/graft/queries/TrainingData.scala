@@ -88,21 +88,29 @@ object TrainingData {
         .orderBy("id_a", "id_b")
     },
 
-    // ---- MinHash+LSH near-dup (verified candidates; recall spec-checked) --
-    // rows-only check (no oracle) — no ORDER BY: sorting the output pairs
-    // would be pure bench overhead.
-    // Band shape 12×8 (96 hashes), recall 1−(1−0.9⁸)¹² ≈ 0.999 at J=0.9.
-    // Measured head-to-head vs 10×10 on a quiet machine at sf0.1
-    // (best-of-2): 12×8 = 6.2 s, 10×10 = 7.4 s — the hoped-for candidate
-    // reduction from rows=10 never materializes on this clustered corpus
-    // (survivor pairs agree on most bands under either shape), so 12×8
-    // wins on both recall AND latency. (An apparent 4× regression in an
-    // earlier round's bench was host-contention steal: the same binary
-    // re-measured 7.4 s vs the recorded 39.9 s.)
+    // ---- MinHash+LSH near-dup ---------------------------------------------
+    // Oracle-gated cross-engine (the q27 simhash treatment): the QUERY
+    // variant runs the whole operator — exact-dup collapse, 96 per-
+    // permutation md5-hex minima, 12×8 banding, first-match-band candidate
+    // join, exact-Jaccard verify, cluster expansion — in the md5 hash
+    // family, and the oracle recomputes every digest, band key, candidate
+    // pair, and score in DuckDB. LSH banding is probabilistic (recall
+    // 1−(1−0.9⁸)¹² ≈ 0.999 at J=0.9, not 1.0), so unlike q27's exact
+    // pigeonhole the oracle must REPLAY the banding rather than
+    // brute-force the threshold — which is exactly what makes the md5
+    // family necessary: hex-string minima order identically in both
+    // engines. Production callers keep [[TextDedup.verifiedMinhashPairs]]'s
+    // single-pass xxhash64 kernel (same band shape; recall spec + scale
+    // probe pin that path).
+    // Band shape 12×8 (96 hashes): measured head-to-head vs 10×10 on a
+    // quiet machine at sf0.1 (best-of-2): 12×8 = 6.2 s, 10×10 = 7.4 s —
+    // survivor pairs agree on most bands under either shape, so 12×8 wins
+    // on both recall AND latency.
     "q26_minhash_lsh" -> { (s, dir) =>
-      TextDedup.verifiedMinhashPairs(Tables.documents(s, dir), "doc_id",
+      TextDedup.verifiedMinhashPairsMd5(Tables.documents(s, dir), "doc_id",
           "text", bands = 12, rowsPerBand = 8, threshold = 0.9)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
     },
 
     // ---- SimHash near-dup -------------------------------------------------
@@ -918,6 +926,85 @@ object TrainingData {
       // nothing. (string_split_regex mirrors tokenSet on this corpus:
       // no leading/trailing/double whitespace — checked — so the Java
       // trailing-empty-strings split quirk never fires.)
+      // MinHash+LSH replayed hash for hash: the affine permutation family
+      // min_t((a_p·x(t) + b_p) mod 2⁶¹−1) over x(t) = md5_number_lower of
+      // the token, with the Mersenne-fold split arithmetic spelled out so
+      // every intermediate fits BIGINT (DuckDB errors on overflow; Spark
+      // wraps — the bound < 2⁶² is what makes the engines agree). a_p/b_p
+      // derive from md5 of 'a|p'/'b|p' in BOTH engines. Band keys
+      // concatenate 8 minima in permutation order; candidates come from
+      // the banding itself (NOT a brute-force threshold scan — LSH recall
+      // is 0.999, not 1.0, so equality proves the band join reproduced
+      // hash for hash); verify is exact Jaccard over distinct tokens; and
+      // rep-level pairs expand to exact-duplicate cluster members exactly
+      // as the Spark side does.
+      "q26_minhash_lsh" ->
+        """WITH d AS (SELECT doc_id, text, md5(text) AS ch FROM documents),
+          |reps AS (SELECT ch, min(doc_id) AS rep FROM d GROUP BY ch),
+          |mem AS (SELECT d.doc_id, r.rep FROM d JOIN reps r ON d.ch = r.ch),
+          |rd AS (SELECT d.doc_id AS id, d.text FROM d
+          |       JOIN reps r ON d.doc_id = r.rep),
+          |toks AS (SELECT id,
+          |  unnest(list_distinct(string_split_regex(lower(text), '\s+'))) AS tok
+          | FROM rd),
+          |tm AS (SELECT id,
+          |  CASE WHEN r0 >= 2305843009213693951
+          |       THEN r0 - 2305843009213693951 ELSE r0 END AS x
+          | FROM (SELECT id,
+          |   CAST(m & 2305843009213693951::UBIGINT AS BIGINT)
+          |   + CAST(m >> 61 AS BIGINT) AS r0
+          |  FROM (SELECT id, md5_number_lower(tok) AS m FROM toks))),
+          |perms AS (SELECT p,
+          |  (CAST(md5_number_lower('a|' || p) & 2147483647::UBIGINT AS BIGINT)
+          |    | 1) AS ap,
+          |  CAST(md5_number_lower('b|' || p) & 1152921504606846975::UBIGINT
+          |    AS BIGINT) AS bp
+          | FROM (SELECT unnest(range(0, 96)) AS p)),
+          |hp AS (SELECT id, p,
+          |  CASE WHEN s1 >= 2305843009213693951
+          |       THEN s1 - 2305843009213693951 ELSE s1 END AS h
+          | FROM (SELECT id, p,
+          |   CASE WHEN s0 >= 2305843009213693951
+          |        THEN s0 - 2305843009213693951 ELSE s0 END AS s1
+          |  FROM (SELECT id, p, t + v + bp AS s0
+          |   FROM (SELECT id, p, bp,
+          |     CASE WHEN t0 >= 2305843009213693951
+          |          THEN t0 - 2305843009213693951 ELSE t0 END AS t,
+          |     CASE WHEN v0 >= 2305843009213693951
+          |          THEN v0 - 2305843009213693951 ELSE v0 END AS v
+          |    FROM (SELECT id, p, bp,
+          |      (((u & 1073741823) << 31) + (u >> 30)) AS t0,
+          |      ((w & 2305843009213693951) + (w >> 61)) AS v0
+          |     FROM (SELECT id, p, bp,
+          |       ap * (x >> 31) AS u,
+          |       ap * (x & 2147483647) AS w
+          |      FROM tm CROSS JOIN perms)))))),
+          |hm AS (SELECT id, p, min(h) AS h FROM hp GROUP BY 1, 2),
+          |bk AS (SELECT id, CAST(p // 8 AS INT) AS band,
+          |        string_agg(h::VARCHAR, ',' ORDER BY p) AS key
+          |       FROM hm GROUP BY 1, 2),
+          |cand AS (SELECT DISTINCT x.id AS ra, y.id AS rb
+          |         FROM bk x JOIN bk y
+          |           ON x.band = y.band AND x.key = y.key AND x.id < y.id),
+          |ts AS (SELECT id,
+          |  list_distinct(string_split_regex(lower(text), '\s+')) AS s
+          | FROM rd),
+          |vp AS (SELECT c.ra, c.rb,
+          |        len(list_intersect(a.s, b.s))::DOUBLE /
+          |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+          |       FROM cand c JOIN ts a ON c.ra = a.id JOIN ts b ON c.rb = b.id
+          |       WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+          |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9)
+          |SELECT id_a, id_b, jaccard FROM (
+          | SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+          |        greatest(ma.doc_id, mb.doc_id) AS id_b,
+          |        round(j, 6) AS jaccard
+          | FROM vp JOIN mem ma ON vp.ra = ma.rep JOIN mem mb ON vp.rb = mb.rep
+          | UNION ALL
+          | SELECT x.doc_id, y.doc_id, 1.0
+          | FROM mem x JOIN mem y ON x.rep = y.rep AND x.doc_id < y.doc_id)
+          |ORDER BY id_a, id_b""".stripMargin,
+
       "q27_simhash" ->
         """WITH toks AS (
           | SELECT doc_id,

@@ -52,6 +52,28 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"LSH recall $recall (found ${lsh.size}/${exact.size})")
   }
 
+  test("md5-affine minhash kernel matches the layered declarative form " +
+      "bit for bit") {
+    val fast = TextDedup.md5MinhashBandKeys(docs, "doc_id", "text", 12, 8)
+    val decl = TextDedup.md5MinhashBandKeysDeclarative(docs, "doc_id", "text", 12, 8)
+    val diff = fast.as("f").join(decl.as("d"), col("f.__id") === col("d.__id"))
+      .filter(not(col("f.__keys") <=> col("d.__keys")))
+    assert(diff.count() == 0, "md5-affine band keys diverged")
+    assert(fast.count() == decl.count())
+  }
+
+  test("md5-family minhash LSH (the q26 oracle variant) keeps the same " +
+      "recall/precision contract as the xxhash64 kernel") {
+    val exact = TextDedup.jaccardPairs(docs, "doc_id", "text", Seq.empty, 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextDedup.verifiedMinhashPairsMd5(docs, "doc_id", "text",
+        bands = 32, rowsPerBand = 3, threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "verified md5-LSH pairs must all be exact pairs")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.95, s"md5-LSH recall $recall (found ${lsh.size}/${exact.size})")
+  }
+
   test("jaccardPairs equals local brute force on randomized corpora") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
