@@ -79,8 +79,18 @@ object ScaleProbe {
       // stay resident until the driver GCs the frame refs and the
       // ContextCleaner drains — without a collection here they pile up
       // across samples and the later runs measure the earlier runs'
-      // storage-memory pressure, not the query
-      System.gc(); Thread.sleep(300)
+      // storage-memory pressure, not the query. The cleaner is ASYNC, so
+      // poll the block manager until the checkpointed RDDs are actually
+      // gone (bounded wait): a fixed 300 ms was not enough for the 10×
+      // leg's multi-GiB blocks and sample 2 measured sample 1's eviction
+      // pressure (observed 11 s → 33 s spikes).
+      System.gc()
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (spark.sparkContext.getRDDStorageInfo.nonEmpty &&
+          System.nanoTime() < deadline) {
+        Thread.sleep(200); System.gc()
+      }
+      Thread.sleep(300)
       sec
     }
     run(selected.head, base) // warm the JVM/codegen once, unrecorded
@@ -101,15 +111,20 @@ object ScaleProbe {
     // this says WHY NOT (max bucket + self-join fan-out both ~N×).
     val bucketJs =
       if (selected.contains("q26_minhash_lsh")) {
-        def stats(dir: String): String = {
+        def stats(dir: String, family: String): String = {
           val r = graft.operators.TextDedup.lshBucketStats(
             graft.tables.Tables.documents(spark, dir), "doc_id", "text",
-            bands = 12, rowsPerBand = 8).head()
+            bands = 12, rowsPerBand = 8, family = family).head()
           s"""{"buckets":${r.getLong(0)},"max_bucket":${r.getLong(1)},""" +
             s""""p99_bucket":${r.getDouble(2)},"p999_bucket":${r.getDouble(3)},""" +
             s""""join_fanout":${r.getLong(4)}}"""
         }
-        s""","lsh_buckets":{"base":${stats(base)},"scaled":${stats(out)}}"""
+        // both hash families: xxhash64 is the production near-dup kernel,
+        // md5-affine is what the shipped (oracle-gated) q26 bands on
+        s""","lsh_buckets":{"base":${stats(base, "xxhash64")},""" +
+          s""""scaled":${stats(out, "xxhash64")}},""" +
+          s""""lsh_buckets_md5":{"base":${stats(base, "md5")},""" +
+          s""""scaled":${stats(out, "md5")}}"""
       } else ""
     val js = rows.map { case (q, samples) =>
       val (b, s) = samples.head

@@ -318,17 +318,27 @@ object TextDedup {
     * bucket growing superlinearly under N× replication means the banding
     * key has collapsed and the join needs a width cap. */
   def lshBucketStats(df: DataFrame, idCol: String, textCol: String,
-      bands: Int, rowsPerBand: Int): DataFrame = {
+      bands: Int, rowsPerBand: Int, family: String = "xxhash64"): DataFrame = {
     val withHash = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
       .withColumn("__ch", md5(col("__text")))
     val reps = withHash.groupBy("__ch").agg(min(col("__id")).as("__id"),
       first(col("__text")).as("__text"))
-    val sigs = minhashSignatures(reps, "__id", "__text", bands * rowsPerBand)
-    val banded = sigs.select(col("__id"),
-      posexplode(array((0 until bands).map { bnd =>
-        xxhash64(slice(col("__sig"), bnd * rowsPerBand + 1, rowsPerBand)
-          .cast("string"))
-      }: _*)).as(Seq("band", "key")))
+    // `family` picks the hash family whose banding is being audited:
+    // "xxhash64" = the production near-dup kernel; "md5" = the
+    // oracle-replayable affine family the q26 query ships. Same band
+    // structure either way — the stats pin that neither family's keys
+    // collapse under replication.
+    val banded = (if (family == "md5")
+        md5MinhashBandKeys(reps, "__id", "__text", bands, rowsPerBand)
+      else {
+        val sigs = minhashSignatures(reps, "__id", "__text",
+          bands * rowsPerBand)
+        sigs.select(col("__id"), array((0 until bands).map { bnd =>
+          xxhash64(slice(col("__sig"), bnd * rowsPerBand + 1, rowsPerBand)
+            .cast("string")).cast("string")
+        }: _*).as("__keys"))
+      })
+      .select(col("__id"), posexplode(col("__keys")).as(Seq("band", "key")))
     banded.groupBy("band", "key").agg(count(lit(1)).as("m"))
       .agg(count(lit(1)).as("buckets"),
         max(col("m")).as("max_bucket"),
@@ -471,7 +481,17 @@ object TextDedup {
       bands: Int, rowsPerBand: Int, threshold: Double): DataFrame =
     verifiedLshCore(df, idCol, textCol, threshold,
       repDocs => bandedCandidateJoin(
-        md5MinhashBandKeys(repDocs, "__id", "__text", bands, rowsPerBand),
+        md5MinhashBandKeys(repDocs, "__id", "__text", bands, rowsPerBand)
+          // recode each ~150-byte decimal-minima key to its 16-byte md5
+          // before the self-join: the join carries the FULL key vector on
+          // both sides (the first-match-band check), so key width is the
+          // dominant shuffle payload at scale (~8× lighter recoded). The
+          // candidate set is unchanged — md5 equality as content identity
+          // is the same convention the exact-dup collapse rests on, and a
+          // colliding FALSE candidate would still have to pass the exact-
+          // Jaccard verify. Computed once pre-Pin, off the join hot path.
+          .select(col("__id"),
+            transform(col("__keys"), k => unhex(md5(k))).as("__keys")),
         bands, Int.MaxValue))
 
   /** Shared exact-duplicate collapse + exact-Jaccard verify + cluster

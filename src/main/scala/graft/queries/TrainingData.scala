@@ -107,9 +107,14 @@ object TrainingData {
     // survivor pairs agree on most bands under either shape, so 12×8 wins
     // on both recall AND latency.
     "q26_minhash_lsh" -> { (s, dir) =>
+      // pin before the deterministic-order sort: orderBy's range
+      // partitioner runs a sampling job over its child, re-executing the
+      // tail of the verify pipeline (~1M output pairs at sf0.1, ~10M at
+      // the 10x probe) — checkpointing the pairs makes the sample a scan
       TextDedup.verifiedMinhashPairsMd5(Tables.documents(s, dir), "doc_id",
           "text", bands = 12, rowsPerBand = 8, threshold = 0.9)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .transform(graft.operators.Pin(_))
         .orderBy("id_a", "id_b")
     },
 
