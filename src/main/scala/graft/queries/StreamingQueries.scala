@@ -388,6 +388,47 @@ object StreamingQueries {
       r
     })
 
+  private val hwBuilt = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Streaming Holt-Winters run to completion (q128's harness with the
+    * seasonal fold): events keyed by event_type in 3 files/micro-batches
+    * + the two sentinel batches; the final snapshot per key must be
+    * bit-equal to the batch q129 recursion under its recursive-CTE
+    * oracle. */
+  private def hwOut(s: SparkSession, dir: String): String =
+    hwBuilt.getOrElseUpdate(dir, {
+      val r = graft.tables.TempDirs.create("graft_stream_hw_")
+      Tables.events(s, dir)
+        .select(col("event_type").as("key"),
+          col("ts").cast("timestamp").as("ts"), col("value"))
+        .repartition(3).write.parquet(r + "/src")
+      import s.implicits._
+      def sentinel(t: String): Unit = {
+        Thread.sleep(1100)
+        Seq(("__sentinel", t, 0.0)).toDF("key", "t", "value")
+          .select(col("key"), col("t").cast("timestamp").as("ts"),
+            col("value"))
+          .coalesce(1).write.mode("append").parquet(r + "/src")
+      }
+      sentinel("2031-01-01 00:00:00")
+      sentinel("2031-01-02 00:00:00")
+      val sch = StructType(Seq(StructField("key", StringType),
+        StructField("ts", TimestampType),
+        StructField("value", org.apache.spark.sql.types.DoubleType)))
+      val src = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(r + "/src")
+      val q = StreamingAnalytics.holtWintersStream(src, alpha = 0.5,
+          beta = 0.25, gamma = 0.125, watermark = "400 days")
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", r + "/out")
+        .option("checkpointLocation", r + "/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      r
+    })
+
   private val holtBuilt = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Streaming Holt smoothing run to completion: events keyed by
@@ -742,6 +783,22 @@ object StreamingQueries {
         .orderBy("event_type")
     },
 
+    // ---- streaming Holt-Winters (the q129 seasonal recursion, in-stream) --
+    "q130_streaming_holt_winters" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("key").orderBy(col("n_hours").desc)
+      s.read.parquet(hwOut(s, dir) + "/out")
+        .filter(col("key") =!= "__sentinel")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("key").as("event_type"), col("n_hours"),
+          round(col("l"), 6).as("level"),
+          round(col("b"), 6).as("trend"),
+          round(col("s_next"), 6).as("seasonal_next"),
+          round(col("l") + col("b") + col("s_next"), 6).as("forecast_next"))
+        .orderBy("event_type")
+    },
+
     // ---- streaming multi-window burn rate (the q114 alert guard,
     // incrementally — the shape an alert evaluator deploys) ----------------
     "q127_streaming_burn_rate" -> { (s, dir) =>
@@ -838,6 +895,11 @@ object StreamingQueries {
     // the batch q119 oracle verbatim — the streamed level/trend fold must
     // converge to the identical recursion, bit for bit
     "q128_streaming_holt" -> TimeSeries.oracle("q119_holt"),
+
+    // the batch q129 oracle verbatim — the streamed triple-smoothing fold
+    // (level/trend/seasonal vector) must converge to the identical
+    // recursion, bit for bit
+    "q130_streaming_holt_winters" -> TimeSeries.oracle("q129_holt_winters"),
 
     // the GLOBAL sequential greedy keep rule, replayed as a recursive CTE
     // over the exact lang-blocked Jaccard pair graph (the q25 pair

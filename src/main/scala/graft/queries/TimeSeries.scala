@@ -630,6 +630,106 @@ object TimeSeries {
         .orderBy("event_type")
     },
 
+    // ---- Holt-Winters additive triple smoothing (level + trend +
+    // 24-slot hour-of-day seasonality — the q119 recursion extended with
+    // the seasonal component q122 showed this corpus has):
+    //   l_t = α·(x_t − s_slot) + (1−α)·(l_{t−1} + b_{t−1})
+    //   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    //   s'_slot = γ·(x_t − l_t) + (1−γ)·s_slot        (slot = hour of day)
+    // seeded l_1 = x_1, b_1 = 0, s = 0²⁴ (the first cycle learns the
+    // seasonals from its own residuals — the streaming-friendly seeding;
+    // a classic m-hour warmup average would need the series upfront).
+    // α/β/γ are binary-exact literals (0.5/0.25/0.125) so both engines'
+    // complements (0.5/0.75/0.875) are exact too — `1−0.3` in double is
+    // 0.7000000000000001 and would diverge from a 0.7 SQL literal.
+    // State is a struct with a 24-double array; the oracle carries the
+    // same array through a recursive CTE via indexed list_transform.
+    // Ref shape: timefusion's anomaly baselines (Holt/EWMA family). -----
+    "q129_holt_winters" -> { (s, dir) =>
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"))
+        .agg((dsum(col("value")) / count(lit(1))).as("xm"))
+      val series = hourly.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("hour"), col("xm"))))
+          .as("ser"))
+      def step(acc: org.apache.spark.sql.Column,
+          x: org.apache.spark.sql.Column) = {
+        val slot = x("slot")
+        val sPrev = element_at(acc("seas"), slot + 1)
+        val lNew = when(acc("n") === 0, x("xm"))
+          .otherwise(lit(0.5) * (x("xm") - sPrev) +
+            lit(0.5) * (acc("l") + acc("b")))
+        val bNew = when(acc("n") === 0, lit(0.0))
+          .otherwise(lit(0.25) * (lNew - acc("l")) + lit(0.75) * acc("b"))
+        val sNew = lit(0.125) * (x("xm") - lNew) + lit(0.875) * sPrev
+        struct(lNew.as("l"), bNew.as("b"),
+          transform(acc("seas"),
+            (v, i) => when(i === slot, sNew).otherwise(v)).as("seas"),
+          (acc("n") + 1).as("n"), slot.as("lastSlot"))
+      }
+      val nextIdx = ((col("f.lastSlot") + 1) % 24) + 1
+      series.select(col("event_type"),
+          aggregate(
+            transform(col("ser"), p =>
+              struct(p("xm").as("xm"), hour(p("hour")).as("slot"))),
+            struct(lit(0.0).as("l"), lit(0.0).as("b"),
+              array_repeat(lit(0.0), 24).as("seas"),
+              lit(0).as("n"), lit(0).as("lastSlot")),
+            step).as("f"))
+        .select(col("event_type"), col("f.n").cast("long").as("n_hours"),
+          round(col("f.l"), 6).as("level"),
+          round(col("f.b"), 6).as("trend"),
+          round(element_at(col("f.seas"), nextIdx), 6).as("seasonal_next"),
+          round(col("f.l") + col("f.b") + element_at(col("f.seas"), nextIdx),
+            6).as("forecast_next"))
+        .orderBy("event_type")
+    },
+
+    // ---- log template mining (the Drain-family "log pattern" summary a
+    // log store runs at ingest): mask the variable fields of each line —
+    // digit runs → <NUM>; extensible to hex ids/uuids — and group by the
+    // resulting template: volume, distinct emitters, first/last seen.
+    // Deterministic (a pure regex rewrite + exact aggregation), so fully
+    // oracle-gated, unlike similarity-based log clustering. Scales as one
+    // scan + one hash aggregation on the template (template cardinality
+    // is the pattern catalog, not the log volume). --------------------------
+    "q131_log_templates" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(regexp_replace(
+            concat(col("event_type"), lit(" "), col("props")),
+            "[0-9]+", "<NUM>").as("template"),
+          col("user_id"), col("ts"))
+        .groupBy("template")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("ts")).cast("timestamp_ntz").as("first_seen"),
+          max(col("ts")).cast("timestamp_ntz").as("last_seen"))
+        .orderBy(desc("n"), col("template"))
+    },
+
+    // ---- event-sequence mining (the product-analytics "top paths"
+    // surface): every length-3 window of a user's event-type journey in
+    // (ts, event_id) order, counted globally with distinct-user support.
+    // The per-user ordering is one shuffle on user_id (lead() window);
+    // the path aggregation is a hash agg on the path string — path
+    // cardinality is |event_type|³ at most, catalog-sized. Total order
+    // (n DESC, path) makes the top-25 cut deterministic. ------------------
+    "q132_event_sequences" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(" > ", col("event_type"), col("e2"), col("e3"))
+          .as("path"), col("user_id"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy(desc("n"), col("path"))
+        .limit(25)
+    },
+
     // ---- seasonal-naive residuals (the baseline q117's seasonality
     // detection justifies): per series, the hour-of-day mean over all
     // days is the expected volume; the top-3 hours by positive residual
@@ -1046,6 +1146,72 @@ object TimeSeries {
         |FROM hw h JOIN last t
         | ON h.event_type = t.event_type AND h.rn = t.mx
         |ORDER BY 1""".stripMargin,
+
+    // the q119 recursive-CTE shape with the 24-double seasonal vector
+    // carried as a list column: the anchor builds 0.0²⁴, each step
+    // rewrites one slot via indexed list_transform (1-based index i =
+    // slot + 1), and the level expression is inlined into the trend and
+    // seasonal updates with the identical arithmetic as Spark's pure
+    // struct fold. All constants are binary-exact doubles.
+    "q129_holt_winters" ->
+      """WITH RECURSIVE hourly AS (
+        | SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS xm
+        | FROM events GROUP BY 1, 2),
+        |r AS (
+        | SELECT event_type, xm,
+        |  CAST(extract(hour FROM hour) AS INT) AS slot,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+        | FROM hourly),
+        |hw AS (
+        | SELECT event_type, rn, slot, xm AS l, 0.0::DOUBLE AS b,
+        |  list_transform(range(24), x -> 0.0::DOUBLE) AS seas
+        | FROM r WHERE rn = 1
+        | UNION ALL
+        | SELECT n.event_type, n.rn, n.slot,
+        |  0.5::DOUBLE * (n.xm - h.seas[n.slot + 1])
+        |    + 0.5::DOUBLE * (h.l + h.b) AS l,
+        |  0.25::DOUBLE * ((0.5::DOUBLE * (n.xm - h.seas[n.slot + 1])
+        |      + 0.5::DOUBLE * (h.l + h.b)) - h.l)
+        |    + 0.75::DOUBLE * h.b AS b,
+        |  list_transform(h.seas, (v, i) -> CASE WHEN i = n.slot + 1
+        |    THEN 0.125::DOUBLE * (n.xm
+        |        - (0.5::DOUBLE * (n.xm - h.seas[n.slot + 1])
+        |          + 0.5::DOUBLE * (h.l + h.b)))
+        |      + 0.875::DOUBLE * h.seas[n.slot + 1]
+        |    ELSE v END) AS seas
+        | FROM hw h JOIN r n
+        |  ON n.event_type = h.event_type AND n.rn = h.rn + 1),
+        |last AS (SELECT event_type, max(rn) AS mx FROM hw GROUP BY 1)
+        |SELECT h.event_type, CAST(h.rn AS BIGINT) AS n_hours,
+        | round(h.l, 6) AS level, round(h.b, 6) AS trend,
+        | round(h.seas[((h.slot + 1) % 24) + 1], 6) AS seasonal_next,
+        | round(h.l + h.b + h.seas[((h.slot + 1) % 24) + 1], 6)
+        |   AS forecast_next
+        |FROM hw h JOIN last t
+        | ON h.event_type = t.event_type AND h.rn = t.mx
+        |ORDER BY 1""".stripMargin,
+
+    "q131_log_templates" ->
+      """SELECT regexp_replace(event_type || ' ' || props,
+        |    '[0-9]+', '<NUM>', 'g') AS template,
+        | count(*) AS n, count(DISTINCT user_id) AS n_users,
+        | min(CAST(ts AS TIMESTAMP)) AS first_seen,
+        | max(CAST(ts AS TIMESTAMP)) AS last_seen
+        |FROM events GROUP BY 1 ORDER BY n DESC, template""".stripMargin,
+
+    "q132_event_sequences" ->
+      """WITH seq AS (
+        | SELECT event_type,
+        |  lead(event_type, 1) OVER w AS e2,
+        |  lead(event_type, 2) OVER w AS e3,
+        |  user_id
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path,
+        | count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM seq WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 25""".stripMargin,
 
     "q124_apdex" ->
       """SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,

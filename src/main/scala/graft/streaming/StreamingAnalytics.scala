@@ -519,6 +519,15 @@ object StreamingAnalytics {
       pending: List[(Long, Double)])
   case class HoltSnap(key: String, n_hours: Long, l: Double, b: Double)
 
+  /** [[holtWintersStream]] state: the Holt level/trend fold plus the
+    * 24-slot hour-of-day seasonal vector and the slot of the last folded
+    * hour (`s_next` in the snapshot reads slot+1). Pending is bounded by
+    * the watermark delay; the fold is O(1) + the 24-double vector. */
+  case class HwBuf(l: Double, b: Double, seas: Array[Double], hours: Long,
+      lastSlot: Int, pending: List[(Long, Double)])
+  case class HwSnap(key: String, n_hours: Long, l: Double, b: Double,
+      s_next: Double)
+
   case class BurnIn(key: String, ts: Timestamp, us: Long, isErr: Boolean)
   /** `last5`: the 5 most recent CLOSED hourly rows (hour_us, n, n_err) —
     * the trailing window of the SRE fast+slow guard is ROW-based over
@@ -660,6 +669,75 @@ object StreamingAnalytics {
           state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
       }
       if (ready.nonEmpty) Iterator.single(HoltSnap(key, hours, l, b))
+      else Iterator.empty
+    }
+    events
+      .select(col("key").cast("string").as("key"),
+        col("ts").cast("timestamp").as("ts"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", watermark)
+      .withColumn("us", unix_micros(col("ts")))
+      .as[HoltIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Streaming Holt-Winters — the batch q129 triple-smoothing recursion
+    * (level + trend + 24-slot hour-of-day seasonality) maintained
+    * in-stream. An hour folds exactly once, when the watermark passes its
+    * end; its mean replays the batch dsum semantics (2-dp decimal
+    * summation, order-independent) and the level/trend/seasonal updates
+    * are the identical double expressions with binary-exact α/β/γ
+    * (0.5/0.25/0.125), so the max-n_hours snapshot per key is bit-equal
+    * to the batch fold under the same recursive-CTE oracle. State: the
+    * O(1) fold + the 24-double seasonal vector + the watermark-bounded
+    * pending buffer — independent of stream length. */
+  def holtWintersStream(events: DataFrame, alpha: Double, beta: Double,
+      gamma: Double, watermark: String): Dataset[HwSnap] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    def fn(key: String, evs: Iterator[HoltIn],
+        state: GroupState[HwBuf]): Iterator[HwSnap] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val st = state.getOption.getOrElse(
+        HwBuf(0.0, 0.0, Array.fill(24)(0.0), 0L, 0, Nil))
+      val pending = st.pending ++ evs.map(e => (e.us, e.value))
+      val (ready, rest) = pending.partition { case (us, _) =>
+        us - us % hourUs + hourUs <= wmUs
+      }
+      var l = st.l; var b = st.b; var hours = st.hours
+      var seas = st.seas; var lastSlot = st.lastSlot
+      ready.groupBy { case (us, _) => us - us % hourUs }
+        .toSeq.sortBy(_._1).foreach { case (hourStart, pts) =>
+          val sum = pts.foldLeft(java.math.BigDecimal.ZERO) { (a, p) =>
+            a.add(java.math.BigDecimal.valueOf(p._2)
+              .setScale(2, java.math.RoundingMode.HALF_UP))
+          }
+          val xm = sum.doubleValue() / pts.size
+          // hour-of-day in the naive (session-UTC) frame — the batch
+          // query's `hour(date_trunc('hour', ts))`
+          val slot = ((hourStart / hourUs) % 24L).toInt
+          val sPrev = seas(slot)
+          val lNew =
+            if (hours == 0L) xm
+            else alpha * (xm - sPrev) + (1.0 - alpha) * (l + b)
+          val bNew =
+            if (hours == 0L) 0.0
+            else beta * (lNew - l) + (1.0 - beta) * b
+          seas = seas.updated(slot, gamma * (xm - lNew) + (1.0 - gamma) * sPrev)
+          l = lNew; b = bNew; lastSlot = slot
+          hours += 1L
+        }
+      if (rest.isEmpty && hours == 0L) state.remove()
+      else {
+        state.update(HwBuf(l, b, seas, hours, lastSlot, rest))
+        if (rest.nonEmpty)
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+      }
+      if (ready.nonEmpty)
+        Iterator.single(HwSnap(key, hours, l, b, seas((lastSlot + 1) % 24)))
       else Iterator.empty
     }
     events

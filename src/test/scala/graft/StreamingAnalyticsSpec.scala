@@ -242,6 +242,53 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("holtWintersStream folds hours in event-time order with per-slot " +
+      "seasonals, incrementally across watermark advances") {
+    import spark.implicits._
+    val src = tmp("graft_hw_src_")
+    def file(rows: Seq[(String, String, Double)]): DataFrame =
+      rows.toDF("key", "t", "value")
+        .select(col("key"), col("t").cast("timestamp").as("ts"),
+          col("value"))
+    appendFile(src, file(Seq(("u1", "2024-03-01 10:30:00", 10.0))))
+    val stream = spark.readStream
+      .schema(file(Seq(("k", "2024-03-01 00:00:00", 0.0))).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = StreamingAnalytics.holtWintersStream(stream, alpha = 0.5,
+        beta = 0.25, gamma = 0.125, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("hw")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // day-2 point arrives BEFORE the day-1 11:30 point (out of order);
+      // both land in one file, so the fold must re-order by event time
+      appendFile(src, file(Seq(
+        ("u1", "2024-03-02 10:30:00", 30.0),
+        ("u1", "2024-03-01 11:30:00", 20.0))))
+      q.processAllAvailable()
+      appendFile(src, file(Seq(("zz", "2024-03-04 00:00:00", 0.0))))
+      q.processAllAvailable()
+      appendFile(src, file(Seq(("zz", "2024-03-06 00:00:00", 0.0))))
+      q.processAllAvailable()
+
+      val snaps = spark.table("hw").filter(col("key") === "u1")
+        .select("n_hours", "l", "b", "s_next").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3))).sortBy(_._1)
+      assert(snaps.length >= 2, s"expected incremental drains: ${snaps.toSeq}")
+      // hand fold (α=.5, β=.25, γ=.125, slots = hour of day):
+      //  h1 slot10 x=10: l=10, b=0,      s10=0
+      //  h2 slot11 x=20: l=.5*20+.5*10=15, b=.25*5=1.25, s11=.125*5=0.625
+      //  h3 slot10 x=30: l=.5*30+.5*16.25=23.125,
+      //                  b=.25*8.125+.75*1.25=2.96875,
+      //                  s10=.125*6.875=0.859375
+      // last slot 10 → s_next = s11 = 0.625 (all binary-exact doubles)
+      val fin = snaps.last
+      assert(fin == ((3L, 23.125, 2.96875, 0.625)),
+        s"final Holt-Winters state mismatch: $fin")
+    } finally q.stop()
+  }
+
   test("gapfillInterpStream: empty buckets interpolate only once the right " +
       "endpoint closes; each bucket emits exactly once") {
     import spark.implicits._
