@@ -586,6 +586,53 @@ object TextDedup {
     labels
   }
 
+  /** CONTAINMENT-similarity decontamination join: for every benchmark doc
+    * b, the corpus docs d with C(b,d) = |T_b ∩ T_d| / |T_b| ≥ τ — the
+    * right semantics when benchmark prompts are much shorter than corpus
+    * docs (Jaccard punishes the length gap; a fully-contained prompt
+    * scores C = 1 regardless of d's length).
+    *
+    * EXACT, via the containment prefix filter: if C(b,d) ≥ τ then d
+    * misses at most (1−τ)·|T_b| of b's tokens, so among ANY
+    * ⌊(1−τ)·|T_b|⌋+1 tokens of b at least one occurs in d. Probing with
+    * the RAREST such tokens (by corpus document frequency; ties by
+    * token) minimizes candidates without affecting the result — the
+    * exact verify keeps only true matches either way, which is what lets
+    * the oracle brute-force the same answer. Scale shape: the candidate
+    * join is an equi-join of the benchmark prefix tokens (benchmark ×
+    * prefix width rows — a benchmark SUITE, catalog-sized) against the
+    * corpus token postings, shuffle-keyed on the token; the df ranking is
+    * one aggregation over the same postings; no pair enumeration
+    * anywhere. The verify joins token-set frames by id and intersects
+    * per candidate. */
+  def containmentJoin(bench: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = bench.select(col(idCol).as("bench_id"),
+      tokenSet(col(textCol)).as("bts")).transform(Pin(_))
+    val c = corpus.select(col(idCol).as("doc_id"),
+      tokenSet(col(textCol)).as("cts")).transform(Pin(_))
+    val postings = c.select(col("doc_id"), explode(col("cts")).as("tok"))
+    val dfreq = postings.groupBy("tok").agg(count(lit(1)).as("df"))
+    // tokens b has that the corpus never saw keep df = 0: maximally rare,
+    // and a candidate can never match on them — both correct and cheap
+    val btoks = b.select(col("bench_id"), size(col("bts")).as("blen"),
+        explode(col("bts")).as("tok"))
+      .join(dfreq, Seq("tok"), "left").na.fill(0L, Seq("df"))
+    val w = Window.partitionBy("bench_id").orderBy(col("df"), col("tok"))
+    val prefix = btoks.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= floor(lit(1.0 - tau) * col("blen")) + 1)
+      .select("bench_id", "tok")
+    val cands = prefix.join(postings, Seq("tok"))
+      .select("bench_id", "doc_id").distinct()
+    cands.join(b, Seq("bench_id")).join(c, Seq("doc_id"))
+      .withColumn("containment",
+        size(array_intersect(col("bts"), col("cts"))).cast("double") /
+          size(col("bts")))
+      .filter(col("containment") >= tau)
+      .select(col("bench_id"), col("doc_id"), col("containment"))
+  }
+
   /** Signed-long token hash from md5 — DuckDB's `md5_number_lower` (the
     * digest's last 8 bytes, little-endian) reassembled from Spark's hex
     * digest, so an oracle can replay every SimHash bit cross-engine.

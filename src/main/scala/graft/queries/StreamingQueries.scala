@@ -388,6 +388,85 @@ object StreamingQueries {
       r
     })
 
+  private val apdexBuilt = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Streaming Apdex run to completion: events keyed by event_type in 3
+    * files/micro-batches + sentinels; days close on watermark advance and
+    * emit their counts; the appended rows must be row-for-row the batch
+    * q124 output under its oracle. */
+  private def apdexOut(s: SparkSession, dir: String): String =
+    apdexBuilt.getOrElseUpdate(dir, {
+      val r = graft.tables.TempDirs.create("graft_stream_apdex_")
+      Tables.events(s, dir)
+        .select(col("event_type").as("key"),
+          col("ts").cast("timestamp").as("ts"), col("value"))
+        .repartition(3).write.parquet(r + "/src")
+      import s.implicits._
+      def sentinel(t: String): Unit = {
+        Thread.sleep(1100)
+        Seq(("__sentinel", t, 0.0)).toDF("key", "t", "value")
+          .select(col("key"), col("t").cast("timestamp").as("ts"),
+            col("value"))
+          .coalesce(1).write.mode("append").parquet(r + "/src")
+      }
+      sentinel("2031-01-01 00:00:00")
+      sentinel("2031-01-02 00:00:00")
+      val sch = StructType(Seq(StructField("key", StringType),
+        StructField("ts", TimestampType),
+        StructField("value", org.apache.spark.sql.types.DoubleType)))
+      val src = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(r + "/src")
+      val q = StreamingAnalytics.apdexStream(src, t = 50.0,
+          watermark = "400 days")
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", r + "/out")
+        .option("checkpointLocation", r + "/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      r
+    })
+
+  private val histqBuilt = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Streaming histogram_quantile run to completion (same harness); the
+    * appended rows must be row-for-row the batch q106 output under its
+    * oracle. */
+  private def histqOut(s: SparkSession, dir: String): String =
+    histqBuilt.getOrElseUpdate(dir, {
+      val r = graft.tables.TempDirs.create("graft_stream_histq_")
+      Tables.events(s, dir)
+        .select(col("event_type").as("key"),
+          col("ts").cast("timestamp").as("ts"), col("value"))
+        .repartition(3).write.parquet(r + "/src")
+      import s.implicits._
+      def sentinel(t: String): Unit = {
+        Thread.sleep(1100)
+        Seq(("__sentinel", t, 0.0)).toDF("key", "t", "value")
+          .select(col("key"), col("t").cast("timestamp").as("ts"),
+            col("value"))
+          .coalesce(1).write.mode("append").parquet(r + "/src")
+      }
+      sentinel("2031-01-01 00:00:00")
+      sentinel("2031-01-02 00:00:00")
+      val sch = StructType(Seq(StructField("key", StringType),
+        StructField("ts", TimestampType),
+        StructField("value", org.apache.spark.sql.types.DoubleType)))
+      val src = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(r + "/src")
+      val q = StreamingAnalytics.histQuantileStream(src, q = 0.95,
+          watermark = "400 days")
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", r + "/out")
+        .option("checkpointLocation", r + "/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      r
+    })
+
   private val hwBuilt = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Streaming Holt-Winters run to completion (q128's harness with the
@@ -783,6 +862,33 @@ object StreamingQueries {
         .orderBy("event_type")
     },
 
+    // ---- streaming Apdex (the q124 SLA index, incrementally) --------------
+    "q133_streaming_apdex" -> { (s, dir) =>
+      s.read.parquet(apdexOut(s, dir) + "/out")
+        .filter(col("key") =!= "__sentinel")
+        .select(col("key").as("event_type"),
+          expr("cast(timestamp_micros(day_us) as timestamp_ntz)").as("day"),
+          col("n"), col("n_sat").as("n_satisfied"),
+          col("n_tol").as("n_tolerating"),
+          round((col("n_sat") + col("n_tol") / lit(2.0)) / col("n"), 6)
+            .as("apdex"))
+        .orderBy("event_type", "day")
+    },
+
+    // ---- streaming histogram_quantile (the q106 bucket walk, per closed
+    // day as an alert evaluator runs it) ------------------------------------
+    "q134_streaming_histogram_quantile" -> { (s, dir) =>
+      s.read.parquet(histqOut(s, dir) + "/out")
+        .filter(col("key") =!= "__sentinel")
+        .select(col("key").as("event_type"),
+          expr("cast(timestamp_micros(day_us) as timestamp_ntz)").as("day"),
+          col("n"),
+          when(col("is_inf"),
+            when(isnan(col("p95_raw")), lit(null)).otherwise(col("p95_raw")))
+            .otherwise(round(col("p95_raw"), 6)).as("p95"))
+        .orderBy("event_type", "day")
+    },
+
     // ---- streaming Holt-Winters (the q129 seasonal recursion, in-stream) --
     "q130_streaming_holt_winters" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
@@ -900,6 +1006,12 @@ object StreamingQueries {
     // (level/trend/seasonal vector) must converge to the identical
     // recursion, bit for bit
     "q130_streaming_holt_winters" -> TimeSeries.oracle("q129_holt_winters"),
+
+    // the batch q124/q106 oracles verbatim — per-day drains must
+    // reconstruct the batch rows exactly
+    "q133_streaming_apdex" -> TimeSeries.oracle("q124_apdex"),
+    "q134_streaming_histogram_quantile" ->
+      TimeSeries.oracle("q106_histogram_quantile"),
 
     // the GLOBAL sequential greedy keep rule, replayed as a recursive CTE
     // over the exact lang-blocked Jaccard pair graph (the q25 pair

@@ -404,6 +404,23 @@ object TrainingData {
         .orderBy("doc_id")
     },
 
+    // ---- containment decontamination (the q60 complement): benchmark
+    // prompts held out as every 20th doc; corpus docs containing ≥60% of
+    // a prompt's distinct tokens are contamination hits. Exact via the
+    // containment prefix filter (rarest ⌊0.4·|T_b|⌋+1 tokens probe the
+    // corpus postings); the oracle brute-forces the same containment over
+    // all benchmark×corpus pairs — equality proves the filter lossless. --
+    "q135_containment_decontam" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      TextDedup.containmentJoin(
+          docs.filter(col("doc_id") % 20 === 0),
+          docs.filter(col("doc_id") % 20 =!= 0),
+          "doc_id", "text", tau = 0.6)
+        .select(col("bench_id"), col("doc_id"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy("bench_id", "doc_id")
+    },
+
     // ---- PII-shaped redaction --------------------------------------------
     // The corpus has no natural emails/ids, so each doc deterministically
     // gains one contact address and a numeric id derived from its own
@@ -1158,6 +1175,25 @@ object TrainingData {
            | FROM t)
            |SELECT source, rnk, doc_id, n_bpe FROM r WHERE rnk <= 5
            |ORDER BY source, rnk""".stripMargin,
+
+      // brute-force containment over every benchmark×corpus pair — the
+      // Spark side's prefix filter must be lossless, so the results agree
+      // exactly (len(list_intersect)/len == size(array_intersect)/size on
+      // distinct token lists)
+      "q135_containment_decontam" ->
+        """WITH d AS (
+          | SELECT doc_id,
+          |  list_distinct(string_split_regex(lower(text), '\s+')) AS ts
+          | FROM documents),
+          |b AS (SELECT doc_id AS bench_id, ts AS bts FROM d
+          |      WHERE doc_id % 20 = 0),
+          |c AS (SELECT doc_id, ts AS cts FROM d WHERE doc_id % 20 <> 0)
+          |SELECT bench_id, doc_id,
+          | round(len(list_intersect(bts, cts))::DOUBLE / len(bts), 6)
+          |   AS containment
+          |FROM b JOIN c
+          | ON len(list_intersect(bts, cts))::DOUBLE / len(bts) >= 0.6
+          |ORDER BY bench_id, doc_id""".stripMargin,
 
       "q60_decontamination" ->
         """WITH toks AS (

@@ -519,6 +519,19 @@ object StreamingAnalytics {
       pending: List[(Long, Double)])
   case class HoltSnap(key: String, n_hours: Long, l: Double, b: Double)
 
+  /** [[apdexStream]] state: per open day, the (n, satisfied, tolerating)
+    * counts; a day emits once, when the watermark closes it. */
+  case class ApdexBuf(pending: Map[Long, (Long, Long, Long)])
+  case class ApdexRow(key: String, day_us: Long, n: Long, n_sat: Long,
+      n_tol: Long)
+
+  /** [[histQuantileStream]] state: per open day, the cumulative
+    * histogram's (le, count) cells as a flat list; a day's quantile is
+    * computed once, when the watermark closes it. */
+  case class HistQBuf(pending: List[(Long, Double, Long)])
+  case class HistQRow(key: String, day_us: Long, n: Long, p95_raw: Double,
+      is_inf: Boolean)
+
   /** [[holtWintersStream]] state: the Holt level/trend fold plus the
     * 24-slot hour-of-day seasonal vector and the slot of the last folded
     * hour (`s_next` in the snapshot reads slot+1). Pending is bounded by
@@ -670,6 +683,124 @@ object StreamingAnalytics {
       }
       if (ready.nonEmpty) Iterator.single(HoltSnap(key, hours, l, b))
       else Iterator.empty
+    }
+    events
+      .select(col("key").cast("string").as("key"),
+        col("ts").cast("timestamp").as("ts"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", watermark)
+      .withColumn("us", unix_micros(col("ts")))
+      .as[HoltIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Streaming Apdex — the batch q124 SLA-satisfaction index maintained
+    * incrementally: per series, daily (total, satisfied ≤ t,
+    * tolerating ≤ 4t) counts buffer until the watermark closes the day,
+    * then emit. Counts are integers and the index division happens in the
+    * reading query with the identical double expression as batch, so the
+    * appended union of all drains is row-for-row the batch output under
+    * the same oracle. State per key: the open days' three counters —
+    * bounded by the watermark delay. */
+  def apdexStream(events: DataFrame, t: Double,
+      watermark: String): Dataset[ApdexRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+    def fn(key: String, evs: Iterator[HoltIn],
+        state: GroupState[ApdexBuf]): Iterator[ApdexRow] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val st = state.getOption.getOrElse(ApdexBuf(Map.empty))
+      var pending = st.pending
+      evs.foreach { e =>
+        val d = e.us - java.lang.Math.floorMod(e.us, dayUs)
+        val (n0, s0, t0) = pending.getOrElse(d, (0L, 0L, 0L))
+        pending = pending.updated(d, (n0 + 1L,
+          s0 + (if (e.value <= t) 1L else 0L),
+          t0 + (if (e.value > t && e.value <= 4 * t) 1L else 0L)))
+      }
+      val (closed, open) = pending.partition(_._1 + dayUs <= wmUs)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(ApdexBuf(open))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+      }
+      closed.toSeq.sortBy(_._1).iterator.map { case (d, (n, s, tl)) =>
+        ApdexRow(key, d, n, s, tl)
+      }
+    }
+    events
+      .select(col("key").cast("string").as("key"),
+        col("ts").cast("timestamp").as("ts"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", watermark)
+      .withColumn("us", unix_micros(col("ts")))
+      .as[HoltIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Streaming Prometheus-style histogram_quantile — the batch q106
+    * operator maintained incrementally: per series, daily bucket counters
+    * (le = the 10-wide bucket upper bound, +Inf for the overflow) buffer
+    * until the watermark closes the day; the closing day walks its
+    * cumulative histogram with the IDENTICAL double arithmetic as the
+    * batch window pipeline (winner bucket = least le with cum ≥ q·total;
+    * linear interpolation inside it; the +Inf winner reports the highest
+    * finite bound) and emits the raw quantile — the reading query applies
+    * the same final rounding as batch, so drains are row-for-row the
+    * batch output under the same oracle. State per key: the open days'
+    * bucket cells (≤ buckets per day), watermark-bounded. */
+  def histQuantileStream(events: DataFrame, q: Double,
+      watermark: String): Dataset[HistQRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+    def fn(key: String, evs: Iterator[HoltIn],
+        state: GroupState[HistQBuf]): Iterator[HistQRow] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val st = state.getOption.getOrElse(HistQBuf(Nil))
+      var cells = st.pending.map { case (d, le, c) => ((d, le), c) }.toMap
+      evs.foreach { e =>
+        val d = e.us - java.lang.Math.floorMod(e.us, dayUs)
+        val le = if (e.value >= 90.0) Double.PositiveInfinity
+          else (math.floor(e.value / 10.0) + 1) * 10.0
+        cells = cells.updated((d, le), cells.getOrElse((d, le), 0L) + 1L)
+      }
+      val (closed, open) = cells.partition(_._1._1 + dayUs <= wmUs)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(HistQBuf(open.toList.map { case ((d, le), c) =>
+          (d, le, c)
+        }))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+      }
+      closed.groupBy(_._1._1).toSeq.sortBy(_._1).iterator.map {
+        case (d, dayCells) =>
+          val buckets = dayCells.toSeq
+            .map { case ((_, le), c) => (le, c) }.sortBy(_._1)
+          val total = buckets.map(_._2).sum
+          // NaN marks "no finite bucket at all" — batch's max(when(...))
+          // is NULL there; the reading query maps the NaN back to null
+          val maxFinite = buckets.map(_._1).filter(!_.isInfinity)
+            .reduceOption((a, b) => math.max(a, b)).getOrElse(Double.NaN)
+          var cum = 0L; var prevLe = 0.0; var prevCum = 0L
+          var p95 = 0.0; var isInf = false; var found = false
+          buckets.foreach { case (le, c) =>
+            val cumNew = cum + c
+            if (!found && cumNew >= q * total) {
+              found = true
+              if (le.isInfinity) { p95 = maxFinite; isInf = true }
+              else p95 = prevLe + (le - prevLe) *
+                (q * total - cum) / (cumNew - cum)
+            }
+            prevLe = le; prevCum = cum; cum = cumNew
+          }
+          HistQRow(key, d, total, p95, isInf)
+      }
     }
     events
       .select(col("key").cast("string").as("key"),

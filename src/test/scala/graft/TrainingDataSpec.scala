@@ -103,6 +103,35 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("containmentJoin equals local brute force on randomized corpora " +
+      "(the prefix filter is lossless)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    (1 to 3).foreach { trial =>
+      val vocab = (1 to 15).map(i => s"w$i")
+      val mk = (n: Int) =>
+        Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val bench = (0 until 8).map(i => (i.toLong, mk(3 + rnd.nextInt(4))))
+      val corpus = (100 until 140).map(i => (i.toLong, mk(5 + rnd.nextInt(12))))
+      Seq(0.5, 0.75).foreach { tau =>
+        val got = TextDedup.containmentJoin(bench.toDF("doc_id", "text"),
+            corpus.toDF("doc_id", "text"), "doc_id", "text", tau)
+          .select("bench_id", "doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val bs = bench.map { case (id, tx) =>
+          id -> tx.toLowerCase.split("\\s+").toSet }
+        val cs = corpus.map { case (id, tx) =>
+          id -> tx.toLowerCase.split("\\s+").toSet }
+        val want = (for {
+          (bi, sb) <- bs; (ci, sc) <- cs
+          if (sb & sc).size.toDouble / sb.size >= tau
+        } yield (bi, ci)).toSet
+        assert(got == want, s"trial $trial tau=$tau: got ${got.size}, " +
+          s"want ${want.size}; missing=${want -- got} extra=${got -- want}")
+      }
+    }
+  }
+
   test("ngramJaccardPairs equals local brute force on randomized corpora") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
