@@ -38,7 +38,10 @@ object ScaleProbe {
     "q47_embedding_dedup", "q57_cross_doc_ngrams",
     // PassJoin edit-distance join: a degenerate segment bucket (every
     // name sharing a half) would quadratic here
-    "q115_edit_distance_join")
+    "q115_edit_distance_join",
+    // containment decontam: a common-token posting list would quadratic
+    // the prefix probe if the df-rarest ranking stopped working
+    "q135_containment_decontam")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

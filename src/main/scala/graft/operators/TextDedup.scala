@@ -607,28 +607,73 @@ object TextDedup {
     * per candidate. */
   def containmentJoin(bench: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, tau: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val b = bench.select(col(idCol).as("bench_id"),
-      tokenSet(col(textCol)).as("bts")).transform(Pin(_))
-    val c = corpus.select(col(idCol).as("doc_id"),
-      tokenSet(col(textCol)).as("cts")).transform(Pin(_))
-    val postings = c.select(col("doc_id"), explode(col("cts")).as("tok"))
-    val dfreq = postings.groupBy("tok").agg(count(lit(1)).as("df"))
-    // tokens b has that the corpus never saw keep df = 0: maximally rare,
-    // and a candidate can never match on them — both correct and cheap
-    val btoks = b.select(col("bench_id"), size(col("bts")).as("blen"),
-        explode(col("bts")).as("tok"))
-      .join(dfreq, Seq("tok"), "left").na.fill(0L, Seq("df"))
-    val w = Window.partitionBy("bench_id").orderBy(col("df"), col("tok"))
-    val prefix = btoks.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= floor(lit(1.0 - tau) * col("blen")) + 1)
-      .select("bench_id", "tok")
-    val cands = prefix.join(postings, Seq("tok"))
-      .select("bench_id", "doc_id").distinct()
-    cands.join(b, Seq("bench_id")).join(c, Seq("doc_id"))
+    // the setJaccardJoin architecture, retargeted at the asymmetric
+    // predicate: hashed sorted token sets (longs shuffle ~8× smaller than
+    // the string tokens and verify with the allocation-free merge
+    // intersect — same ≈-exactness convention as the oracle-gated q25),
+    // rarity-ordered prefix on the BENCH side only (containment bounds
+    // b's misses, not d's, so d contributes full postings), and the
+    // |T_d| ≥ τ·|T_b| size filter inside the candidate join (any hit has
+    // |T_d| ≥ |∩| ≥ τ·|T_b|).
+    def sets(df: DataFrame) = df
+      .select(col(idCol).as("__id"), hashedTokenSet(col(textCol)).as("__ts"))
+      .filter(size(col("__ts")) > 0)
+      .withColumn("__n", size(col("__ts")))
+      .transform(Pin(_))
+    val b = sets(bench)
+    val c = sets(corpus)
+    // global rarity over BOTH sides (ties by hash — a total order): a
+    // template token shared by half the corpus lands in the suffix and
+    // never generates a candidate
+    val freq = b.select(explode(col("__ts")).as("__pe"))
+      .unionByName(c.select(explode(col("__ts")).as("__pe")))
+      .groupBy("__pe").agg(count(lit(1)).as("__f"))
+    // prefix width ⌊(1−τ)·|T_b|⌋+1: C ≥ τ means d misses at most
+    // (1−τ)·|T_b| of b's tokens, so at least one of ANY ⌊(1−τ)·|T_b|⌋+1
+    // tokens of b occurs in d — the rarest choice only shrinks candidates.
+    // Both sides carry the 1-based POSITION in their rarity-sorted order
+    // for the PPJoin position filter below.
+    def rarityOrdered(t: DataFrame) = t
+      .select(col("__id"), col("__n"), explode(col("__ts")).as("__pe"))
+      .join(freq, "__pe")
+      .groupBy("__id").agg(first(col("__n")).as("__n"),
+        array_sort(collect_list(struct(col("__f"), col("__pe"))))
+          .as("__ord"))
+    val prefB = rarityOrdered(b)
+      .select(col("__id"), col("__n"),
+        posexplode(slice(col("__ord.__pe"), lit(1),
+          (floor(col("__n") * lit(1.0 - tau)) + 1).cast("int")))
+          .as(Seq("__p0", "__pe")))
+    val postings = rarityOrdered(c)
+      .select(col("__id").as("__cid"), col("__n").as("__cn"),
+        posexplode(col("__ord.__pe")).as(Seq("__cp0", "__pe")))
+    // position filter (PPJoin): the FIRST shared token in the global
+    // rarity order always sits in b's prefix (b misses fewer tokens than
+    // the prefix is wide), and every other shared token follows it in
+    // BOTH orders, so overlap ≤ 1 + min(n_b − p_b, n_d − p_d) at that
+    // match — a true pair always survives via its first-shared match;
+    // candidates whose every prefix match fails the bound cannot reach
+    // τ·|T_b|. On a 31-word vocab this is the filter that actually bites:
+    // the df-rarest token still posts to half the corpus, but requiring
+    // the match to be near the FRONT of d's rarity order too cuts
+    // candidates ~20×. Integer-vs-double compares avoid a ⌈τ·n⌉ whose
+    // binary τ could round the bound the wrong way.
+    val cands = prefB.as("a").join(postings.as("b"),
+        col("a.__pe") === col("b.__pe") &&
+          col("b.__cn").cast("double") >= col("a.__n") * lit(tau) &&
+          (lit(1) + least(col("a.__n") - (col("a.__p0") + 1),
+            col("b.__cn") - (col("b.__cp0") + 1))).cast("double") >=
+            col("a.__n") * lit(tau))
+      .select(col("a.__id").as("bench_id"), col("b.__cid").as("doc_id"))
+      .distinct()
+    cands
+      .join(b.select(col("__id").as("bench_id"), col("__ts").as("__ta"),
+        col("__n")), "bench_id")
+      .join(c.select(col("__id").as("doc_id"), col("__ts").as("__tb")),
+        "doc_id")
       .withColumn("containment",
-        size(array_intersect(col("bts"), col("cts"))).cast("double") /
-          size(col("bts")))
+        graft.functions.SortedIntersectCount(col("__ta"), col("__tb"))
+          .cast("double") / col("__n"))
       .filter(col("containment") >= tau)
       .select(col("bench_id"), col("doc_id"), col("containment"))
   }

@@ -405,17 +405,19 @@ object TrainingData {
     },
 
     // ---- containment decontamination (the q60 complement): benchmark
-    // prompts held out as every 20th doc; corpus docs containing ≥60% of
-    // a prompt's distinct tokens are contamination hits. Exact via the
-    // containment prefix filter (rarest ⌊0.4·|T_b|⌋+1 tokens probe the
-    // corpus postings); the oracle brute-forces the same containment over
-    // all benchmark×corpus pairs — equality proves the filter lossless. --
+    // prompts held out as every 20th doc; corpus docs containing ≥95% of
+    // a prompt's distinct tokens are contamination hits (this 31-word
+    // synthetic vocab makes lower thresholds all-pairs-dense — containment
+    // is only meaningful strict here). Exact via the containment prefix
+    // filter (rarest ⌊0.05·|T_b|⌋+1 tokens probe the corpus postings);
+    // the oracle brute-forces the same containment over all
+    // benchmark×corpus pairs — equality proves the filter lossless. ----
     "q135_containment_decontam" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       TextDedup.containmentJoin(
           docs.filter(col("doc_id") % 20 === 0),
           docs.filter(col("doc_id") % 20 =!= 0),
-          "doc_id", "text", tau = 0.6)
+          "doc_id", "text", tau = 0.95)
         .select(col("bench_id"), col("doc_id"),
           round(col("containment"), 6).as("containment"))
         .orderBy("bench_id", "doc_id")
@@ -1192,7 +1194,7 @@ object TrainingData {
           | round(len(list_intersect(bts, cts))::DOUBLE / len(bts), 6)
           |   AS containment
           |FROM b JOIN c
-          | ON len(list_intersect(bts, cts))::DOUBLE / len(bts) >= 0.6
+          | ON len(list_intersect(bts, cts))::DOUBLE / len(bts) >= 0.95
           |ORDER BY bench_id, doc_id""".stripMargin,
 
       "q60_decontamination" ->

@@ -116,6 +116,16 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q135 containment join stays an equi-join pipeline (prefix-filter " +
+      "postings probe, no pair enumeration)") {
+    val names = nodeNames(
+      SparkEntry.queries("q135_containment_decontam")(spark, sf))
+    assert(!names.exists(_.contains("BroadcastNestedLoop")),
+      s"q135 degraded to BroadcastNestedLoopJoin: $names")
+    assert(!names.exists(_.contains("CartesianProduct")),
+      s"q135 degraded to CartesianProduct: $names")
+  }
+
   test("q26 verify joins hash, not sort-merge (the r8 spill-variance fix)") {
     // the verify stage attaches token-set arrays to tens of millions of
     // candidate pairs; a sort-merge join SORTS that side and its spill was
