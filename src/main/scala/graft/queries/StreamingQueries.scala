@@ -388,6 +388,47 @@ object StreamingQueries {
       r
     })
 
+  private val seqBuilt = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Streaming sequence mining run to completion: events keyed by
+    * user_id in 3 files/micro-batches + sentinels; trigrams emit as their
+    * third event finalizes, and the aggregated paths must be row-for-row
+    * the batch q132 output under its oracle. */
+  private def seqOut(s: SparkSession, dir: String): String =
+    seqBuilt.getOrElseUpdate(dir, {
+      val r = graft.tables.TempDirs.create("graft_stream_seq_")
+      Tables.events(s, dir)
+        .select(col("user_id").cast("string").as("key"),
+          col("ts").cast("timestamp").as("ts"),
+          col("event_id").as("id"), col("event_type").as("etype"))
+        .repartition(3).write.parquet(r + "/src")
+      import s.implicits._
+      def sentinel(t: String): Unit = {
+        Thread.sleep(1100)
+        Seq(("__sentinel", t, -1L, "x")).toDF("key", "t", "id", "etype")
+          .select(col("key"), col("t").cast("timestamp").as("ts"),
+            col("id"), col("etype"))
+          .coalesce(1).write.mode("append").parquet(r + "/src")
+      }
+      sentinel("2031-01-01 00:00:00")
+      sentinel("2031-01-02 00:00:00")
+      val sch = StructType(Seq(StructField("key", StringType),
+        StructField("ts", TimestampType),
+        StructField("id", org.apache.spark.sql.types.LongType),
+        StructField("etype", StringType)))
+      val src = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(r + "/src")
+      val q = StreamingAnalytics.sequenceStream(src, watermark = "400 days")
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", r + "/out")
+        .option("checkpointLocation", r + "/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      r
+    })
+
   private val apdexBuilt = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Streaming Apdex run to completion: events keyed by event_type in 3
@@ -862,6 +903,18 @@ object StreamingQueries {
         .orderBy("event_type")
     },
 
+    // ---- streaming event-sequence mining (the q132 top-paths surface,
+    // incrementally — trigrams emit as their third event finalizes) ---------
+    "q136_streaming_event_sequences" -> { (s, dir) =>
+      s.read.parquet(seqOut(s, dir) + "/out")
+        .filter(col("key") =!= "__sentinel")
+        .groupBy("path")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("key")).as("n_users"))
+        .orderBy(desc("n"), col("path"))
+        .limit(25)
+    },
+
     // ---- streaming Apdex (the q124 SLA index, incrementally) --------------
     "q133_streaming_apdex" -> { (s, dir) =>
       s.read.parquet(apdexOut(s, dir) + "/out")
@@ -1006,6 +1059,11 @@ object StreamingQueries {
     // (level/trend/seasonal vector) must converge to the identical
     // recursion, bit for bit
     "q130_streaming_holt_winters" -> TimeSeries.oracle("q129_holt_winters"),
+
+    // the batch q132 oracle verbatim — the streamed trigram emissions,
+    // aggregated, must equal the batch lead() window exactly
+    "q136_streaming_event_sequences" ->
+      TimeSeries.oracle("q132_event_sequences"),
 
     // the batch q124/q106 oracles verbatim — per-day drains must
     // reconstruct the batch rows exactly

@@ -519,6 +519,69 @@ object StreamingAnalytics {
       pending: List[(Long, Double)])
   case class HoltSnap(key: String, n_hours: Long, l: Double, b: Double)
 
+  /** [[sequenceStream]] input/state/output: `last2` carries the final
+    * events preceding the next drain's first trigram (cross-drain
+    * adjacency); `pending` buffers events the watermark has not
+    * finalized. An event is FINAL once `us < wm` — any later arrival has
+    * `us ≥ wm` and sorts strictly after every final event, so adjacency
+    * among final events can never be broken retroactively. */
+  case class SeqIn(key: String, ts: Timestamp, us: Long, id: Long,
+      etype: String)
+  case class SeqBuf(last2: List[(Long, Long, String)],
+      pending: List[(Long, Long, String)])
+  case class SeqRow(key: String, path: String)
+
+  /** Streaming event-sequence mining — the per-user trigram extraction of
+    * batch q132 maintained in-stream. Each drain sorts its newly-final
+    * events by (event time, id), chains them after the previous drain's
+    * last two final events, and emits one row per trigram whose third
+    * element just finalized; the reading query aggregates paths exactly
+    * like batch, so the union of all drains reproduces the batch lead()
+    * window row-for-row under the same oracle. State per key: two events
+    * + the watermark-bounded pending buffer. */
+  def sequenceStream(events: DataFrame,
+      watermark: String): Dataset[SeqRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def fn(key: String, evs: Iterator[SeqIn],
+        state: GroupState[SeqBuf]): Iterator[SeqRow] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val st = state.getOption.getOrElse(SeqBuf(Nil, Nil))
+      val pending = st.pending ++ evs.map(e => (e.us, e.id, e.etype))
+      // STRICT <: a row with event time == watermark can still be
+      // admitted in a later drain and must be able to extend the chain
+      val (ready, rest) = pending.partition(_._1 < wmUs)
+      val readySorted = ready.sortBy(p => (p._1, p._2))
+      val chain = st.last2 ++ readySorted
+      // every sliding triple ends in a NEWLY-final event — last2 holds at
+      // most two elements, so index ≥ 2 of the chain is always in ready —
+      // which makes each emission new by construction (triples finalized
+      // by earlier drains ended before last2's tail)
+      val out = chain.sliding(3).filter(_.size == 3)
+        .map(t => SeqRow(key, s"${t(0)._3} > ${t(1)._3} > ${t(2)._3}"))
+        .toList
+      val last2 = chain.takeRight(2)
+      if (rest.isEmpty && last2.isEmpty) state.remove()
+      else {
+        state.update(SeqBuf(last2, rest))
+        if (rest.nonEmpty)
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+      }
+      out.iterator
+    }
+    events
+      .select(col("key").cast("string").as("key"),
+        col("ts").cast("timestamp").as("ts"),
+        col("id").cast("long").as("id"),
+        col("etype").cast("string").as("etype"))
+      .withWatermark("ts", watermark)
+      .withColumn("us", unix_micros(col("ts")))
+      .as[SeqIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** [[apdexStream]] state: per open day, the (n, satisfied, tolerating)
     * counts; a day emits once, when the watermark closes it. */
   case class ApdexBuf(pending: Map[Long, (Long, Long, Long)])

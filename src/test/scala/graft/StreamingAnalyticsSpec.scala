@@ -242,6 +242,43 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sequenceStream emits each consecutive trigram exactly once, " +
+      "including across drain boundaries, in event-time order") {
+    import spark.implicits._
+    val src = tmp("graft_seq_src_")
+    def file(rows: Seq[(String, String, Long, String)]): DataFrame =
+      rows.toDF("key", "t", "id", "etype")
+        .select(col("key"), col("t").cast("timestamp").as("ts"),
+          col("id"), col("etype"))
+    appendFile(src, file(Seq(("u1", "2024-03-01 10:00:00", 1L, "A"))))
+    val stream = spark.readStream
+      .schema(file(Seq(("k", "2024-03-01 00:00:00", 0L, "x"))).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = StreamingAnalytics.sequenceStream(stream,
+        watermark = "10 seconds")
+      .writeStream.format("memory").queryName("seqs")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // C before B (out of order); the far point moves the watermark past
+      // A and B so they finalize WITHOUT a complete trigram — the chain
+      // must carry them into the next drain
+      appendFile(src, file(Seq(
+        ("u1", "2024-03-01 10:02:00", 3L, "C"),
+        ("u1", "2024-03-01 10:01:00", 2L, "B"),
+        ("u1", "2024-03-01 10:08:00", 9L, "D"))))
+      q.processAllAvailable()
+      appendFile(src, file(Seq(("zz", "2024-03-01 11:00:00", 99L, "x"))))
+      q.processAllAvailable()
+      appendFile(src, file(Seq(("zz", "2024-03-01 12:00:00", 98L, "x"))))
+      q.processAllAvailable()
+      val got = spark.table("seqs").filter(col("key") === "u1")
+        .select("path").collect().map(_.getString(0)).sorted.toSeq
+      assert(got == Seq("A > B > C", "B > C > D"),
+        s"trigram emissions wrong: $got")
+    } finally q.stop()
+  }
+
   test("holtWintersStream folds hours in event-time order with per-slot " +
       "seasonals, incrementally across watermark advances") {
     import spark.implicits._
