@@ -312,7 +312,14 @@ object Bench {
                   0.9).select("id_a", "id_b"))
               .groupBy(col("__lbl")).agg(count(lit(1)).as("n")))),
           "q92_exact_substr" -> (() => noop(
-            Curation.exactSubstrRemove(view, "id", "content"))))
+            Curation.exactSubstrRemove(view, "id", "content"))),
+          // md5-prefix split, not id % 20: ids are STRINGS and the
+          // streamed rows' ids ("s42") would fail an ANSI numeric cast
+          "q135_containment" -> (() => noop(
+            TextDedup.containmentJoin(
+              view.filter(substring(md5(col("id")), 1, 1) === "0"),
+              view.filter(substring(md5(col("id")), 1, 1) =!= "0"),
+              "id", "content", 0.95))))
         ops.foreach(_._2()) // warm each shape once, unrecorded
         val idleA = ops.map { case (k, f) =>
           k -> Seq.fill(3)(ms(f())).sorted.apply(1) }

@@ -242,6 +242,116 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("randomized batching invariance: holtWinters/sequence streams equal " +
+      "local reference folds under random micro-batch splits and shuffles") {
+    // the bug class this hunts: a watermark boundary condition (<= vs <)
+    // or a cross-drain carryover error shows up ONLY for some arrival
+    // orders — random splits explore the space the hand-built scenarios
+    // can't. Reference results are computed locally from the sorted
+    // event-time order, which batching must never change.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 2).foreach { trial =>
+      val keys = Seq("k1", "k2")
+      val rows = (for {
+        k <- keys
+        h <- 0 until (20 + rnd.nextInt(20))
+        if rnd.nextDouble() < 0.8
+      } yield {
+        val ts = s"2024-03-0${1 + h / 24} ${"%02d".format(h % 24)}:" +
+          s"${"%02d".format(rnd.nextInt(60))}:00"
+        (k, ts, (h * 7 + rnd.nextInt(5)).toLong,
+          (rnd.nextInt(400) / 4.0), Seq("A", "B", "C")(rnd.nextInt(3)))
+      }).distinct
+      // random shuffle + random split into 2-5 files
+      val shuffled = rnd.shuffle(rows)
+      val cuts = 2 + rnd.nextInt(4)
+      val chunks = shuffled.grouped(
+        math.max(1, shuffled.size / cuts)).toSeq
+      val srcHw = tmp(s"graft_rhw_${trial}_")
+      val srcSeq = tmp(s"graft_rseq_${trial}_")
+      def hwFile(rs: Seq[(String, String, Long, Double, String)]) =
+        rs.map(r => (r._1, r._2, r._4)).toDF("key", "t", "value")
+          .select(col("key"), col("t").cast("timestamp").as("ts"),
+            col("value"))
+      def seqFile(rs: Seq[(String, String, Long, Double, String)]) =
+        rs.map(r => (r._1, r._2, r._3, r._5)).toDF("key", "t", "id", "etype")
+          .select(col("key"), col("t").cast("timestamp").as("ts"),
+            col("id"), col("etype"))
+      chunks.foreach { ch =>
+        appendFile(srcHw, hwFile(ch)); appendFile(srcSeq, seqFile(ch))
+      }
+      // two sentinel batches drain everything (far-future watermark)
+      Seq("2031-01-01 00:00:00", "2031-01-02 00:00:00").foreach { t =>
+        appendFile(srcHw, hwFile(Seq(("zz", t, 0L, 0.0, "A"))))
+        appendFile(srcSeq, seqFile(Seq(("zz", t, 0L, 0.0, "A"))))
+      }
+      val hwStream = spark.readStream
+        .schema(hwFile(Seq(("k", "2024-03-01 00:00:00", 0L, 0.0, "A"))).schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcHw)
+      // watermark longer than the event span: rows may arrive in ANY file
+      // order without ever being late-dropped — what this spec tests is
+      // that the fold still happens in event-time order, not arrival order
+      val qh = StreamingAnalytics.holtWintersStream(hwStream, 0.5, 0.25,
+          0.125, watermark = "5 days")
+        .writeStream.format("memory").queryName(s"rhw$trial")
+        .outputMode("append").start()
+      val seqStream = spark.readStream
+        .schema(seqFile(Seq(("k", "2024-03-01 00:00:00", 0L, 0.0, "A"))).schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcSeq)
+      val qs = StreamingAnalytics.sequenceStream(seqStream,
+          watermark = "5 days")
+        .writeStream.format("memory").queryName(s"rseq$trial")
+        .outputMode("append").start()
+      try { qh.processAllAvailable(); qs.processAllAvailable() }
+      finally { qh.stop(); qs.stop() }
+
+      // local reference: Holt-Winters over hourly 2-dp-decimal means in
+      // hour order; trigrams over (ts, id) order
+      keys.foreach { k =>
+        val evs = rows.filter(_._1 == k)
+        def epochMs(t: String): Long = java.time.LocalDateTime
+          .parse(t.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        val byHour = evs.groupBy { r =>
+          val t = epochMs(r._2)
+          t - java.lang.Math.floorMod(t, 3600000L)
+        }
+        var l = 0.0; var b = 0.0; var n = 0L
+        val seas = Array.fill(24)(0.0)
+        byHour.toSeq.sortBy(_._1).foreach { case (hourMs, pts) =>
+          val sum = pts.foldLeft(java.math.BigDecimal.ZERO) { (a, p) =>
+            a.add(java.math.BigDecimal.valueOf(p._4)
+              .setScale(2, java.math.RoundingMode.HALF_UP))
+          }
+          val xm = sum.doubleValue() / pts.size
+          val slot = ((hourMs / 3600000L) % 24L).toInt
+          val sPrev = seas(slot)
+          val lNew = if (n == 0L) xm else 0.5 * (xm - sPrev) + 0.5 * (l + b)
+          val bNew = if (n == 0L) 0.0 else 0.25 * (lNew - l) + 0.75 * b
+          seas(slot) = 0.125 * (xm - lNew) + 0.875 * sPrev
+          l = lNew; b = bNew; n += 1
+        }
+        val fin = spark.table(s"rhw$trial").filter(col("key") === k)
+          .orderBy(col("n_hours").desc).select("n_hours", "l", "b")
+          .collect().headOption
+        assert(fin.exists(r => r.getLong(0) == n && r.getDouble(1) == l &&
+          r.getDouble(2) == b),
+          s"trial $trial key $k: stream $fin != local ($n, $l, $b)")
+
+        val ordered = evs.sortBy(r => (epochMs(r._2), r._3)).map(_._5)
+        val wantPaths = ordered.sliding(3).filter(_.size == 3)
+          .map(_.mkString(" > ")).toSeq.sorted
+        val gotPaths = spark.table(s"rseq$trial")
+          .filter(col("key") === k).select("path")
+          .collect().map(_.getString(0)).toSeq.sorted
+        assert(gotPaths == wantPaths,
+          s"trial $trial key $k: trigrams ${gotPaths.size} != " +
+            s"local ${wantPaths.size}")
+      }
+    }
+  }
+
   test("sequenceStream emits each consecutive trigram exactly once, " +
       "including across drain boundaries, in event-time order") {
     import spark.implicits._
