@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** In-session write buffer over a [[GraftTable]] — the Spark rendering of
   * the reference's MemBuffer tier (S4/W2,
@@ -172,6 +172,27 @@ final class BufferedWriteLayer(val table: GraftTable,
       buffered >= maxBufferedRows
     }
     if (doFlush) flush()
+  }
+
+  /** `UPDATE … FROM source` through the buffer — the reference's
+    * hash-enrichment flow (`tests/e2e/hash_enrichment.rs`): a span is
+    * INSERTed with empty `hashes` and enriched moments later, while the
+    * row may still sit in the MemBuffer. The new versions are computed
+    * against the mem∪storage resolved view (so buffered rows are
+    * matched, which `table.updateFrom` alone would silently miss) and
+    * land back in the BUFFER with a fresh stamp: read-your-writes holds
+    * — the enriched version is visible immediately and supersedes the
+    * buffered original through the same keep-greatest window as
+    * committed versions, before or after any flush. */
+  def updateFrom(source: DataFrame, on: Column,
+      assignments: Map[String, Column],
+      versionTime: Option[java.time.LocalDateTime] = None): Unit = {
+    // materialize the batch BEFORE inserting: the batch reads the
+    // resolved view, and insert would otherwise re-evaluate that plan
+    // after the buffer already contains the new versions themselves
+    val batch = table.updateFromBatch(readResolved(), source, on,
+      assignments).localCheckpoint()
+    insert(batch, versionTime)
   }
 
   /** The table's resolved view INCLUDING buffered rows. */

@@ -1278,14 +1278,23 @@ class GraftTable(
   def updateFrom(source: DataFrame, on: Column,
       assignments: Map[String, Column],
       versionTime: Option[java.time.LocalDateTime] = None,
-      targetClamp: Option[Column] = None): Unit = {
+      targetClamp: Option[Column] = None): Unit =
+    append(updateFromBatch(targetClamp.foldLeft(readResolved())(_ filter _),
+      source, on, assignments), versionTime)
+
+  /** The UPDATE…FROM new-version batch against an EXPLICIT target view —
+    * shared by [[updateFrom]] (storage view) and the buffered layer's
+    * enrichment path (mem∪storage view), so the two cannot diverge on
+    * the join/projection semantics. Returns the rows to version-append;
+    * the caller picks where they land (committed version vs buffer). */
+  private[sources] def updateFromBatch(target: DataFrame, source: DataFrame,
+      on: Column, assignments: Map[String, Column]): DataFrame = {
     requireValueAssignments(assignments, "UPDATE FROM")
-    val target = targetClamp.foldLeft(readResolved())(_ filter _)
     val joined = target.alias("t").join(source.alias("s"), on, "inner")
     val projected = targetCols.map { c =>
       assignments.get(c).map(_.as(c)).getOrElse(col(s"t.$c").as(c))
     }
-    append(joined.select(projected: _*), versionTime)
+    joined.select(projected: _*)
   }
 
   /** MERGE (reference `perform_delta_merge_update`, `src/dml.rs:1272+`),

@@ -205,4 +205,68 @@ class BufferedWriteSpec extends AnyFunSuite {
     assert(buf.bufferedRows == 0L)
     assert(buf.readResolved().count() == 20)
   }
+
+  test("hash-enrichment flow: UPDATE...FROM reaches rows still in the " +
+      "MemBuffer and rows already flushed, queried by && overlap") {
+    // the reference's tests/e2e/hash_enrichment.rs shape: spans INSERT
+    // with empty hashes and are enriched moments later via
+    // UPDATE ... FROM (unnest) SET hashes = coalesce(hashes,{}) || tag,
+    // both BEFORE the row ever flushes and after it lands in storage
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_enrich_").toString
+    val tbl = new GraftTable(spark, dir, TableSchemas.otelLogsAndSpans)
+    val buf = new BufferedWriteLayer(tbl)
+    def spans(ids: Seq[Int]) = ids.toDF("n").select(
+      lit("p0").as("project_id"),
+      (lit("2024-03-01 00:00:00").cast("timestamp_ntz")
+        + expr("make_interval(0, 0, 0, 0, 0, n, 0)")).as("timestamp"),
+      concat(lit("span-"), col("n")).as("id"),
+      lit("span").as("name"),
+      array().cast("array<string>").as("hashes"),
+      concat(lit("trace-"), col("n") % 4).as("context___trace_id"))
+    def enrichment(ids: Seq[Int], tag: String) = ids.toDF("n")
+      .select(concat(lit("span-"), col("n")).as("src_id"),
+        lit(tag).as("tag"))
+
+    buf.insert(spans(0 until 8), t(0))
+    assert(tbl.currentVersion() == 0, "rows must still be in the buffer")
+    // enrich WHILE BUFFERED: table-level updateFrom would miss these rows
+    buf.updateFrom(enrichment(0 until 4, "errhash"),
+      col("t.id") === col("s.src_id"),
+      Map("hashes" ->
+        concat(coalesce(col("t.hashes"), array().cast("array<string>")),
+          array(col("s.tag")))), t(1))
+    val hit = buf.readResolved()
+      .filter(arrays_overlap(col("hashes"), array(lit("errhash"))))
+      .select("id").collect().map(_.getString(0)).sorted.toSeq
+    assert(hit == (0 until 4).map(i => s"span-$i"),
+      s"buffered enrichment must be visible immediately: $hit")
+    assert(buf.readResolved().count() == 8, "no duplicate identities")
+
+    // flush, then enrich AGAIN post-flush — appends a second tag to the
+    // stored versions (coalesce-append, not overwrite)
+    buf.flush()
+    buf.updateFrom(enrichment(2 until 6, "slowhash"),
+      col("t.id") === col("s.src_id"),
+      Map("hashes" ->
+        concat(coalesce(col("t.hashes"), array().cast("array<string>")),
+          array(col("s.tag")))), t(2))
+    val both = buf.readResolved()
+      .filter(arrays_overlap(col("hashes"), array(lit("errhash"))) &&
+        arrays_overlap(col("hashes"), array(lit("slowhash"))))
+      .select("id").collect().map(_.getString(0)).sorted.toSeq
+    assert(both == Seq("span-2", "span-3"),
+      s"stacked enrichment (err+slow) wrong: $both")
+    val slowOnly = buf.readResolved()
+      .filter(arrays_overlap(col("hashes"), array(lit("slowhash"))))
+      .count()
+    assert(slowOnly == 4, "post-flush enrichment must reach stored rows")
+    // the view is stable across the final flush too
+    val before = buf.readResolved().select("id", "hashes").collect()
+      .map(r => (r.getString(0), r.getSeq[String](1))).toSet
+    buf.flush()
+    val after = tbl.readResolved().select("id", "hashes").collect()
+      .map(r => (r.getString(0), r.getSeq[String](1))).toSet
+    assert(after == before, "flush must not change the enriched view")
+  }
 }
