@@ -1436,9 +1436,24 @@ class GraftTable(
     * contiguous date runs they form. Each run is one [[compactRange]]
     * (cost ∝ that run's data), so a steady stream of ingest/DML keeps the
     * trailing days consolidated while history is never rewritten. Returns
-    * the compacted ranges (empty = nothing dirty, the idempotent no-op). */
-  def maintenanceSweep(
-      minVersions: Int = 2): Seq[(java.time.LocalDate, java.time.LocalDate)] = {
+    * the compacted ranges (empty = nothing dirty, the idempotent no-op).
+    *
+    * `maxRanges` bounds the work per sweep — the reference's
+    * consolidate-CATCHUP lesson (`tests/e2e/consolidate_catchup.rs`): a
+    * sweep-everything job only helps if the process lives through it;
+    * production restarts every 30–120 minutes, so a backlog of dirty days
+    * (measured there: ~3,000 files on the newest sealed day the nightly
+    * cron never reached) must drain in bounded slices that each COMMIT —
+    * progress accrues across restarts instead of restarting from zero.
+    * Runs are taken oldest-first (the backlog; the hot tail re-dirties
+    * anyway), each run is its own committed partial base, and the
+    * returned list says what this slice did. Every-run-anyway: even
+    * unbounded sweeps commit per range, so a kill mid-sweep keeps the
+    * finished ranges — `maxRanges` just caps the slice a single tick
+    * attempts. */
+  def maintenanceSweep(minVersions: Int = 2,
+      maxRanges: Int = Int.MaxValue
+  ): Seq[(java.time.LocalDate, java.time.LocalDate)] = {
     val vis = visibleCommits(commits())
     val pbases = vis.filter(_.pbase)
     val appends = vis.filter(c => !c.pbase && c.baseOf.isEmpty)
@@ -1459,8 +1474,9 @@ class GraftTable(
       case ((lo, hi) :: tail, d) if d == hi.plusDays(1) => (lo, d) :: tail
       case (acc, d) => (d, d) :: acc
     }.reverse
-    runs.foreach { case (lo, hi) => compactRange(lo, hi) }
-    runs
+    val slice = runs.take(maxRanges)
+    slice.foreach { case (lo, hi) => compactRange(lo, hi) }
+    slice
   }
 
   /** Remove version directories subsumed by the newest compaction base.

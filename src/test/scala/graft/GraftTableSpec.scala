@@ -413,6 +413,42 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.maintenanceSweep(minVersions = 2).isEmpty)
   }
 
+  test("bounded maintenance sweep: catch-up accrues oldest-first across " +
+      "restart-sized slices") {
+    // the reference's consolidate-catchup contract: a backlog of dirty
+    // days must drain in bounded per-tick slices that each COMMIT, so a
+    // process that restarts mid-backlog still makes progress
+    val t = freshTable()
+    t.append(hourlyRows(96), t0(0)) // days 03-01..03-04
+    t.compact()
+    // fragment THREE separate days (two waves each), leaving 03-02 clean
+    // so the dirty days form three distinct runs
+    Seq("2024-03-01", "2024-03-03", "2024-03-04").zipWithIndex.foreach {
+      case (d, i) =>
+        val dayPred = col("timestamp") >= lit(s"$d 00:00:00")
+          .cast("timestamp_ntz") &&
+          col("timestamp") < lit(s"$d 23:59:59").cast("timestamp_ntz")
+        t.update(dayPred, Map("name" -> lit(s"w1$i")), t0(2 + 2 * i))
+        t.update(dayPred && col("project_id") === "0",
+          Map("name" -> lit(s"w2$i")), t0(3 + 2 * i))
+    }
+    val before = t.readResolved().collect().toSet
+    val d = (n: Int) => java.time.LocalDate.of(2024, 3, n)
+
+    // tick 1: only the OLDEST dirty run compacts, and it is committed
+    val s1 = t.maintenanceSweep(minVersions = 2, maxRanges = 1)
+    assert(s1 == Seq((d(1), d(1))), s"oldest-first slice wrong: $s1")
+    assert(t.readResolved().collect().toSet == before)
+    // tick 2 (a "restarted" process would see the same markers): the next
+    // run — 03-03 and 03-04 are adjacent dirty days, so they form ONE
+    // contiguous run and compact as a single range
+    val s2 = t.maintenanceSweep(minVersions = 2, maxRanges = 1)
+    assert(s2 == Seq((d(3), d(4))), s"catch-up must move on: $s2")
+    // tick 3 is the idempotent no-op: backlog drained
+    assert(t.maintenanceSweep(minVersions = 2, maxRanges = 1).isEmpty)
+    assert(t.readResolved().collect().toSet == before)
+  }
+
   test("schema evolution: mergeSchema widens, unknown columns reject, snapshots keep their schema") {
     val t = freshTable()
     t.append(sampleRows(20), t0(0)) // v1
