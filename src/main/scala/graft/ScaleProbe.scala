@@ -152,9 +152,14 @@ object ScaleProbe {
       "orders", "lineitem", "events")
     all.foreach { t =>
       // raw copy, not a Spark rewrite: preserves exact parquet physical
-      // types (the events ts dtype dispatch must see the original file)
-      Files.copy(Paths.get(base, s"$t.parquet"),
-        Paths.get(out, s"$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      // types (the events ts dtype dispatch must see the original file).
+      // The target may be a DIRECTORY left by a prior partial AmplifyFull
+      // run (Spark-written multi-file table) — REPLACE_EXISTING cannot
+      // replace a non-empty dir, so clear it first to make reruns work.
+      val dst = Paths.get(out, s"$t.parquet")
+      deleteRecursively(dst)
+      Files.copy(Paths.get(base, s"$t.parquet"), dst,
+        StandardCopyOption.REPLACE_EXISTING)
     }
     // supplier: replica r appends a constant 3-char suffix — appending
     // the same suffix to both strings preserves every intra-replica edit
@@ -196,6 +201,16 @@ object ScaleProbe {
   private def replicate(df: DataFrame, factor: Int)(
       f: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until factor).map(r => f(df, r)).reduce(_ unionByName _)
+
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      if (Files.isDirectory(p)) {
+        val children = Files.list(p)
+        try children.forEach(c => deleteRecursively(c))
+        finally children.close()
+      }
+      Files.delete(p)
+    }
 }
 
 /** Full-corpus amplification for the sf1 correctness sweep: on top of

@@ -552,10 +552,19 @@ object TextDedup {
     * labeled with the smallest id reachable through the edges — the
     * keep-one-per-cluster PRODUCTION dedup (pair lists are evidence;
     * training pipelines drop whole clusters). Iterative min-label
-    * propagation: each round is one equi-join + one groupBy-min, converging
-    * in O(log diameter) rounds with `localCheckpoint` cutting lineage — the
-    * standard Spark iterative-graph pattern, shuffle volume O(edges) per
-    * round and never any payload columns. */
+    * propagation with POINTER JUMPING: each round propagates labels one
+    * edge hop (equi-join + groupBy-min), then shortcuts every label to
+    * its label's label (one more equi-join on the label key). The hop
+    * alone needs O(diameter) rounds; the shortcut doubles the reach each
+    * round, so convergence is O(log diameter) — a 2^20-deep chain
+    * converges inside the default 20 rounds. Shuffle volume stays
+    * O(edges + V) per round, never any payload columns; `localCheckpoint`
+    * cuts lineage between rounds.
+    *
+    * Exhausting `maxIter` without reaching the fixpoint THROWS — a
+    * truncated label set is silently-wrong dedup output, the one failure
+    * an oracle at test scale cannot catch (the graph depth that breaks it
+    * only exists at production scale). */
   def connectedComponents(ids: DataFrame, edges: DataFrame,
       maxIter: Int = 20): DataFrame = {
     // materialize the edge list once — it is typically an EXPENSIVE plan
@@ -574,15 +583,26 @@ object TextDedup {
       // checkpointed) round output — NOT a second shuffle join per round
       val viaNeighbors = sym.join(labels, sym("__src") === labels("__id"))
         .select(col("__dst").as("__id"), col("__lbl"), lit(false).as("__own"))
-      val next = labels.withColumn("__own", lit(true))
+      val hop = labels.withColumn("__own", lit(true))
         .unionByName(viaNeighbors)
         .groupBy("__id").agg(min("__lbl").as("__lbl"),
           min(when(col("__own"), col("__lbl"))).as("__prev"))
+      // pointer jumping: __lbl := label(__lbl). Labels are always doc ids
+      // present in the frame (min-propagation only ever moves a label to
+      // another doc's id), so the inner join is total; label(L) ≤ L by
+      // the same monotonicity, making the post-jump label ≤ the hop label.
+      val lblMap = hop.select(col("__id").as("__jid"), col("__lbl").as("__jlbl"))
+      val next = hop.join(lblMap, hop("__lbl") === lblMap("__jid"))
+        .select(col("__id"), col("__jlbl").as("__lbl"), col("__prev"))
         .transform(Pin(_))
       converged = next.filter(col("__lbl") =!= col("__prev")).isEmpty
       labels = next.select(col("__id"), col("__lbl"))
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"(graph diameter > 2^$maxIter): refusing to return a truncated " +
+        "label set — raise maxIter")
     labels
   }
 
@@ -709,7 +729,15 @@ object TextDedup {
     * IS the sequential greedy set, reached in O(longest decreasing-id
     * path) rounds of one equi-join + one anti-join each (shuffle keyed on
     * edge endpoints, O(edges) per round — the connectedComponents cost
-    * model). Unpaired docs bypass the loop entirely. */
+    * model). Unpaired docs bypass the loop entirely.
+    *
+    * Exhausting `maxIter` unconverged THROWS: the elimination map is
+    * antitone (a doc re-enters when its blocker drops), so a truncated
+    * run may not even be a fixpoint — returning it would silently break
+    * the batching-invariance contract the streaming ingest dedup (q126)
+    * is built on, on exactly the graphs (decreasing-id near-dup chains
+    * deeper than maxIter, e.g. serial crawl snapshots) that only occur
+    * above oracle scale. */
   def greedySurvivors(ids: DataFrame, pairs: DataFrame,
       maxIter: Int = 25): DataFrame = {
     val edges = pairs
@@ -735,6 +763,10 @@ object TextDedup {
       surv = next
       i += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"greedySurvivors did not converge in $maxIter rounds (a " +
+        "decreasing-id dependency chain runs deeper): refusing to return " +
+        "an unconverged — possibly non-fixpoint — survivor set; raise maxIter")
     loners.unionByName(surv)
   }
 

@@ -36,12 +36,19 @@ import org.apache.spark.sql.{Column, DataFrame}
   * ENFORCED (the reference's WAL flock, `src/wal.rs:222`): construction
   * registers the layer as the table's WAL owner and fails LOUDLY if a
   * live owner already holds it — double-adoption is an error, not a
-  * silent data duplication. Liveness is the in-process owner registry
-  * (like flock, ownership dies with the process), with an on-disk
-  * `_wal/_lock` marker carrying the owner id for post-mortem forensics;
-  * a lock file whose owner is not live (crashed predecessor) is taken
-  * over and its committed batches adopted. [[close]] flushes and
-  * releases ownership, letting a successor open cleanly in-session.
+  * silent data duplication. Enforcement is two-layer: the in-process
+  * owner registry (driver-side serialization point), and — on LOCAL
+  * filesystems, where the reference's WAL also lives — a real OS
+  * advisory lock (`FileChannel.tryLock`) on `_wal/_lock`, which a
+  * second JVM cannot acquire and which the OS releases automatically
+  * when the holder dies, exactly flock's semantics: a crashed
+  * predecessor's committed batches are adopted without operator action.
+  * On non-local stores (no flock exists on an object store) the `_lock`
+  * marker is created WITHOUT overwrite; a leftover marker — live owner
+  * elsewhere or crashed predecessor, indistinguishable without a lease —
+  * fails the open loudly, and takeover is operator-mediated via
+  * [[BufferedWriteLayer.breakLock]]. [[close]] flushes and releases
+  * ownership, letting a successor open cleanly in-session.
   *
   * Mechanics: each batch is conformed (stamped, date-derived,
   * schema-projected) at insert time and pinned with `localCheckpoint` —
@@ -78,6 +85,8 @@ final class BufferedWriteLayer(val table: GraftTable,
 
   private val ownerId = java.util.UUID.randomUUID.toString
   @volatile private var closed = false
+  // OS advisory lock on _wal/_lock (local FS only) — null on object stores
+  private var lockChannel: java.nio.channels.FileChannel = null
 
   // ---- single-owner lock + crash recovery ------------------------------
   // Ownership is acquired BEFORE replay: a second live durable layer must
@@ -92,11 +101,51 @@ final class BufferedWriteLayer(val table: GraftTable,
     val root = new Path(walRoot)
     try {
       fs.mkdirs(root)
-      // on-disk marker (forensics + cross-process signal): overwrite is
-      // fine here — reaching this point means no LIVE in-process owner
-      // exists, so an existing file is a crashed predecessor's
-      val out = fs.create(new Path(root, "_lock"), true)
-      out.write(ownerId.getBytes("UTF-8")); out.close()
+      val lockPath = new Path(root, "_lock")
+      if (BufferedWriteLayer.isLocalFs(fs)) {
+        // real flock semantics: cross-process exclusion, auto-released by
+        // the OS on process death — a crashed predecessor never wedges a
+        // successor, a LIVE other-JVM owner fails this open loudly
+        import java.nio.file.StandardOpenOption._
+        val local = java.nio.file.Paths.get(lockPath.toUri.getPath)
+        lockChannel = java.nio.channels.FileChannel.open(local, CREATE, WRITE)
+        val lock =
+          try lockChannel.tryLock()
+          catch { case _: java.nio.channels.OverlappingFileLockException => null }
+        if (lock == null) {
+          lockChannel.close(); lockChannel = null
+          throw new IllegalStateException(
+            s"${table.meta.name}: WAL at $walRoot is flock-held by another " +
+              "live process; close() that layer before opening another")
+        }
+        lockChannel.truncate(0)
+        lockChannel.write(java.nio.ByteBuffer.wrap(ownerId.getBytes("UTF-8")))
+        lockChannel.force(true)
+      } else {
+        // object store: no flock exists — create WITHOUT overwrite, so two
+        // JVMs can never both believe they own the WAL. A leftover marker
+        // (live elsewhere or crashed, indistinguishable without a lease)
+        // fails loudly; takeover is explicit via breakLock.
+        val existing =
+          try {
+            val out = fs.create(lockPath, false)
+            out.write(ownerId.getBytes("UTF-8")); out.close(); None
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.io.IOException if fs.exists(lockPath) =>
+              val in = fs.open(lockPath)
+              val held = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+              Some(held)
+          }
+        existing.foreach { held =>
+          throw new IllegalStateException(
+            s"${table.meta.name}: WAL at $walRoot carries a _lock held by " +
+              s"owner $held — either a live layer in another process or a " +
+              "crashed predecessor; verify the holder is dead, then " +
+              "BufferedWriteLayer.breakLock(table) to take over")
+        }
+      }
       fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
         .sortBy(_.getName).foreach { d =>
           if (fs.exists(new Path(d, "_SUCCESS"))) {
@@ -110,7 +159,9 @@ final class BufferedWriteLayer(val table: GraftTable,
         }
     } catch {
       case t: Throwable =>
-        BufferedWriteLayer.owners.remove(lockKey, ownerId); throw t
+        BufferedWriteLayer.owners.remove(lockKey, ownerId)
+        if (lockChannel != null) { lockChannel.close(); lockChannel = null }
+        throw t
     }
     // a predecessor that crashed at (or above) the cap must not leave the
     // reconstructed buffer silently over-limit until the next insert:
@@ -126,6 +177,7 @@ final class BufferedWriteLayer(val table: GraftTable,
   def close(): Unit = {
     if (durable && !closed) {
       flush()
+      if (lockChannel != null) { lockChannel.close(); lockChannel = null }
       fs.delete(new Path(walRoot, "_lock"), false)
       BufferedWriteLayer.owners.remove(lockKey, ownerId)
     }
@@ -138,7 +190,12 @@ final class BufferedWriteLayer(val table: GraftTable,
     * exercised in one JVM. Never call this on a layer still serving
     * traffic. */
   private[graft] def simulateCrash(): Unit = {
-    if (durable) BufferedWriteLayer.owners.remove(lockKey, ownerId)
+    if (durable) {
+      BufferedWriteLayer.owners.remove(lockKey, ownerId)
+      // the OS releases a dead process's FileLock; closing the channel
+      // (NOT deleting the marker) models exactly that
+      if (lockChannel != null) { lockChannel.close(); lockChannel = null }
+    }
     closed = true
   }
 
@@ -227,11 +284,29 @@ final class BufferedWriteLayer(val table: GraftTable,
 
 object BufferedWriteLayer {
   /** Live durable-layer owners by qualified WAL path — the in-process
-    * liveness oracle behind the single-owner lock (the flock analogue:
-    * ownership dies with the process, so a crashed JVM's lock file is
-    * recognizably stale). Cross-process deployments on a shared object
-    * store should back this with a conditional-put lease; in a
-    * single-driver Spark app the driver IS the serialization point. */
+    * fast path of the single-owner lock. Cross-process enforcement is the
+    * OS FileLock on local filesystems and the no-overwrite `_lock` marker
+    * (+ [[breakLock]]) on object stores; in a single-driver Spark app the
+    * driver IS the serialization point. */
   private[sources] val owners =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[sources] def isLocalFs(fs: org.apache.hadoop.fs.FileSystem): Boolean = {
+    val s = fs.getUri.getScheme
+    s == null || s == "file"
+  }
+
+  /** Operator-mediated takeover on NON-flock stores: remove a `_lock`
+    * marker left by a holder verified dead. Refuses while a live layer in
+    * THIS process owns the WAL — breaking a live lock is the
+    * double-adoption bug the lock exists to prevent. */
+  def breakLock(table: GraftTable): Unit = {
+    val walRoot = new Path(s"${table.root}/${table.meta.name}/_wal")
+    val fs = walRoot.getFileSystem(table.spark.sparkContext.hadoopConfiguration)
+    val key = fs.makeQualified(walRoot).toString
+    require(!owners.contains(key),
+      s"${table.meta.name}: a live durable layer in this process owns the " +
+        "WAL — close() it instead of breaking its lock")
+    fs.delete(new Path(walRoot, "_lock"), false)
+  }
 }

@@ -850,7 +850,7 @@ object StreamingAnalytics {
           // is NULL there; the reading query maps the NaN back to null
           val maxFinite = buckets.map(_._1).filter(!_.isInfinity)
             .reduceOption((a, b) => math.max(a, b)).getOrElse(Double.NaN)
-          var cum = 0L; var prevLe = 0.0; var prevCum = 0L
+          var cum = 0L; var prevLe = 0.0
           var p95 = 0.0; var isInf = false; var found = false
           buckets.foreach { case (le, c) =>
             val cumNew = cum + c
@@ -860,7 +860,7 @@ object StreamingAnalytics {
               else p95 = prevLe + (le - prevLe) *
                 (q * total - cum) / (cumNew - cum)
             }
-            prevLe = le; prevCum = cum; cum = cumNew
+            prevLe = le; cum = cumNew
           }
           HistQRow(key, d, total, p95, isInf)
       }

@@ -177,6 +177,34 @@ class BufferedWriteSpec extends AnyFunSuite {
     next.close()
   }
 
+  test("the on-disk flock blocks a holder OUTSIDE the in-process registry") {
+    // models a live layer in ANOTHER JVM: the in-process owner registry is
+    // empty, so only the FileChannel lock on _wal/_lock stands between two
+    // durable layers double-adopting the same committed batches
+    val tbl = freshTable()
+    tbl.append(rows(0 until 5, "stored"), t(0))
+    val walRoot = new org.apache.hadoop.fs.Path(
+      s"${tbl.root}/${tbl.meta.name}/_wal")
+    val fs = walRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(walRoot)
+    val lockFile = java.nio.file.Paths.get(
+      new org.apache.hadoop.fs.Path(walRoot, "_lock").toUri.getPath)
+    import java.nio.file.StandardOpenOption._
+    val foreign = java.nio.channels.FileChannel.open(lockFile, CREATE, WRITE)
+    val held = foreign.tryLock()
+    assert(held != null)
+    try {
+      val e = intercept[IllegalStateException] {
+        new BufferedWriteLayer(tbl, durable = true)
+      }
+      assert(e.getMessage.contains("flock-held"))
+    } finally foreign.close() // OS-release, as on process death
+    // with the foreign holder gone, the open succeeds without operator action
+    val succ = new BufferedWriteLayer(tbl, durable = true)
+    assert(succ.bufferedRows == 0L)
+    succ.close()
+  }
+
   test("WAL recovery honors maxBufferedRows (auto-flush after replay)") {
     val tbl = freshTable()
     // predecessor with a LARGER cap crashes holding 12 buffered rows

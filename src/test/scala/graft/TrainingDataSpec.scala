@@ -219,6 +219,41 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("fixpoint loops fail LOUDLY on maxIter exhaustion — no silent truncation") {
+    import spark.implicits._
+    // a decreasing-id elimination chain deeper than maxIter: edges
+    // (0,1),(1,2),…,(k-1,k) force greedySurvivors to need ~k rounds
+    val depth = 8
+    val ids = (0L to depth).toDF("__id")
+    val chain = (0 until depth).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val eG = intercept[IllegalStateException] {
+      TextDedup.greedySurvivors(ids, chain, maxIter = 3).collect()
+    }
+    assert(eG.getMessage.contains("did not converge"))
+    // with headroom the same chain converges to the sequential greedy set
+    val ok = TextDedup.greedySurvivors(ids, chain, maxIter = depth + 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(ok == (0L to depth by 2).toSet)
+    // connectedComponents: pointer jumping covers depth 2^maxIter, so a
+    // too-deep chain needs maxIter=1 on depth > 2 to trip the guard
+    val eC = intercept[IllegalStateException] {
+      TextDedup.connectedComponents(ids, chain, maxIter = 1).collect()
+    }
+    assert(eC.getMessage.contains("did not converge"))
+  }
+
+  test("connectedComponents pointer jumping: a 600-deep path converges in <=20 rounds") {
+    import spark.implicits._
+    // min-label hop alone needs ~600 rounds here; with label shortcutting
+    // the reach doubles per round, so the DEFAULT maxIter=20 must suffice
+    val n = 600
+    val ids = (0L until n).toDF("__id")
+    val path = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val labels = TextDedup.connectedComponents(ids, path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == n && labels.forall(_._2 == 0L))
+  }
+
   test("connected components label chains, stars, and singletons") {
     import spark.implicits._
     // chain 1-2-3-4, star 10-{11,12}, singleton 20
