@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CountPushdown, MergeOnRead, MultimodalQueries, Relational, StreamingQueries, TimeSeries, TrainingData, VariantTable}
+import graft.queries.{CountPushdown, MergeOnRead, MultimodalQueries, Relational, SampledSimilarity, StreamingQueries, TimeSeries, TrainingData, VariantTable}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,8 @@ object SparkEntry {
     (VariantTable.queries, VariantTable.oracle),
     (CountPushdown.queries, CountPushdown.oracle),
     (MultimodalQueries.queries, MultimodalQueries.oracle),
-    (StreamingQueries.queries, StreamingQueries.oracle)
+    (StreamingQueries.queries, StreamingQueries.oracle),
+    (SampledSimilarity.queries, SampledSimilarity.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
