@@ -28,6 +28,39 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
+  /** Accumulates executor task metrics per probe leg, so "no spill cliff
+    * at 10×" is MEASURED, not inferred from wall time: shuffle bytes
+    * read/written and memory/disk spill, from `SparkListenerTaskEnd`.
+    * Listener delivery is async; [[snapshot]] is read after the probe's
+    * GC-drain wait (well past job end), with a stability poll. */
+  private final class ProbeMetrics extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val shufRead = new AtomicLong; val shufWrite = new AtomicLong
+    val memSpill = new AtomicLong; val diskSpill = new AtomicLong
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def reset(): Unit =
+      Seq(shufRead, shufWrite, memSpill, diskSpill).foreach(_.set(0L))
+    def snapshot: Seq[Long] = {
+      var prev = Seq(-1L, -1L, -1L, -1L)
+      var cur = Seq(shufRead.get, shufWrite.get, memSpill.get, diskSpill.get)
+      while (cur != prev) { // async bus: wait until the counters settle
+        Thread.sleep(100)
+        prev = cur
+        cur = Seq(shufRead.get, shufWrite.get, memSpill.get, diskSpill.get)
+      }
+      cur
+    }
+  }
+
   val Queries = Seq(
     "q43_dedup_clusters", "q96_leakage_safe_split",
     "q92_exact_substr_remove", "q75_semantic_dedup",
@@ -73,7 +106,11 @@ object ScaleProbe {
       .getOrElse(Queries)
     val repeats = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPEATS", "1").toInt
 
-    def run(name: String, dir: String): Double = {
+    val metrics = new ProbeMetrics
+    spark.sparkContext.addSparkListener(metrics)
+
+    def run(name: String, dir: String): (Double, Seq[Long]) = {
+      metrics.reset()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
@@ -94,7 +131,7 @@ object ScaleProbe {
         Thread.sleep(200); System.gc()
       }
       Thread.sleep(300)
-      sec
+      (sec, metrics.snapshot)
     }
     run(selected.head, base) // warm the JVM/codegen once, unrecorded
     val rows = selected.map { q =>
@@ -102,10 +139,11 @@ object ScaleProbe {
       // repeat mode is the re-measurement path, where sample 1 would
       // otherwise record this query's whole-stage-codegen compilation
       val samples = (1 to repeats).map { _ =>
-        val b = run(q, base)
-        val s = run(q, out)
-        System.err.println(f"[probe] $q%-28s base=$b%7.2fs scaled=$s%7.2fs ratio=${s / b}%5.2f")
-        (b, s)
+        val (b, bm) = run(q, base)
+        val (s, sm) = run(q, out)
+        System.err.println(f"[probe] $q%-28s base=$b%7.2fs scaled=$s%7.2fs ratio=${s / b}%5.2f " +
+          f"spill=${(sm(2) + sm(3)) / 1e6}%.0fMB")
+        (b, s, bm, sm)
       }
       (q, samples)
     }
@@ -130,14 +168,24 @@ object ScaleProbe {
           s""""scaled":${stats(out, "md5")}}"""
       } else ""
     val js = rows.map { case (q, samples) =>
-      val (b, s) = samples.head
+      val (b, s, bm, sm) = samples.head
       val extra = if (repeats > 1) {
         val bs = samples.map(x => f"${x._1}%.2f").mkString("[", ",", "]")
         val ss = samples.map(x => f"${x._2}%.2f").mkString("[", ",", "]")
         val rr = samples.map(x => f"${x._2 / x._1}%.2f").mkString("[", ",", "]")
         s""","base_samples":$bs,"scaled_samples":$ss,"ratios":$rr"""
       } else ""
-      f""""$q":{"base_sec":$b%.2f,"scaled_sec":$s%.2f,"ratio":${s / b}%.2f$extra}"""
+      // executor-metric evidence per leg: a hidden quadratic or a spill
+      // cliff shows up here even when wall time happens to stay quiet
+      def mb(v: Long) = f"${v / 1e6}%.1f"
+      val met =
+        s""","base_metrics":{"shuffle_read_mb":${mb(bm(0))},""" +
+          s""""shuffle_write_mb":${mb(bm(1))},"spill_mem_mb":${mb(bm(2))},""" +
+          s""""spill_disk_mb":${mb(bm(3))}},""" +
+          s""""scaled_metrics":{"shuffle_read_mb":${mb(sm(0))},""" +
+          s""""shuffle_write_mb":${mb(sm(1))},"spill_mem_mb":${mb(sm(2))},""" +
+          s""""spill_disk_mb":${mb(sm(3))}}"""
+      f""""$q":{"base_sec":$b%.2f,"scaled_sec":$s%.2f,"ratio":${s / b}%.2f$extra$met}"""
     }.mkString("{", ",", "}")
     spark.stop()
     println(s"""{"metric":"scale_probe","factor":$factor,"base":"$base","queries":$js$bucketJs}""")

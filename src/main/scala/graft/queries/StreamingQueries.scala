@@ -708,6 +708,54 @@ object StreamingQueries {
       r
     })
 
+  private val containBuilt = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Containment decontamination AT INGEST run to completion — the q135
+    * operator deployed the way decontamination actually runs: the
+    * benchmark suite is the small, pinned side; the training corpus
+    * ARRIVES in micro-batches and each batch is probed incrementally
+    * (per-batch cost scales with the batch, never the corpus). Exactness
+    * composes trivially: C(b,d) involves only b and d, and the rarity
+    * prefix filter is candidate-pruning only (provably lossless), so the
+    * union of per-batch outputs must equal the one-shot batch q135 —
+    * under q135's own DuckDB brute-force oracle. Exactly-once across
+    * drains/retries: each micro-batch OVERWRITES its own deterministic
+    * output directory (file-source checkpointing replays a batchId with
+    * the same input files, so a re-delivered batch lands byte-identical
+    * in place instead of appending duplicates). */
+  private def containDecontamOut(s: SparkSession, dir: String): String =
+    containBuilt.getOrElseUpdate(dir, {
+      val r = graft.tables.TempDirs.create("graft_stream_contain_")
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val bench = graft.operators.Pin(docs.filter(col("doc_id") % 20 === 0))
+      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+      val maxId = docs.agg(max("doc_id")).head.getLong(0) + 1
+      (0 until 3).foreach { b =>
+        if (b > 0) Thread.sleep(1100) // distinct mod-times: oldest-first
+        corpus.filter(col("doc_id") >= lit(b * maxId / 3) &&
+            col("doc_id") < lit((b + 1) * maxId / 3))
+          .coalesce(1).write.mode("append").parquet(r + "/src")
+      }
+      val sch = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      val src = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(r + "/src")
+      val q = src.writeStream
+        .option("checkpointLocation", r + "/chk")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.operators.TextDedup.containmentJoin(
+              bench, batch.localCheckpoint(), "doc_id", "text", tau = 0.95)
+            .select(col("bench_id"), col("doc_id"),
+              round(col("containment"), 6).as("containment"))
+            .write.mode("overwrite").parquet(s"$r/out/batch_$batchId")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      r
+    })
+
   private val gapfillBuilt = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Streaming gapfill-interpolate run to completion: the q116 slice
@@ -982,6 +1030,14 @@ object StreamingQueries {
         .orderBy("doc_id")
     },
 
+    // ---- streaming containment decontamination (the q135 operator at
+    // ingest: pinned benchmark suite, corpus probed per micro-batch) ------
+    "q137_streaming_containment" -> { (s, dir) =>
+      s.read.option("recursiveFileLookup", "true")
+        .parquet(containDecontamOut(s, dir) + "/out")
+        .orderBy("bench_id", "doc_id")
+    },
+
     // ---- streaming conversion funnel (the q80 operator, incrementally) ----
     "q85_streaming_funnel" -> { (s, dir) =>
       s.read.parquet(funnelOut2(s, dir) + "/out")
@@ -1080,6 +1136,23 @@ object StreamingQueries {
     // within-batch iterated elimination compose to the sequential pass.
     // CTEs are MATERIALIZED: DuckDB otherwise re-inlines the pair join
     // into every recursion step.
+    // identical brute force to q135's oracle: the streamed union must be
+    // row-for-row the one-shot batch answer
+    "q137_streaming_containment" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  list_distinct(string_split_regex(lower(text), '\s+')) AS ts
+        | FROM documents),
+        |b AS (SELECT doc_id AS bench_id, ts AS bts FROM d
+        |      WHERE doc_id % 20 = 0),
+        |c AS (SELECT doc_id, ts AS cts FROM d WHERE doc_id % 20 <> 0)
+        |SELECT bench_id, doc_id,
+        | round(len(list_intersect(bts, cts))::DOUBLE / len(bts), 6)
+        |   AS containment
+        |FROM b JOIN c
+        | ON len(list_intersect(bts, cts))::DOUBLE / len(bts) >= 0.95
+        |ORDER BY bench_id, doc_id""".stripMargin,
+
     "q126_streaming_neardup_ingest" ->
       """WITH RECURSIVE toks AS MATERIALIZED (
         | SELECT doc_id, lang,

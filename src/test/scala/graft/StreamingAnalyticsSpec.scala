@@ -242,6 +242,38 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming containment decontamination: per-batch union equals the " +
+      "one-shot batch answer; a replayed micro-batch lands idempotently") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val vocab = (1 to 30).map(i => s"w$i")
+    val docs = (0L until 120L).map { i =>
+      (i, Seq.fill(5 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    def run(c: DataFrame) = graft.operators.TextDedup
+      .containmentJoin(bench, c, "doc_id", "text", tau = 0.6)
+      .select("bench_id", "doc_id", "containment")
+    val oneShot = run(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(oneShot.nonEmpty, "fixture must produce containment hits")
+    val out = tmp("graft_contain_out_")
+    (0 until 3).foreach { b =>
+      run(corpus.filter(col("doc_id") % 3 === b))
+        .write.mode("overwrite").parquet(s"$out/batch_$b")
+    }
+    // a re-delivered micro-batch (same batchId, same checkpointed input
+    // files) overwrites its own directory — no duplicate emission
+    run(corpus.filter(col("doc_id") % 3 === 1))
+      .write.mode("overwrite").parquet(s"$out/batch_1")
+    val streamed = spark.read.option("recursiveFileLookup", "true")
+      .parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == oneShot)
+  }
+
   test("randomized batching invariance: holtWinters/sequence streams equal " +
       "local reference folds under random micro-batch splits and shuffles") {
     // the bug class this hunts: a watermark boundary condition (<= vs <)
