@@ -214,12 +214,21 @@ object Bench {
       // the dates the stream fragments fold back into partial bases while
       // reads are being measured — read latency under ingest stays flat
       // instead of growing with the commit count
+      // SPARK_GRAFT_BENCH_SWEEP: A/B knob for attributing sweep cost in
+      // the under-ingest read (default 8 = production-shaped maintenance
+      // riding the stream; 0 = r7's sweep-free stream)
       val sq = graft.streaming.StreamingIngest.start(t, src, root + "/_chk",
         org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L),
-        sweepEvery = 8)
+        sweepEvery = sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEP", "8").toInt)
       val under = try {
         Thread.sleep(1500) // let a few micro-batch commits land first
-        Seq.fill(5)(q()).sorted.apply(2)
+        val samples = Seq.fill(5) {
+          val v0 = t.currentVersion(); val ms = q()
+          System.err.println(
+            f"[bench] under-ingest sample ${ms}%.0f ms at version $v0")
+          ms
+        }
+        samples.sorted.apply(2)
       } finally {
         // stop() interrupts a mid-flight micro-batch; that batch may then
         // log its interruption asynchronously. Swallow here — the JSON line
