@@ -385,7 +385,25 @@ object Bench {
       record + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: $e") }
-    println(record)
+    // Driver-artifact hygiene: the driver keeps only a truncated stdout
+    // TAIL, and the full record (140+ queries) has outgrown it twice
+    // (BENCH_r03/r08 both carry parsed:null). Emit the per-query map
+    // FIRST as self-describing ~25-query chunk lines, then the compact
+    // headline record LAST — each line parses on its own, so whatever
+    // prefix the truncation eats, the surviving tail is valid JSON lines
+    // and the final (headline) line is small enough to always survive.
+    results.grouped(25).zipWithIndex.toSeq match {
+      case chunks =>
+        val n = chunks.size
+        chunks.foreach { case (group, i) =>
+          val qjs = group.map { case (k, v) => s"\"$k\":$v" }
+            .mkString("{", ",", "}")
+          println(s"""{"metric":"bench_queries","chunk":${i + 1},"of":$n,"queries":$qjs}""")
+        }
+    }
+    val headline = record.replace(s""""queries":$qs""",
+      s""""queries_in_chunks_above":${results.size}""")
+    println(headline)
     System.out.flush()
   }
 }

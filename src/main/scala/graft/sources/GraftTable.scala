@@ -1349,7 +1349,15 @@ class GraftTable(
     * version exceeds the recorded cut-off). */
   def compact(): Unit = withWriteLock {
     val cs = commits()
-    if (cs.nonEmpty) compactLocked(cs)
+    // Idempotence (reference e2e `zorder_idempotence.rs`: the second
+    // OPTIMIZE must not churn files): a snapshot that IS exactly the
+    // newest full base has nothing to rewrite — re-sorting already
+    // z-ordered, already-resolved files would replace every file with an
+    // identical-content copy, breaking vacuum retention and object-store
+    // cache warmth for zero gain.
+    val alreadyCompacted =
+      cs.lastOption.exists(_.baseOf.isDefined) && visibleDirs(cs).size == 1
+    if (cs.nonEmpty && !alreadyCompacted) compactLocked(cs)
   }
 
   // z-order sort when the schema declares z_order_columns: compacted

@@ -772,6 +772,69 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.textSearch("name", "svc_9_aa").count() == 0)
   }
 
+  test("OPTIMIZE ZORDER idempotence: the second compact is a file-level no-op " +
+      "(reference e2e zorder_idempotence.rs)") {
+    val t = freshTable() // morVersioned declares z_order_columns
+    assert(t.meta.zOrderColumns.nonEmpty)
+    t.append(sampleRows(20), t0(0))
+    t.compact()
+    def files(): Set[String] = {
+      val root = new java.io.File(s"${t.root}/${t.meta.name}")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).map(_.getPath).filter(_.endsWith(".parquet")).toSet
+    }
+    val v1 = t.currentVersion()
+    val after1 = files()
+    val view1 = t.readResolved().collect().toSet
+    // second OPTIMIZE on the unchanged snapshot: no new version, no file
+    // churn — asserted on the actual file paths, like the reference
+    t.compact()
+    assert(t.currentVersion() == v1, "second compact committed a version")
+    assert(files() == after1, "second compact rewrote files (churn)")
+    assert(t.readResolved().collect().toSet == view1)
+    // ...but an append re-arms it: the third compact has real work
+    t.append(sampleRows(5), t0(1))
+    t.compact()
+    assert(t.currentVersion() == v1 + 2)
+    assert(t.readResolved().count() == 20)
+  }
+
+  test("vacuum under churn never deletes a visible version; repeated sweeps " +
+      "are view-stable") {
+    val t = freshTable()
+    // fragment several dates across appends (hourlyRows spans days)
+    t.append(hourlyRows(60), t0(0))
+    t.append(hourlyRows(60), t0(1))
+    t.compact()
+    val expected = t.readResolved().collect().toSet
+    // churn: appends land AFTER the base; vacuum reclaims only subsumed
+    // versions, never the newer appends or the base itself
+    t.append(sampleRows(10), t0(2))
+    t.vacuum()
+    // identity is (timestamp, id): the 10 minute-spaced sample rows share
+    // exactly one identity with the 60 hour-spaced ones (row-0 at
+    // midnight), so the view holds 69 identities — none lost to the vacuum
+    assert(t.readResolved().count() == 69)
+    // the pre-compaction version dirs are gone, the base + appends remain
+    assert(!new java.io.File(s"${t.root}/${t.meta.name}/_v1").exists())
+    // repeated bounded sweeps + vacuum while appending: the view after
+    // every maintenance step equals last-write-wins over what was written
+    (0 until 3).foreach { i =>
+      // same 5 (timestamp, id) identities re-written each round: new
+      // versions supersede, maintenance must never change the view size
+      t.append(sampleRows(5), t0(3 + i))
+      t.maintenanceSweep(minVersions = 1, maxRanges = 1)
+      t.vacuum()
+      assert(t.readResolved().count() == 69,
+        s"sweep/vacuum round $i changed the visible identity count")
+    }
+    // row-3 exists at two identities (hourly 03:00 + minute 00:03); the
+    // minute one must carry the LAST round's stamp through all maintenance
+    val fin = t.readResolved().filter(col("id") === "row-3").collect()
+    assert(fin.length == 2)
+  }
+
   test("project-id guard rejects unfiltered scans of guarded roots") {
     val t = freshTable()
     t.append(sampleRows(10), t0(0))
