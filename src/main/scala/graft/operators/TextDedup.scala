@@ -552,21 +552,26 @@ object TextDedup {
     * labeled with the smallest id reachable through the edges — the
     * keep-one-per-cluster PRODUCTION dedup (pair lists are evidence;
     * training pipelines drop whole clusters). Iterative min-label
-    * propagation with POINTER JUMPING: each round propagates labels one
-    * edge hop (equi-join + groupBy-min), then shortcuts every label to
-    * its label's label (one more equi-join on the label key). The hop
-    * alone needs O(diameter) rounds; the shortcut doubles the reach each
-    * round, so convergence is O(log diameter) — a 2^20-deep chain
-    * converges inside the default 20 rounds. Shuffle volume stays
-    * O(edges + V) per round, never any payload columns; `localCheckpoint`
-    * cuts lineage between rounds.
+    * propagation with ADAPTIVE POINTER JUMPING: each round propagates
+    * labels one edge hop (equi-join + groupBy-min); from round
+    * `jumpAfter` on, the round also shortcuts every label to its label's
+    * label (one more equi-join on the label key), doubling reach per
+    * round. Near-dup graphs are usually DENSE quasi-cliques that
+    * converge in 2–3 hop rounds — paying the jump's extra shuffle there
+    * buys nothing — while adversarial drift chains are DEEP, which is
+    * where the doubling matters: reach after maxIter rounds is
+    * jumpAfter·2^(maxIter−jumpAfter) (≈ 260k at the defaults, doubling
+    * per raised maxIter), so convergence stays O(log diameter) without
+    * taxing the common case. Shuffle volume stays O(edges + V) per
+    * round, never any payload columns; `localCheckpoint` cuts lineage
+    * between rounds.
     *
     * Exhausting `maxIter` without reaching the fixpoint THROWS — a
     * truncated label set is silently-wrong dedup output, the one failure
     * an oracle at test scale cannot catch (the graph depth that breaks it
     * only exists at production scale). */
   def connectedComponents(ids: DataFrame, edges: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, jumpAfter: Int = 3): DataFrame = {
     // materialize the edge list once — it is typically an EXPENSIVE plan
     // (a verified similarity join) that would otherwise recompute every
     // propagation round
@@ -587,22 +592,27 @@ object TextDedup {
         .unionByName(viaNeighbors)
         .groupBy("__id").agg(min("__lbl").as("__lbl"),
           min(when(col("__own"), col("__lbl"))).as("__prev"))
-      // pointer jumping: __lbl := label(__lbl). Labels are always doc ids
-      // present in the frame (min-propagation only ever moves a label to
-      // another doc's id), so the inner join is total; label(L) ≤ L by
-      // the same monotonicity, making the post-jump label ≤ the hop label.
-      val lblMap = hop.select(col("__id").as("__jid"), col("__lbl").as("__jlbl"))
-      val next = hop.join(lblMap, hop("__lbl") === lblMap("__jid"))
-        .select(col("__id"), col("__jlbl").as("__lbl"), col("__prev"))
-        .transform(Pin(_))
+      // pointer jumping, adaptive: __lbl := label(__lbl). Labels are
+      // always doc ids present in the frame (min-propagation only ever
+      // moves a label to another doc's id), so the inner join is total;
+      // label(L) ≤ L by the same monotonicity, making the post-jump label
+      // ≤ the hop label. Skipped for the first `jumpAfter` rounds — dense
+      // near-dup graphs converge in 2–3 hops and the jump's extra shuffle
+      // would be pure tax there; deep chains reach the doubling regime.
+      val next = (if (iter < jumpAfter) hop else {
+        val lblMap = hop.select(col("__id").as("__jid"),
+          col("__lbl").as("__jlbl"))
+        hop.join(lblMap, hop("__lbl") === lblMap("__jid"))
+          .select(col("__id"), col("__jlbl").as("__lbl"), col("__prev"))
+      }).transform(Pin(_))
       converged = next.filter(col("__lbl") =!= col("__prev")).isEmpty
       labels = next.select(col("__id"), col("__lbl"))
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds " +
-        s"(graph diameter > 2^$maxIter): refusing to return a truncated " +
-        "label set — raise maxIter")
+      s"connectedComponents did not converge in $maxIter rounds (reach " +
+        s"$jumpAfter*2^${maxIter - jumpAfter} exceeded by the graph " +
+        "diameter): refusing to return a truncated label set — raise maxIter")
     labels
   }
 
