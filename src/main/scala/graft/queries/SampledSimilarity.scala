@@ -82,70 +82,20 @@ object SampledSimilarity {
   // ---- cluster-truth oracle machinery (q144/q145) -----------------------
   // A naive per-seed BFS oracle is quadratic in component size and the
   // documents corpus is near-dup DENSE (avg verified degree >100 at sf1),
-  // so sampled truth needs the FULL component structure. Two scalable
-  // pieces, both in plain SQL:
-  //  1. the full verified J≥0.9 edge set via the pipeline's own PPJoin
-  //     prefix filter, replayed: per-doc rarity prefix of length
-  //     |T|−⌈τ|T|⌉+1 under the global (df, token) order — the standard
-  //     prefix-filter theorem makes candidates COMPLETE — then hashed
-  //     sorted-list verify (md5-hashed token sets: collisions would have
-  //     to defeat a 64-bit space to alter |∩|). 2.46M edges at sf1, ~7 s.
-  //  2. component min-labels via UNROLLED pointer-jumped min-propagation:
-  //     each round hops one edge (O(E) join+groupBy) then shortcuts
-  //     lbl := lbl(lbl), doubling reach — 24 materialized rounds cover
-  //     diameter 2^24, a guarantee for any corpus under ~16M docs (no
-  //     silent truncation, mirroring connectedComponents' loud guard).
-  //     AS MATERIALIZED is load-bearing: each CTE is referenced twice,
-  //     and inlined re-evaluation would be exponential in rounds.
+  // so sampled truth needs the FULL component structure — built linearly
+  // from [[OracleSql.jaccardEdges]] (the PPJoin prefix filter replayed in
+  // SQL; 2.46M verified edges at sf1 in ~7 s) and
+  // [[OracleSql.labelChain]] (24 materialized pointer-jumped rounds cover
+  // diameter 2^24 — a guarantee for any corpus under ~16M docs, mirroring
+  // connectedComponents' loud convergence guard).
   private val ccEdgesSql =
-    s"""hts AS MATERIALIZED (
-       | SELECT doc_id, lang,
-       |   list_sort(list_transform(
-       |     list_distinct(string_split_regex(lower(text), '\\s+')),
-       |     x -> md5_number_lower(x))) AS hs,
-       |   len(list_distinct(string_split_regex(lower(text), '\\s+'))) AS n
-       | FROM documents),
-       |tokh AS MATERIALIZED (
-       | SELECT doc_id, lang, n, unnest(hs) AS t FROM hts),
-       |dfreq AS MATERIALIZED (
-       | SELECT lang, t, count(*) AS df FROM tokh GROUP BY 1, 2),
-       |pref AS MATERIALIZED (
-       | SELECT doc_id, lang, n, t FROM (
-       |  SELECT k.doc_id, k.lang, k.t, k.n,
-       |    row_number() OVER (PARTITION BY k.doc_id ORDER BY d.df, k.t) AS rk
-       |  FROM tokh k JOIN dfreq d ON d.lang = k.lang AND d.t = k.t)
-       | WHERE rk <= n - CAST(ceil(0.9 * n) AS BIGINT) + 1),
-       |epairs AS MATERIALIZED (
-       | WITH cand AS (
-       |  SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
-       |  FROM pref a JOIN pref b ON a.lang = b.lang AND a.t = b.t
-       |   AND a.doc_id < b.doc_id
-       |   AND b.n >= CAST(ceil(0.9 * a.n) AS BIGINT)
-       |   AND b.n <= CAST(floor(a.n / 0.9) AS BIGINT))
-       | SELECT c.x, c.y
-       | FROM cand c JOIN hts a ON a.doc_id = c.x JOIN hts b ON b.doc_id = c.y
-       | WHERE len(list_intersect(a.hs, b.hs))::DOUBLE /
-       |   (a.n + b.n - len(list_intersect(a.hs, b.hs))) >= 0.9),
-       |edges AS MATERIALIZED (
-       | SELECT x AS src, y AS dst FROM epairs
-       | UNION ALL SELECT y, x FROM epairs),
+    s"""${OracleSql.jaccardEdges},
        |l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl FROM documents)"""
       .stripMargin
 
   private val CcRounds = 24
 
-  private val ccLabelChain: String = (1 to CcRounds).map { k =>
-    val prev = if (k == 1) "l0" else s"l${k - 1}"
-    s"""h$k AS MATERIALIZED (
-       | SELECT e.dst AS id, min(l.lbl) AS m
-       | FROM $prev l JOIN edges e ON e.src = l.id GROUP BY e.dst),
-       |m$k AS MATERIALIZED (
-       | SELECT l.id, least(l.lbl, coalesce(h.m, l.lbl)) AS lbl
-       | FROM $prev l LEFT JOIN h$k h ON h.id = l.id),
-       |l$k AS MATERIALIZED (
-       | SELECT a.id, b.lbl FROM m$k a JOIN m$k b ON a.lbl = b.id)"""
-      .stripMargin
-  }.mkString(",\n")
+  private val ccLabelChain: String = OracleSql.labelChain(CcRounds)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -1153,37 +1153,25 @@ object StreamingQueries {
         | ON len(list_intersect(bts, cts))::DOUBLE / len(bts) >= 0.95
         |ORDER BY bench_id, doc_id""".stripMargin,
 
-    "q126_streaming_neardup_ingest" ->
-      """WITH RECURSIVE toks AS MATERIALIZED (
-        | SELECT doc_id, lang,
-        |  list_distinct(string_split_regex(lower(text), '\s+')) AS ts
-        | FROM documents),
-        |pairs AS MATERIALIZED (
-        | SELECT a.doc_id AS lo, b.doc_id AS hi FROM toks a JOIN toks b
-        | ON a.lang = b.lang AND a.doc_id < b.doc_id
-        | AND len(list_intersect(a.ts, b.ts))::DOUBLE /
-        |     (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
-        |     >= 0.9),
-        |pd AS MATERIALIZED (
-        | SELECT DISTINCT doc_id FROM
-        |  (SELECT lo AS doc_id FROM pairs
-        |   UNION ALL SELECT hi AS doc_id FROM pairs)),
-        |ord AS MATERIALIZED (
-        | SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn FROM pd),
-        |g AS (
-        | SELECT 0 AS rn, []::BIGINT[] AS surv
-        | UNION ALL
-        | SELECT o.rn,
-        |  CASE WHEN EXISTS (SELECT 1 FROM pairs p WHERE p.hi = o.doc_id
-        |                    AND list_contains(g.surv, p.lo))
-        |   THEN g.surv ELSE list_append(g.surv, o.doc_id) END
-        | FROM g JOIN ord o ON o.rn = g.rn + 1),
-        |final AS (SELECT surv FROM g ORDER BY rn DESC LIMIT 1)
-        |SELECT d.doc_id, d.lang FROM documents d
-        |WHERE NOT EXISTS (SELECT 1 FROM pd WHERE pd.doc_id = d.doc_id)
-        |   OR EXISTS (SELECT 1 FROM final
-        |              WHERE list_contains(final.surv, d.doc_id))
-        |ORDER BY d.doc_id""".stripMargin,
+    // The sequential keep rule as UNROLLED iterated elimination (the
+    // one-row-per-step recursive CTE it replaces is O(n) sequential
+    // steps — hours at sf1): PPJoin-prefix edges, then 64 materialized
+    // rounds of "drop every hi whose lo survives"; the fixpoint IS the
+    // sequential greedy set, and the `unconv` poison row makes an
+    // unconverged unroll fail the compare LOUDLY (mirroring
+    // greedySurvivors' own maxIter guard) instead of silently blessing
+    // a wrong survivor set.
+    "q126_streaming_neardup_ingest" -> {
+      val rounds = 64
+      s"""WITH ${OracleSql.jaccardEdges},
+         |${OracleSql.eliminationChain(rounds)}
+         |SELECT d.doc_id, d.lang FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT id FROM paired)
+         |   OR d.doc_id IN (SELECT id FROM s$rounds)
+         |UNION ALL
+         |SELECT -1, 'ORACLE_UNCONVERGED' FROM unconv WHERE n > 0
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // the q118 recursion with a LITERAL target (a stream cannot know the
     // series' own mean upfront); recursive CTE, not a lambda fold — see
