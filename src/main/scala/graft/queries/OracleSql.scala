@@ -28,40 +28,71 @@ package graft.queries
   */
 private[queries] object OracleSql {
 
-  /** CTE block `hts, tokh, dfreq, pref, epairs, edges` — epairs holds each
-    * verified pair once with `x < y`; edges is the directed doubling. */
-  val jaccardEdges: String =
+  /** md5-hashed sorted distinct word-token sets as `hts (doc_id, lang,
+    * hs, n)` — the set frame every edge build starts from. */
+  val wordSets: String =
     """hts AS MATERIALIZED (
       | SELECT doc_id, lang,
       |   list_sort(list_transform(
       |     list_distinct(string_split_regex(lower(text), '\s+')),
       |     x -> md5_number_lower(x))) AS hs,
       |   len(list_distinct(string_split_regex(lower(text), '\s+'))) AS n
-      | FROM documents),
-      |tokh AS MATERIALIZED (
-      | SELECT doc_id, lang, n, unnest(hs) AS t FROM hts),
-      |dfreq AS MATERIALIZED (
-      | SELECT lang, t, count(*) AS df FROM tokh GROUP BY 1, 2),
-      |pref AS MATERIALIZED (
-      | SELECT doc_id, lang, n, t FROM (
-      |  SELECT k.doc_id, k.lang, k.t, k.n,
-      |    row_number() OVER (PARTITION BY k.doc_id ORDER BY d.df, k.t) AS rk
-      |  FROM tokh k JOIN dfreq d ON d.lang = k.lang AND d.t = k.t)
-      | WHERE rk <= n - CAST(ceil(0.9 * n) AS BIGINT) + 1),
-      |epairs AS MATERIALIZED (
-      | WITH cand AS (
-      |  SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
-      |  FROM pref a JOIN pref b ON a.lang = b.lang AND a.t = b.t
-      |   AND a.doc_id < b.doc_id
-      |   AND b.n >= CAST(ceil(0.9 * a.n) AS BIGINT)
-      |   AND b.n <= CAST(floor(a.n / 0.9) AS BIGINT))
-      | SELECT c.x, c.y
-      | FROM cand c JOIN hts a ON a.doc_id = c.x JOIN hts b ON b.doc_id = c.y
-      | WHERE len(list_intersect(a.hs, b.hs))::DOUBLE /
-      |   (a.n + b.n - len(list_intersect(a.hs, b.hs))) >= 0.9),
-      |edges AS MATERIALIZED (
-      | SELECT x AS src, y AS dst FROM epairs
-      | UNION ALL SELECT y, x FROM epairs)""".stripMargin
+      | FROM documents)""".stripMargin
+
+  /** Word-trigram (shingle) variant of [[wordSets]] — docs under 3 words
+    * carry no shingles and pair with nothing, like the pipeline. */
+  val ngramSets: String =
+    """hts AS MATERIALIZED (
+      | WITH w AS (
+      |  SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS w
+      |  FROM documents)
+      | SELECT doc_id, lang,
+      |  list_sort(list_distinct(list_transform(
+      |    generate_series(1, len(w) - 2),
+      |    i -> md5_number_lower(w[i] || ' ' || w[i+1] || ' ' || w[i+2])))) AS hs,
+      |  len(list_distinct(list_transform(generate_series(1, len(w) - 2),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS n
+      | FROM w WHERE len(w) >= 3)""".stripMargin
+
+  /** CTE block `tokh, dfreq, pref, epairs, edges` downstream of a set CTE
+    * named `hts` — epairs holds each verified pair once with `x < y`;
+    * edges is the directed doubling. */
+  def edgesFromSets(tau: Double): String =
+    s"""tokh AS MATERIALIZED (
+       | SELECT doc_id, lang, n, unnest(hs) AS t FROM hts),
+       |dfreq AS MATERIALIZED (
+       | SELECT lang, t, count(*) AS df FROM tokh GROUP BY 1, 2),
+       |pref AS MATERIALIZED (
+       | SELECT doc_id, lang, n, t FROM (
+       |  SELECT k.doc_id, k.lang, k.t, k.n,
+       |    row_number() OVER (PARTITION BY k.doc_id ORDER BY d.df, k.t) AS rk
+       |  FROM tokh k JOIN dfreq d ON d.lang = k.lang AND d.t = k.t)
+       | WHERE rk <= n - CAST(ceil($tau * n) AS BIGINT) + 1),
+       |epairs AS MATERIALIZED (
+       | WITH cand AS (
+       |  SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+       |  FROM pref a JOIN pref b ON a.lang = b.lang AND a.t = b.t
+       |   AND a.doc_id < b.doc_id
+       |   AND b.n >= CAST(ceil($tau * a.n) AS BIGINT)
+       |   AND b.n <= CAST(floor(a.n / $tau) AS BIGINT))
+       | SELECT c.x, c.y
+       | FROM cand c JOIN hts a ON a.doc_id = c.x JOIN hts b ON b.doc_id = c.y
+       | WHERE len(list_intersect(a.hs, b.hs))::DOUBLE /
+       |   (a.n + b.n - len(list_intersect(a.hs, b.hs))) >= $tau),
+       |edges AS MATERIALIZED (
+       | SELECT x AS src, y AS dst FROM epairs
+       | UNION ALL SELECT y, x FROM epairs)""".stripMargin
+
+  /** The word-set J≥0.9 edge block (the q25/q43/q96/q126 pair graph). */
+  val jaccardEdges: String = s"$wordSets,\n${edgesFromSets(0.9)}"
+
+  /** Exact jaccard of a verified pair frame `p (x, y)`, re-joined to hts. */
+  def pairScore(p: String): String =
+    s"""SELECT $p.x, $p.y,
+       | round(len(list_intersect(a.hs, b.hs))::DOUBLE /
+       |   (a.n + b.n - len(list_intersect(a.hs, b.hs))), 6) AS jaccard
+       |FROM $p JOIN hts a ON a.doc_id = $p.x JOIN hts b ON b.doc_id = $p.y"""
+      .stripMargin
 
   /** Pointer-jumped min-label rounds `l1..l<rounds>` from a seed CTE `l0`
     * (columns `id, lbl`) over `edges (src, dst)`. */

@@ -723,23 +723,6 @@ object TrainingData {
     // explicit left-fold arithmetic, identical to VectorSearch.dot/norm2
     def dotSql(a: String, b: String) = (0 until Dim)
       .map(i => s"$a[${i + 1}]::DOUBLE * $b[${i + 1}]::DOUBLE").mkString(" + ")
-    // connected-component labels over the verified jaccard≥0.9 pair graph
-    // (min reachable id), shared by q43 and q96
-    val ccLabelsCte =
-      """toks AS (
-        | SELECT doc_id, lang,
-        |   list_distinct(string_split_regex(lower(text), '\s+')) AS ts
-        | FROM documents),
-        |edges AS (
-        | SELECT a.doc_id AS src, b.doc_id AS dst
-        | FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id <> b.doc_id
-        | WHERE len(list_intersect(a.ts, b.ts))::DOUBLE /
-        |   (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.9),
-        |reach(id, lbl) AS (
-        | SELECT doc_id, doc_id FROM documents
-        | UNION
-        | SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-        |labels AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)""".stripMargin
     def normSql(a: String) = (0 until Dim)
       .map(i => s"$a[${i + 1}]::DOUBLE * $a[${i + 1}]::DOUBLE").mkString(" + ")
     val enStops = TextAnalysis.stopwords.toMap.apply("en")
@@ -762,51 +745,50 @@ object TrainingData {
           | count(*) AS n_copies
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
+      // all-pairs brute force replaced by the SCALABLE prefix-filter
+      // formulation (OracleSql; complete by the prefix-filter theorem,
+      // md5-hashed sets replacing string lists — the same hashed-set
+      // jaccard convention the pipeline itself uses): keeps q25/q53/q83
+      // oracle-gated in the sf1 sweep where the quadratic join cannot run
       "q25_near_dup_jaccard" ->
-        """WITH toks AS (
-          | SELECT doc_id, lang,
-          |   list_distinct(string_split_regex(lower(text), '\s+')) AS ts
-          | FROM documents)
-          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          | round(len(list_intersect(a.ts, b.ts))::DOUBLE /
-          |   (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 6) AS jaccard
-          |FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
-          |WHERE len(list_intersect(a.ts, b.ts))::DOUBLE /
-          |   (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.9
-          |ORDER BY id_a, id_b""".stripMargin,
+        s"""WITH ${OracleSql.jaccardEdges},
+           |scored AS (${OracleSql.pairScore("epairs")})
+           |SELECT x AS id_a, y AS id_b, jaccard FROM scored
+           |ORDER BY id_a, id_b""".stripMargin,
 
       "q53_ngram_jaccard" ->
-        """WITH toks AS (
-          | SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS w
-          | FROM documents),
-          |grams AS (
-          | SELECT doc_id, lang,
-          |  list_distinct(list_transform(generate_series(1, len(w) - 2),
-          |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gs
-          | FROM toks WHERE len(w) >= 3)
-          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          | round(len(list_intersect(a.gs, b.gs))::DOUBLE /
-          |   (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 6) AS jaccard
-          |FROM grams a JOIN grams b ON a.lang = b.lang AND a.doc_id < b.doc_id
-          |WHERE len(list_intersect(a.gs, b.gs))::DOUBLE /
-          |   (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.8
-          |ORDER BY id_a, id_b""".stripMargin,
+        s"""WITH ${OracleSql.ngramSets},
+           |${OracleSql.edgesFromSets(0.8)},
+           |scored AS (${OracleSql.pairScore("epairs")})
+           |SELECT x AS id_a, y AS id_b, jaccard FROM scored
+           |ORDER BY id_a, id_b""".stripMargin,
 
+      // full-corpus component labels via the SCALABLE formulation
+      // (OracleSql: PPJoin-prefix edges + 24 materialized pointer-jumped
+      // min-label rounds) — the recursive id×label closure it replaces is
+      // quadratic in component size, minutes at sf0.1 and unrunnable at
+      // sf1; this one keeps q43/q96 oracle-gated in the sf1 sweep
       "q43_dedup_clusters" ->
-        s"""WITH RECURSIVE $ccLabelsCte
-           |SELECT cluster, count(*) AS n_docs
-           |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin,
+        s"""WITH ${OracleSql.jaccardEdges},
+           |l0 AS MATERIALIZED (
+           | SELECT doc_id AS id, doc_id AS lbl FROM documents),
+           |${OracleSql.labelChain(24)}
+           |SELECT lbl AS cluster, count(*) AS n_docs
+           |FROM l24 GROUP BY lbl ORDER BY cluster""".stripMargin,
 
       "q96_leakage_safe_split" ->
-        s"""WITH RECURSIVE $ccLabelsCte,
+        s"""WITH ${OracleSql.jaccardEdges},
+           |l0 AS MATERIALIZED (
+           | SELECT doc_id AS id, doc_id AS lbl FROM documents),
+           |${OracleSql.labelChain(24)},
            |a AS (
-           | SELECT d.doc_id, l.cluster,
-           |  CASE WHEN substr(md5('s96:' || l.cluster), 1, 4) < 'cccc'
+           | SELECT l.id AS doc_id, l.lbl AS cluster,
+           |  CASE WHEN substr(md5('s96:' || l.lbl), 1, 4) < 'cccc'
            |        THEN 'train'
-           |       WHEN substr(md5('s96:' || l.cluster), 1, 4) < 'e666'
+           |       WHEN substr(md5('s96:' || l.lbl), 1, 4) < 'e666'
            |        THEN 'val'
            |       ELSE 'test' END AS split
-           | FROM documents d JOIN labels l ON l.id = d.doc_id)
+           | FROM l24 l)
            |SELECT split, count(*) AS n_docs,
            |  count(DISTINCT cluster) AS n_clusters,
            |  CAST(sum(doc_id) AS BIGINT) AS id_sum
@@ -1519,21 +1501,17 @@ object TrainingData {
           |LEFT JOIN perdoc p USING (doc_id)
           |ORDER BY d.doc_id""".stripMargin,
 
+      // the new-vs-base directional pairs are exactly the self-join's
+      // verified pairs with one end in each corpus half, re-oriented
       "q83_incremental_dedup" ->
-        """WITH toks AS (
-          | SELECT doc_id, lang,
-          |  list_distinct(string_split_regex(lower(text), '\s+')) AS ts
-          | FROM documents),
-          |n AS (SELECT * FROM toks WHERE doc_id % 11 = 0),
-          |b AS (SELECT * FROM toks WHERE doc_id % 11 <> 0)
-          |SELECT n.doc_id AS new_id, b.doc_id AS base_id,
-          | round(len(list_intersect(n.ts, b.ts))::DOUBLE /
-          |  (len(n.ts) + len(b.ts) - len(list_intersect(n.ts, b.ts))), 6)
-          |  AS jaccard
-          |FROM n JOIN b ON n.lang = b.lang
-          |WHERE len(list_intersect(n.ts, b.ts))::DOUBLE /
-          |  (len(n.ts) + len(b.ts) - len(list_intersect(n.ts, b.ts))) >= 0.9
-          |ORDER BY new_id, base_id""".stripMargin,
+        s"""WITH ${OracleSql.jaccardEdges},
+           |d AS (
+           | SELECT x, y FROM epairs WHERE x % 11 = 0 AND y % 11 <> 0
+           | UNION ALL
+           | SELECT y, x FROM epairs WHERE y % 11 = 0 AND x % 11 <> 0),
+           |scored AS (${OracleSql.pairScore("d")})
+           |SELECT x AS new_id, y AS base_id, jaccard FROM scored
+           |ORDER BY new_id, base_id""".stripMargin,
 
       "q88_variant_insert" ->
         """SELECT doc_id,
