@@ -857,24 +857,28 @@ object TrainingData {
           |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-      "q47_embedding_dedup" -> {
-        val dotAB = dotSql("a.v", "b.v")
-        val nA = normSql("a.v")
-        val nB = normSql("b.v")
+      // native list_dot_product instead of the 64-term explicit fold:
+      // verified BIT-IDENTICAL to the fold on every sf0.01 pair (DuckDB's
+      // loop is the same ascending IEEE summation), and norms precompute
+      // per vector — the all-pairs brute force (242M pairs at sf1) drops
+      // from SQL-expression speed to native-loop speed, which is what
+      // lets q47 run its FULL oracle in the sf1 sweep
+      "q47_embedding_dedup" ->
         s"""WITH base AS (
            | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
            |dups AS (
            | SELECT vec_id + 1000000 AS vec_id,
            |   list_transform(v, x -> x * 1.02 + 0.01) AS v
            | FROM base WHERE vec_id % 20 = 0),
-           |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
+           |corpus AS MATERIALIZED (
+           | SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+           | FROM (SELECT * FROM base UNION ALL SELECT * FROM dups)),
            |scored AS (
            | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           |   ($dotAB) / (sqrt($nA) * sqrt($nB)) AS cos_raw
+           |   list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_raw
            | FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
            |SELECT id_a, id_b, round(cos_raw, 6) AS cosine
-           |FROM scored WHERE cos_raw >= 0.9 ORDER BY id_a, id_b""".stripMargin
-      },
+           |FROM scored WHERE cos_raw >= 0.9 ORDER BY id_a, id_b""".stripMargin,
 
       "q65_hard_negatives" -> {
         val dotAB = dotSql("q.embedding", "c.embedding")
