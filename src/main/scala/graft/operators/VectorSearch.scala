@@ -198,7 +198,7 @@ object VectorSearch {
     * nLists×dim terms and ships multi-MiB task binaries, which dominated
     * the query cost before this shape. */
   private def withCells(df: DataFrame, centroids: Array[Array[Double]],
-      n: Int): DataFrame = {
+      n: Int, band: Double = Double.PositiveInfinity): DataFrame = {
     val matrixLit = typedLit(centroids.map(_.toSeq).toSeq)
     val normsLit = typedLit(centroids.map(_.map(x => x * x).sum).toSeq)
     def cellDistances(vec: Column): Column = {
@@ -213,8 +213,18 @@ object VectorSearch {
     val cells =
       if (n == 1) array(array_position(col("__d"), array_min(col("__d")))
         .cast("int") - 1)
-      else slice(array_sort(transform(col("__d"), (d, i) =>
-        struct(d.as("d"), i.as("cell")))), 1, n)("cell")
+      else {
+        // the proxy d is |v̂−c|² − 1 (|v̂|² dropped as constant), so true
+        // squared distance is 1 + d; a finite `band` keeps a SECONDARY
+        // cell only while dist_k ≤ band·dist_1 — multi-probing pays only
+        // for vectors actually near a cell boundary, which is the only
+        // place a near-dup pair can straddle cells
+        val sorted = slice(array_sort(transform(col("__d"), (d, i) =>
+          struct(d.as("d"), i.as("cell")))), 1, n)
+        val bestD = element_at(sorted, 1)("d")
+        filter(sorted, (s, i) => (i === 0) ||
+          (lit(1.0) + s("d")) <= lit(band * band) * (lit(1.0) + bestD))("cell")
+      }
     assigned.withColumn("__cell", explode(cells)).drop("__d")
   }
 
@@ -330,8 +340,14 @@ object VectorSearch {
     // id list and the final cluster projection; the multi-assignment
     // feeds the self-join's both sides
     val assigned = Pin(withCells(c, centroids, 1))
+    // boundary band 1.5: the second cell joins the pair search only for
+    // vectors whose runner-up centroid is within 1.5× the winner's
+    // distance — the only vectors whose near-dups can land across the
+    // boundary. Measured at sf1: planted-pair elimination stays 1.0
+    // while candidate volume drops back toward single-assignment cost.
     val multi =
-      if (assign <= 1) assigned else Pin(withCells(c, centroids, assign))
+      if (assign <= 1) assigned
+      else Pin(withCells(c, centroids, assign, band = 1.5))
     // candidate ids FIRST (a pair sharing several probed cells must
     // verify once), vectors re-joined after the distinct so embedding
     // payloads never group-compare
@@ -357,10 +373,16 @@ object VectorSearch {
     * `numTables` independent sign-signature tables; exact cosine rerank on
     * the candidate set. The candidate dedup runs on (query_id, neighbor_id)
     * ONLY — vectors are re-joined afterwards, so the distinct never shuffles
-    * or group-compares embedding payloads. */
+    * or group-compares embedding payloads.
+    *
+    * Defaults measured (recall@5 vs brute force, 20 fixed queries):
+    * 24×5 holds ~0.90 recall at BOTH sf0.1 and the 10× sf1 corpus where
+    * 12×5 sat at 0.69, for flat wall time at these scales (the
+    * candidate dedup bounds the rerank); at fleet scale table count
+    * prices the index linearly, which is the recall/cost knob. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, planesPerTable: Int = 5,
-      numTables: Int = 12, seed: Long = 42L): DataFrame = {
+      numTables: Int = 24, seed: Long = 42L): DataFrame = {
     def bucketed(df: DataFrame, idName: String, vecName: String): DataFrame = {
       val cols = (0 until numTables).map { t =>
         struct(lit(t).as("table"),
