@@ -22,10 +22,15 @@ import graft.tables.Tables
   * banding, prefix filters, and verify all run at true corpus scale; a
   * single pair lost to a broken filter at that scale fails the compare.
   *
-  * Cluster queries get EXACT sampled truth through a frontier-bounded
-  * BFS: a recursive CTE expands only the sampled docs' components
-  * (frontier × corpus per step — linear while near-dup clusters stay
-  * small), yielding each sampled doc's true min-reachable label.
+  * Cluster queries get EXACT sampled truth from the FULL component
+  * structure, built linearly: [[OracleSql.jaccardEdges]] replays the
+  * PPJoin prefix filter in SQL to enumerate every verified edge, then
+  * [[OracleSql.labelChain]] runs materialized pointer-jumped label
+  * rounds (label := label-of-label each round, so 24 rounds cover
+  * diameter 2²⁴) — each sampled doc then reads off its true
+  * min-reachable label. Per-seed BFS would be quadratic in component
+  * size on this near-dup-dense corpus; the label chain is O(E) per
+  * round with a fixed round count.
   *
   * These run in the regular sf0.01 driver gate too (cheap there), so the
   * restriction logic itself is hash-verified every round.
@@ -175,9 +180,9 @@ object SampledSimilarity {
     },
 
     // q43's connected components: full pair graph + pointer-jumped CC,
-    // labels restricted to the sample; the oracle BFS-expands only the
-    // sampled docs' components (frontier × corpus per step) and takes
-    // each sampled doc's true min-reachable id
+    // labels restricted to the sample; the oracle builds the FULL label
+    // structure (jaccardEdges + pointer-jumped labelChain rounds) and
+    // reads each sampled doc's true min-reachable id off it
     "q144_sampled_clusters" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val edges = TextDedup.jaccardPairs(docs, "doc_id", "text",
@@ -191,8 +196,8 @@ object SampledSimilarity {
     },
 
     // q96's leakage-safe split, per-doc assignment of the sampled docs —
-    // exact because the split is a pure function of the (BFS-verified)
-    // cluster label
+    // exact because the split is a pure function of the cluster label,
+    // which the labelChain oracle reconstructs exactly
     "q145_sampled_split" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text",

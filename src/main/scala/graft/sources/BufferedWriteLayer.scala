@@ -87,6 +87,12 @@ final class BufferedWriteLayer(val table: GraftTable,
   @volatile private var closed = false
   // OS advisory lock on _wal/_lock (local FS only) — null on object stores
   private var lockChannel: java.nio.channels.FileChannel = null
+  // object-store path only: did THIS open create the _lock marker? A
+  // constructor that creates the marker and then fails during WAL replay
+  // must remove its own marker before rethrowing — otherwise every
+  // subsequent open fails loudly until a manual breakLock even though no
+  // owner exists.
+  private var createdMarker = false
 
   // ---- single-owner lock + crash recovery ------------------------------
   // Ownership is acquired BEFORE replay: a second live durable layer must
@@ -122,14 +128,20 @@ final class BufferedWriteLayer(val table: GraftTable,
         lockChannel.write(java.nio.ByteBuffer.wrap(ownerId.getBytes("UTF-8")))
         lockChannel.force(true)
       } else {
-        // object store: no flock exists — create WITHOUT overwrite, so two
-        // JVMs can never both believe they own the WAL. A leftover marker
-        // (live elsewhere or crashed, indistinguishable without a lease)
-        // fails loudly; takeover is explicit via breakLock.
+        // object store: no flock exists — create WITHOUT overwrite as a
+        // best-effort guard. NOTE this is weaker than it looks: Hadoop's
+        // create(path, overwrite=false) is HEAD-then-PUT on S3-style
+        // stores (non-atomic), so two concurrent openers racing the same
+        // instant can BOTH succeed; true cross-JVM exclusion there needs a
+        // conditional-put (If-None-Match) or an external lease. The marker
+        // still catches the common cases — a live layer opened earlier or
+        // a crashed predecessor — loudly; takeover is explicit via
+        // breakLock.
         val existing =
           try {
             val out = fs.create(lockPath, false)
-            out.write(ownerId.getBytes("UTF-8")); out.close(); None
+            out.write(ownerId.getBytes("UTF-8")); out.close()
+            createdMarker = true; None
           } catch {
             case _: org.apache.hadoop.fs.FileAlreadyExistsException |
                 _: java.io.IOException if fs.exists(lockPath) =>
@@ -161,6 +173,11 @@ final class BufferedWriteLayer(val table: GraftTable,
       case t: Throwable =>
         BufferedWriteLayer.owners.remove(lockKey, ownerId)
         if (lockChannel != null) { lockChannel.close(); lockChannel = null }
+        // only the marker THIS open created — never a foreign holder's
+        if (createdMarker) {
+          try fs.delete(new Path(walRoot, "_lock"), false)
+          catch { case _: java.io.IOException => () } // best effort; breakLock remains
+        }
         throw t
     }
     // a predecessor that crashed at (or above) the cap must not leave the
@@ -177,8 +194,19 @@ final class BufferedWriteLayer(val table: GraftTable,
   def close(): Unit = {
     if (durable && !closed) {
       flush()
-      if (lockChannel != null) { lockChannel.close(); lockChannel = null }
-      fs.delete(new Path(walRoot, "_lock"), false)
+      if (lockChannel != null) {
+        // local FS: release the flock but DO NOT unlink the lock file.
+        // Unlinking opens a double-adoption window: a successor can lock
+        // the old (now-unlinked) inode while another process creates and
+        // locks a fresh _lock at the same path — two simultaneous
+        // "holders", the exact race the lock exists to prevent. flock
+        // semantics never require unlink; successors lock the same file.
+        lockChannel.close(); lockChannel = null
+      } else {
+        // object store: the marker IS the lock — remove it so a successor
+        // can open without a manual breakLock
+        fs.delete(new Path(walRoot, "_lock"), false)
+      }
       BufferedWriteLayer.owners.remove(lockKey, ownerId)
     }
     closed = true

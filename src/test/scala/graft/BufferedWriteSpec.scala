@@ -205,6 +205,24 @@ class BufferedWriteSpec extends AnyFunSuite {
     succ.close()
   }
 
+  test("close() keeps the local _lock file (flock released, never unlinked)") {
+    // unlinking on close opens a double-adoption window: a successor can
+    // flock the old unlinked inode while another process creates and locks
+    // a fresh _lock at the same path — two simultaneous holders. flock
+    // semantics never require unlink; successors lock the SAME file.
+    val tbl = freshTable()
+    tbl.append(rows(0 until 5, "stored"), t(0))
+    val owner = new BufferedWriteLayer(tbl, durable = true)
+    owner.close()
+    val lockFile = new java.io.File(new org.apache.hadoop.fs.Path(
+      s"${tbl.root}/${tbl.meta.name}/_wal/_lock").toUri.getPath)
+    assert(lockFile.exists, "close() must not unlink the flock file")
+    // the persistent file is inert: a successor locks it and serves
+    val succ = new BufferedWriteLayer(tbl, durable = true)
+    assert(succ.bufferedRows == 0L)
+    succ.close()
+  }
+
   test("WAL recovery honors maxBufferedRows (auto-flush after replay)") {
     val tbl = freshTable()
     // predecessor with a LARGER cap crashes holding 12 buffered rows
