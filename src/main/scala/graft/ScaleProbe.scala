@@ -86,6 +86,10 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the probe measures the DISTRIBUTED algorithms: the cluster
+      // queries must not take the small-graph driver union-find escape
+      // hatch here, or the ratios would compare different code paths
+      .config("spark.graft.cc.driverEdgeLimit", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -578,6 +578,28 @@ object TextDedup {
     val sym = edges.select(col("id_a").as("__src"), col("id_b").as("__dst"))
       .unionByName(edges.select(col("id_b").as("__src"), col("id_a").as("__dst")))
       .transform(Pin(_))
+    // HYBRID fast path: a near-dup pair graph is usually output-sized —
+    // orders of magnitude smaller than the corpus that produced it — and
+    // when it fits comfortably in driver memory the iterative join loop's
+    // per-round cost (2–3 shuffle jobs × O(log diameter) rounds of
+    // scheduling latency) dwarfs the actual labeling work. Below the
+    // bound, collect the (already pinned, already output-sized) edge list
+    // and label with union–find: exact same min-reachable-id labels, one
+    // job instead of a dozen. The DISTRIBUTED loop below remains the only
+    // path above the bound, for non-integral id types, and in every scale
+    // probe (`spark.graft.cc.driverEdgeLimit=0` forces it) — this is the
+    // small-graph escape hatch, not the scale story. The collect is
+    // BOUNDED by construction: ≤ 2·limit rows of two longs (~64 MB at the
+    // default), checked against the pinned frame before any transfer.
+    val idType = ids.schema.fields.find(_.name == "__id").map(_.dataType)
+    val integral = idType.exists(t =>
+      t == org.apache.spark.sql.types.LongType ||
+        t == org.apache.spark.sql.types.IntegerType)
+    val driverLimit = ids.sparkSession.conf
+      .getOption("spark.graft.cc.driverEdgeLimit").map(_.toLong)
+      .getOrElse(2000000L)
+    if (integral && driverLimit > 0 && sym.count() <= 2 * driverLimit)
+      return driverComponents(ids, sym, idType.get)
     var labels = ids.select(col("__id"), col("__id").as("__lbl"))
       .transform(Pin(_))
     var converged = false
@@ -614,6 +636,44 @@ object TextDedup {
         s"$jumpAfter*2^${maxIter - jumpAfter} exceeded by the graph " +
         "diameter): refusing to return a truncated label set — raise maxIter")
     labels
+  }
+
+  /** Driver-side labeling for the [[connectedComponents]] fast path:
+    * union–find with path halving over the collected symmetric edge list,
+    * roots kept at the component MINIMUM id so labels are bit-identical
+    * to the distributed min-propagation fixpoint. Unpaired ids label
+    * themselves via the broadcast left join — the same singleton
+    * semantics as the loop. */
+  private def driverComponents(ids: DataFrame, sym: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) {
+        parent.put(r, parent.get(parent.get(r))) // path halving
+        r = parent.get(r)
+      }
+      r
+    }
+    sym.select(col("__src").cast("long"), col("__dst").cast("long"))
+      .collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        // union by VALUE — the smaller id becomes the root, so every
+        // root is its component's minimum and find() IS the label
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+    val session = ids.sparkSession
+    import scala.jdk.CollectionConverters._
+    val labelRows = parent.keySet.asScala.toSeq.map(k => (k, find(k)))
+    val labelDf = session.createDataFrame(labelRows)
+      .toDF("__lid", "__plbl")
+      .select(col("__lid").cast(idType), col("__plbl").cast(idType))
+    ids.join(broadcast(labelDf), col("__id") === col("__lid"), "left")
+      .select(col("__id"),
+        coalesce(col("__plbl"), col("__id")).as("__lbl"))
   }
 
   /** CONTAINMENT-similarity decontamination join: for every benchmark doc

@@ -235,11 +235,24 @@ class TrainingDataSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(ok == (0L to depth by 2).toSet)
     // connectedComponents: pointer jumping covers depth 2^maxIter, so a
-    // too-deep chain needs maxIter=1 on depth > 2 to trip the guard
+    // too-deep chain needs maxIter=1 on depth > 2 to trip the guard.
+    // Forced onto the DISTRIBUTED loop — the guard under test lives
+    // there; the small-graph driver path is exact and loop-free.
     val eC = intercept[IllegalStateException] {
-      TextDedup.connectedComponents(ids, chain, maxIter = 1).collect()
+      withDistributedCc {
+        TextDedup.connectedComponents(ids, chain, maxIter = 1).collect()
+      }
     }
     assert(eC.getMessage.contains("did not converge"))
+  }
+
+  /** Run `body` with the connectedComponents driver fast path disabled,
+    * restoring the session conf after — the loop-behavior specs must pin
+    * the distributed algorithm, which small fixture graphs would
+    * otherwise never reach. */
+  private def withDistributedCc[A](body: => A): A = {
+    spark.conf.set("spark.graft.cc.driverEdgeLimit", "0")
+    try body finally spark.conf.unset("spark.graft.cc.driverEdgeLimit")
   }
 
   test("connectedComponents pointer jumping: a 600-deep path converges in <=20 rounds") {
@@ -249,9 +262,29 @@ class TrainingDataSpec extends AnyFunSuite {
     val n = 600
     val ids = (0L until n).toDF("__id")
     val path = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
-    val labels = TextDedup.connectedComponents(ids, path)
-      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val labels = withDistributedCc {
+      TextDedup.connectedComponents(ids, path)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+    }
     assert(labels.length == n && labels.forall(_._2 == 0L))
+  }
+
+  test("driver union-find fast path labels exactly like the distributed loop") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    for (_ <- 1 to 5) {
+      val n = 40L
+      val ids = (0L until n).toDF("__id")
+      val edges = Seq.fill(30)((rnd.nextLong(n), rnd.nextLong(n)))
+        .filter(e => e._1 != e._2).toDF("id_a", "id_b")
+      val viaDriver = TextDedup.connectedComponents(ids, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaLoop = withDistributedCc {
+        TextDedup.connectedComponents(ids, edges)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      assert(viaDriver == viaLoop)
+    }
   }
 
   test("connected components label chains, stars, and singletons") {
