@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Host-aware derivation of the engine's memory/parallelism knobs, with
+  * EXPLICIT-OVERRIDE-WINS semantics and a logged budget audit — the
+  * Spark-native analogue of the reference's startup auto-tuner
+  * (`/root/reference/src/autotune.rs:1-319`): derive every knob from ONE
+  * detection of host cores/heap, never override a value the operator set,
+  * and make the final committed-vs-headroom split visible instead of
+  * letting a hand-pinned combination discover oversubscription as an OOM
+  * kill under load.
+  *
+  * What Spark already covers and what it doesn't: executor execution and
+  * storage memory are governed by the unified memory manager (no knob to
+  * derive — `spark.memory.fraction`'s default split is the well-tested
+  * posture). The knobs that can still oversubscribe a host live OUTSIDE
+  * that pool, and those are the ones derived here:
+  *
+  *  - `spark.sql.shuffle.partitions` — derived from detected cores.
+  *    NOTE the same container caveat as the reference's `detect_cores`:
+  *    `availableProcessors` honors cpuset pinning but NOT a CFS quota
+  *    (`docker --cpus`), so a quota-throttled container should set the
+  *    override env explicitly.
+  *  - `spark.sql.autoBroadcastJoinThreshold` — each broadcast relation is
+  *    rebuilt on the driver and resident per executor; the threshold
+  *    scales with heap, clamped to [10 MB, 128 MB] (a fleet driver gains
+  *    nothing from broadcasting 1 GB dimension tables — that is what
+  *    shuffle joins are for).
+  *  - WAL buffer cap ([[graft.sources.BufferedWriteLayer]] default
+  *    `maxBufferedRows`) — buffered batches are pinned via localCheckpoint
+  *    in executor storage; derived as ~25% of heap at a conservative
+  *    bytes/row estimate, with admission honoring the same 1.2× recovery
+  *    ceiling the audit charges (a crashed predecessor's WAL replay may
+  *    reconstruct up to the cap before the auto-flush fires).
+  *  - connected-components driver fast-path bound
+  *    (`spark.graft.cc.driverEdgeLimit`) — the collect is charged at a
+  *    REALISTIC driver-row overhead (~96 B/edge with Row boxing), not the
+  *    16 B payload, and capped at ~2% of heap.
+  *
+  * Precedence per knob: environment variable > already-set Spark conf >
+  * derived value. [[install]] logs one line naming exactly which knobs
+  * were derived vs respected — the reference's "logged once at startup so
+  * ops can see exactly what was chosen".
+  */
+object Autotune {
+
+  private val MB = 1024L * 1024
+
+  /** One detection, shared by every derivation — two readings drifting
+    * apart is the failure class the reference's budget tree exists to
+    * kill. */
+  final case class Host(cores: Int, heapBytes: Long)
+
+  def detectHost(): Host =
+    Host(Runtime.getRuntime.availableProcessors(),
+      Runtime.getRuntime.maxMemory())
+
+  /** The derived knob set for a host. Pure function — specs pin the
+    * clamps and monotonicity without a SparkSession. */
+  final case class Knobs(shufflePartitions: Int,
+      broadcastThresholdBytes: Long, maxBufferedRows: Long,
+      ccDriverEdgeLimit: Long)
+
+  /** Conservative planning estimates, deliberately pessimistic: the audit
+    * exists to warn BEFORE the allocator finds out. */
+  private val BufferBytesPerRow = 200L // wide telemetry row, long strings
+  private val CcBytesPerEdge = 96L // 2 longs + Row boxing + array slack
+  private val BufferRecoveryCeiling = 1.2 // WAL replay may reach 120% of cap
+
+  /** The budget tree, derived TOP-DOWN so the split respects its own
+    * audit line by construction (the reference's ≈72%-of-RAM invariant):
+    * Spark's unified pool takes (heap − 300 MB) × 0.6 ≈ 59%, the warn
+    * line sits at 75%, so everything derived here must fit the ~16%
+    * between them — buffer HARD ceiling ≤ 8% (nominal cap = 8%/1.2),
+    * cc collect ≤ 2%, broadcast peak (4 × threshold) ≤ 1.6% — leaving
+    * real slack for the consumers no budget tracks. */
+  def derive(host: Host = detectHost()): Knobs = Knobs(
+    shufflePartitions = math.max(host.cores, 1),
+    broadcastThresholdBytes =
+      clamp(host.heapBytes / 256, 10L * MB, 128L * MB),
+    maxBufferedRows =
+      clamp((host.heapBytes * 8 / 100 /
+        (BufferBytesPerRow * BufferRecoveryCeiling)).toLong,
+        100000L, 20000000L),
+    ccDriverEdgeLimit =
+      clamp(host.heapBytes / 50 / CcBytesPerEdge, 200000L, 20000000L))
+
+  private def clamp(v: Long, lo: Long, hi: Long): Long =
+    math.min(math.max(v, lo), hi)
+
+  /** Budget audit: what the derived (or overridden) knobs COMMIT against
+    * the shared local-mode heap, and what is left for the consumers no
+    * budget tracks (codegen/JIT code cache, parquet footer cache, driver
+    * collects, allocator slack). Committed well UNDER the warn line is
+    * the point — one wide scan can exceed a thin slack, which is how a
+    * box gets OOM-killed while every individual budget looks fine. */
+  final case class Audit(heapMb: Long, unifiedPoolMb: Long,
+      bufferHardMb: Long, ccCollectMb: Long, broadcastPeakMb: Long,
+      committedMb: Long, warnAtMb: Long) {
+    def slackMb: Long = math.max(warnAtMb - committedMb, 0L)
+    def oversubscribed: Boolean = committedMb > warnAtMb
+    def render: String =
+      s"budget_audit committed_mb=$committedMb warn_at_mb=$warnAtMb " +
+        s"slack_mb=$slackMb (unified_pool=$unifiedPoolMb " +
+        s"buffer_hard=$bufferHardMb cc_collect=$ccCollectMb " +
+        s"broadcast_peak=$broadcastPeakMb) heap_mb=$heapMb — slack absorbs " +
+        "UNTRACKED allocation (codegen cache, parquet footers, driver " +
+        "collects, allocator overhead)"
+  }
+
+  /** Warn when committed budgets pass this share of heap — the
+    * counterpart of the reference's 75% line (its 85% predecessor passed
+    * a config that was OOM-killed four times in nine hours). */
+  private val OversubWarnPct = 75L
+
+  def audit(host: Host, shufflePartitions: Int, broadcastBytes: Long,
+      bufferedRows: Long, ccEdges: Long,
+      memoryFraction: Double = 0.6): Audit = {
+    val heapMb = host.heapBytes / MB
+    // Spark's unified pool: (heap − 300 MB reserved) × memory.fraction.
+    val unified = ((host.heapBytes - 300 * MB).max(0) *
+      memoryFraction).toLong / MB
+    val bufferHard =
+      (bufferedRows * BufferBytesPerRow * BufferRecoveryCeiling).toLong / MB
+    val ccCollect = ccEdges * CcBytesPerEdge / MB
+    // several broadcast builds can be in flight in one plan; charge four
+    val broadcastPeak = broadcastBytes * 4 / MB
+    val committed = unified + bufferHard + ccCollect + broadcastPeak
+    Audit(heapMb, unified, bufferHard, ccCollect, broadcastPeak,
+      committed, heapMb * OversubWarnPct / 100)
+  }
+
+  // ---- wiring ------------------------------------------------------------
+
+  /** Env overrides, named like the existing bench/probe envs. */
+  private val EnvShuffle = "SPARK_GRAFT_CPUS"
+  private val EnvBroadcast = "SPARK_GRAFT_BROADCAST_MB"
+  private val EnvBufferRows = "SPARK_GRAFT_BUFFER_MAX_ROWS"
+  private val EnvCcLimit = "SPARK_GRAFT_CC_DRIVER_EDGE_LIMIT"
+
+  /** The default WAL buffer cap [[graft.sources.BufferedWriteLayer]]
+    * reads when the caller passes none: env override, else derived. */
+  def defaultMaxBufferedRows(env: Map[String, String] = sys.env): Long =
+    env.get(EnvBufferRows).map(_.toLong)
+      .getOrElse(derive().maxBufferedRows)
+
+  /** Resolve every knob with env > operator-set-conf > derived precedence
+    * and SET the winners on the session; returns the audit of the FINAL
+    * (post-override) values — operators keep authority, the failure mode
+    * becomes a visible warning. Logged once per call site (Bench, probe,
+    * verify mains — each a fresh JVM). "Operator-set" = the session conf
+    * currently differs from Spark's own default for that key (a builder
+    * `.config(...)` or an earlier `conf.set`). */
+  def install(spark: SparkSession,
+      env: Map[String, String] = sys.env): Audit = {
+    val host = detectHost()
+    val k = derive(host)
+    val applied = scala.collection.mutable.ArrayBuffer.empty[String]
+    def resolve(envKey: String, confKey: String, sparkDefault: Option[Long],
+        derived: Long, fromEnv: String => Long,
+        fromConf: String => Long): Long =
+      env.get(envKey).map(fromEnv) match {
+        case Some(explicit) =>
+          spark.conf.set(confKey, explicit.toString); explicit
+        case None =>
+          val current = spark.conf.getOption(confKey).map(fromConf)
+          if (current.isDefined && current != sparkDefault) current.get
+          else {
+            spark.conf.set(confKey, derived.toString)
+            applied += s"$confKey=$derived"
+            derived
+          }
+      }
+    val bytesConf = (s: String) =>
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
+    val shuffle = resolve(EnvShuffle, "spark.sql.shuffle.partitions",
+      Some(200L), k.shufflePartitions, _.toLong, _.toLong)
+    val broadcast = resolve(EnvBroadcast,
+      "spark.sql.autoBroadcastJoinThreshold", Some(10L * MB),
+      k.broadcastThresholdBytes, mb => mb.toLong * MB, bytesConf)
+    val ccLimit = resolve(EnvCcLimit, "spark.graft.cc.driverEdgeLimit",
+      None, k.ccDriverEdgeLimit, _.toLong, _.toLong)
+    val bufferedRows = defaultMaxBufferedRows(env)
+    val a = audit(host, shuffle.toInt, broadcast, bufferedRows, ccLimit)
+    val chosen = if (applied.isEmpty) "no overrides applied (all knobs " +
+      "explicitly set or already at derived values)"
+    else applied.mkString(", ")
+    val msg = s"[autotune] cores=${host.cores} heap_mb=${a.heapMb} " +
+      s"derived: $chosen; ${a.render}"
+    if (a.oversubscribed)
+      System.err.println(s"$msg — OVERSUBSCRIBED, lower one of these knobs")
+    else System.err.println(msg)
+    lastAudit = Some(a)
+    a
+  }
+
+  /** The most recent audit, for introspection surfaces (the reference
+    * keeps its boot audit readable from `timefusion_stats` — a startup
+    * log line rotates away; an operator diagnosing an OOM needs the
+    * committed-vs-slack split on demand). */
+  @volatile private var lastAudit: Option[Audit] = None
+  def bootAudit: Option[Audit] = lastAudit
+}

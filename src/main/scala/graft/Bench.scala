@@ -20,11 +20,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // shuffle partitions / broadcast threshold / buffer caps derive from
+    // the host (SPARK_GRAFT_CPUS et al. win when set) + budget audit log
+    Autotune.install(spark)
     graft.plans.DeferExpensiveProjection.install(spark)
 
     // JVM-health telemetry per query (stderr — stdout carries only the

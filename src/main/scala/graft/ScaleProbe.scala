@@ -17,10 +17,12 @@ import org.apache.spark.sql.functions._
   *    corpus's (every shingle maps 1:1), across replicas token sets are
   *    disjoint so no new near-dup pairs appear. N× rows → N× dup pairs,
   *    N× clusters, N× removal spans.
-  *  - `embeddings`: replica r rotates the 64-dim vector by 6·r positions
-  *    — intra-replica cosine structure is preserved exactly (rotation is
-  *    orthogonal), cross-replica cosines decorrelate, so cells/dup sets
-  *    replicate rather than merge.
+  *  - `embeddings`: replica r applies rotation (6·r positions) plus a
+  *    deterministic per-replica sign-flip pattern — both orthogonal, so
+  *    intra-replica cosine structure is preserved exactly while
+  *    cross-replica cosines decorrelate at ANY factor (rotation alone
+  *    caps at `dim` distinct transforms), so cells/dup sets replicate
+  *    rather than merge.
   *
   * Env: SPARK_GRAFT_SF_DIR (base, default sf0.1), SPARK_GRAFT_SCALE_DIR
   * (default /tmp/graft_sf1), SPARK_GRAFT_SCALE_FACTOR (default 10).
@@ -83,7 +85,6 @@ object ScaleProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // the probe measures the DISTRIBUTED algorithms: the cluster
@@ -92,13 +93,15 @@ object ScaleProbe {
       .config("spark.graft.cc.driverEdgeLimit", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Autotune.install(spark) // derive remaining knobs; the explicit
+    // cc.driverEdgeLimit=0 above survives (operator-set conf wins)
 
     // resume guard keys on a marker written AFTER every amplify write: a
     // run that died mid-build (or an older build lacking a newer table's
     // amplification) must rebuild, not silently serve a stale scale dir
-    if (!Files.exists(Paths.get(out, "_amplified_v2"))) {
+    if (!Files.exists(Paths.get(out, "_amplified_v3"))) {
       amplify(spark, base, out, factor)
-      Files.createFile(Paths.get(out, "_amplified_v2"))
+      Files.createFile(Paths.get(out, "_amplified_v3"))
     }
 
     // SPARK_GRAFT_PROBE_QUERIES: comma-list to probe a subset (the
@@ -240,13 +243,27 @@ object ScaleProbe {
     val maxVec = emb.agg(max("vec_id")).head.getLong(0) + 1
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
     replicate(emb, factor) { (df, r) =>
+      // replica transform = rotation ∘ per-replica SIGN FLIP. Rotation
+      // alone caps at `dim` distinct transforms (rot 6r mod dim collides
+      // at r ≡ r' mod dim/gcd — factor 100 on dim 64 would make replicas
+      // 0 and 32 IDENTICAL, manufacturing cross-replica exact dups); the
+      // deterministic flip pattern keeps every replica's transform
+      // distinct at any factor. Both pieces are orthogonal maps, so
+      // intra-replica cosine structure is preserved EXACTLY (sign flip
+      // of a float is exact), and cross-replica cosines decorrelate.
       val k = (6 * r) % dim
       val rot =
         if (k == 0) col("embedding")
         else concat(slice(col("embedding"), k + 1, dim - k),
           slice(col("embedding"), 1, k))
+      val flipped = if (r == 0) rot else {
+        val bits = new scala.util.Random(0x9E3779B97F4A7C15L * r).nextLong()
+        val signs = array((0 until dim).map(j =>
+          lit(if (((bits >> (j % 64)) & 1L) == 1L) -1.0f else 1.0f)): _*)
+        zip_with(rot, signs, (x, s) => x * s)
+      }
       df.select((col("vec_id") + lit(r * maxVec)).as("vec_id"),
-        rot.as("embedding"), col("label"))
+        flipped.as("embedding"), col("label"))
     }.coalesce(4).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
@@ -293,7 +310,7 @@ object AmplifyFull {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (Files.exists(Paths.get(out, "_amplified_full_v1"))) {
+    if (Files.exists(Paths.get(out, "_amplified_full_v2"))) {
       spark.stop(); return
     }
     ScaleProbe.amplify(spark, base, out, factor)
@@ -340,7 +357,7 @@ object AmplifyFull {
         col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
         col("p_retailprice"))
     }
-    Files.createFile(Paths.get(out, "_amplified_full_v1"))
+    Files.createFile(Paths.get(out, "_amplified_full_v2"))
     spark.stop()
     println(s"""{"metric":"amplify_full","out":"$out","factor":$factor}""")
   }

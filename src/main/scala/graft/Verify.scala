@@ -17,6 +17,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Autotune.install(spark) // respects the explicit builder confs above
     graft.plans.DeferExpensiveProjection.install(spark)
     new java.io.File(outDir).mkdirs()
     // Failures must be LOUD: a throwing query used to leave only a stderr

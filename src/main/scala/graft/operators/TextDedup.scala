@@ -597,7 +597,7 @@ object TextDedup {
         t == org.apache.spark.sql.types.IntegerType)
     val driverLimit = ids.sparkSession.conf
       .getOption("spark.graft.cc.driverEdgeLimit").map(_.toLong)
-      .getOrElse(2000000L)
+      .getOrElse(graft.Autotune.derive().ccDriverEdgeLimit)
     if (integral && driverLimit > 0 && sym.count() <= 2 * driverLimit)
       return driverComponents(ids, sym, idType.get)
     var labels = ids.select(col("__id"), col("__id").as("__lbl"))

@@ -178,6 +178,14 @@ object VectorSearch {
       .limit(maxSample).collect().map(_.getSeq[Double](0).toArray)
   }
 
+  /** Above this many cells, training and assignment go TWO-LEVEL. Both
+    * costs are otherwise ∝ k and k itself grows with the corpus (cells
+    * target a constant occupancy), which is a hidden quadratic: the
+    * sf1→sf10 probe measured q75 at 26.9× for 10× rows — driver kmeans
+    * at sample×k flops single-threaded, plus an n×k interpreted-lambda
+    * assignment. With a √k coarse layer both drop to ~√k per point. */
+  private val HierK = 256
+
   private def sphericalCentroids(corpus: DataFrame, vecCol: String,
       nLists: Int, seed: Long): Array[Array[Double]] = {
     val sample = normalizedSample(corpus, vecCol, seed)
@@ -185,7 +193,33 @@ object VectorSearch {
     // one): no quantizer to train — callers return their empty shape
     // instead of letting kmeans crash on points.head
     if (sample.isEmpty) Array.empty
-    else kmeans(sample, nLists, iters = 10, seed)
+    else if (nLists <= HierK) kmeans(sample, nLists, iters = 10, seed)
+    else {
+      // two-level Lloyd (the FAISS coarse-quantizer discipline): √k
+      // coarse centers over the sample, then per coarse group a fine
+      // kmeans sized ∝ the group's mass — cell occupancy stays ~even,
+      // total ≈ nLists, training cost sample×(√k + k/√k) instead of
+      // sample×k. Deterministic: seeded init, groups in coarse order.
+      val k1 = math.ceil(math.sqrt(nLists.toDouble)).toInt
+      val coarse = kmeans(sample, k1, iters = 10, seed)
+      val byGroup = sample.groupBy(p => nearestIdx(p, coarse))
+      byGroup.toSeq.sortBy(_._1).flatMap { case (g, pts) =>
+        val kg = math.max(1, math.round(
+          nLists.toDouble * pts.length / sample.length).toInt)
+        kmeans(pts, kg, iters = 10, seed + g)
+      }.toArray
+    }
+  }
+
+  private def nearestIdx(p: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var i = 0
+      while (i < p.length) { val x = p(i) - cs(c)(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
   }
 
   /** Explode each row to its `n` nearest quantizer cells (`__cell`); the
@@ -201,31 +235,71 @@ object VectorSearch {
       n: Int, band: Double = Double.PositiveInfinity): DataFrame = {
     val matrixLit = typedLit(centroids.map(_.toSeq).toSeq)
     val normsLit = typedLit(centroids.map(_.map(x => x * x).sum).toSeq)
-    def cellDistances(vec: Column): Column = {
-      val nrm = sqrt(aggregate(vec,
-        lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-      transform(matrixLit, (c, i) =>
-        element_at(normsLit, (i + 1).cast("int")) - lit(2.0) *
-          aggregate(zip_with(vec, c, (x, p) => x.cast("double") * p),
-            lit(0.0), (acc, v) => acc + v) / nrm)
-    }
-    val assigned = df.withColumn("__d", cellDistances(col("__v")))
+    def vnorm(vec: Column): Column = sqrt(aggregate(vec,
+      lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    def distTo(vec: Column, nrm: Column, c: Column, cNormSq: Column): Column =
+      cNormSq - lit(2.0) *
+        aggregate(zip_with(vec, c, (x, p) => x.cast("double") * p),
+          lit(0.0), (acc, v) => acc + v) / nrm
+    // (__d: distances, __ci: the cell id each distance belongs to)
+    val assigned =
+      if (centroids.length <= HierK) {
+        df.withColumn("__d", {
+            val nrm = vnorm(col("__v"))
+            transform(matrixLit, (c, i) => distTo(col("__v"), nrm, c,
+              element_at(normsLit, (i + 1).cast("int"))))
+          })
+          .withColumn("__ci", transform(col("__d"), (_, i) => i))
+      } else {
+        // TWO-LEVEL assignment: the centroid set itself is clustered into
+        // √k coarse groups (driver-side, k×√k flops — trivial); each row
+        // scores the √k coarse centers, takes the nearest few groups, and
+        // scores only THOSE groups' fine centroids — ~const·√k distance
+        // evaluations per row instead of k. Approximate at group
+        // boundaries (the nearest fine cell can sit in an unprobed
+        // group); the recall artifact re-measures the approximate family
+        // whenever this path changes.
+        val k1 = math.ceil(math.sqrt(centroids.length.toDouble)).toInt
+        val coarse = kmeans(centroids, k1, iters = 10, seed = 1013L)
+        val groups0 = centroids.indices.groupBy(i =>
+          nearestIdx(centroids(i), coarse)).toSeq.sortBy(_._1)
+        val usedCoarse = typedLit(groups0.map { case (g, _) =>
+          coarse(g).toSeq })
+        val usedCoarseNorms = typedLit(groups0.map { case (g, _) =>
+          coarse(g).map(x => x * x).sum })
+        val groupsLit = typedLit(groups0.map(_._2.toSeq))
+        val probes = math.min(4, groups0.length)
+        val coarseD = transform(usedCoarse, (c, i) =>
+          distTo(col("__v"), col("__nrm"), c, element_at(usedCoarseNorms,
+            (i + 1).cast("int"))))
+        val topG = slice(array_sort(transform(coarseD, (d, i) =>
+          struct(d.as("d"), i.as("g")))), 1, probes)
+        val cand = flatten(transform(topG, s =>
+          element_at(groupsLit, (s("g") + 1).cast("int"))))
+        df.withColumn("__nrm", vnorm(col("__v"))) // hoisted: reused per distance
+          .withColumn("__ci", cand)
+          .withColumn("__d", transform(col("__ci"), fi =>
+            distTo(col("__v"), col("__nrm"),
+              element_at(matrixLit, (fi + 1).cast("int")),
+              element_at(normsLit, (fi + 1).cast("int")))))
+          .drop("__nrm")
+      }
     val cells =
-      if (n == 1) array(array_position(col("__d"), array_min(col("__d")))
-        .cast("int") - 1)
+      if (n == 1) array(element_at(col("__ci"),
+        array_position(col("__d"), array_min(col("__d"))).cast("int")))
       else {
         // the proxy d is |v̂−c|² − 1 (|v̂|² dropped as constant), so true
         // squared distance is 1 + d; a finite `band` keeps a SECONDARY
         // cell only while dist_k ≤ band·dist_1 — multi-probing pays only
         // for vectors actually near a cell boundary, which is the only
         // place a near-dup pair can straddle cells
-        val sorted = slice(array_sort(transform(col("__d"), (d, i) =>
-          struct(d.as("d"), i.as("cell")))), 1, n)
+        val sorted = slice(array_sort(zip_with(col("__d"), col("__ci"),
+          (d, c) => struct(d.as("d"), c.as("cell")))), 1, n)
         val bestD = element_at(sorted, 1)("d")
         filter(sorted, (s, i) => (i === 0) ||
           (lit(1.0) + s("d")) <= lit(band * band) * (lit(1.0) + bestD))("cell")
       }
-    assigned.withColumn("__cell", explode(cells)).drop("__d")
+    assigned.withColumn("__cell", explode(cells)).drop("__d", "__ci")
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -279,28 +353,64 @@ object VectorSearch {
     * cos 0.99 pair with p ≈ 1−1e-5. */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, planesPerTable: Int = 12,
-      numTables: Int = 10, seed: Long = 97L): DataFrame = {
-    val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    val bucketed = {
+      numTables: Int = 10, seed: Long = 97L): DataFrame =
+    cosineNearDupJoin(
+      corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")), None,
+      dim, threshold, planesPerTable, numTables, seed,
+      outA = "id_a", outB = "id_b")
+
+  /** INCREMENTAL embedding near-dup check: exact-cosine pairs between a
+    * NEW batch and an EXISTING corpus — the embedding-space twin of
+    * [[graft.operators.TextDedup.jaccardPairsAgainst]], and the per-
+    * micro-batch probe of the streaming semantic-dedup-at-ingest pipeline.
+    * Same sign-signature bucket machinery as [[cosineNearDupPairs]]
+    * (ONE shared core — a fix to the banding or the verify cannot diverge
+    * the two paths), but the candidate join is batch-side buckets ×
+    * base-side buckets only: cost scales with the BATCH (times bucket
+    * collision mass), never base². The plane family is seed-fixed, so a
+    * base maintained incrementally buckets identically batch after batch.
+    * Returns (new_id, base_id, cosine). */
+  def cosineNearDupPairsAgainst(newDf: DataFrame, baseDf: DataFrame,
+      idCol: String, vecCol: String, dim: Int, threshold: Double,
+      planesPerTable: Int = 12, numTables: Int = 10,
+      seed: Long = 97L): DataFrame =
+    cosineNearDupJoin(
+      newDf.select(col(idCol).as("__id"), col(vecCol).as("__v")),
+      Some(baseDf.select(col(idCol).as("__id"), col(vecCol).as("__v"))),
+      dim, threshold, planesPerTable, numTables, seed,
+      outA = "new_id", outB = "base_id")
+
+  /** Shared bucket + verify core: `b = None` self-joins `a` (pairs
+    * guarded by `id_a < id_b`); otherwise a-side buckets probe b-side
+    * buckets only. */
+  private def cosineNearDupJoin(a: DataFrame, b: Option[DataFrame],
+      dim: Int, threshold: Double, planesPerTable: Int, numTables: Int,
+      seed: Long, outA: String, outB: String): DataFrame = {
+    def bucketed(df: DataFrame): DataFrame = {
       val cols = (0 until numTables).map { t =>
         struct(lit(t).as("table"),
           signature(col("__v"), planes(planesPerTable, dim, seed + t)).as("key"))
       }
-      c.withColumn("__b", explode(array(cols: _*)))
+      df.withColumn("__b", explode(array(cols: _*)))
         .select(col("__id"), col("__b.table").as("table"),
           col("__b.key").as("key"))
     }
-    val cands = bucketed.as("a").join(bucketed.as("b"),
-        col("a.table") === col("b.table") && col("a.key") === col("b.key") &&
-          col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+    val bucketsA = bucketed(a)
+    val bucketsB = b.map(bucketed).getOrElse(bucketsA)
+    val onBuckets = col("a.table") === col("b.table") &&
+      col("a.key") === col("b.key")
+    val joinCond =
+      if (b.isDefined) onBuckets else onBuckets && col("a.__id") < col("b.__id")
+    val cands = bucketsA.as("a").join(bucketsB.as("b"), joinCond)
+      .select(col("a.__id").as(outA), col("b.__id").as(outB))
       .distinct()
     cands
-      .join(c.select(col("__id").as("id_a"), col("__v").as("__va")), "id_a")
-      .join(c.select(col("__id").as("id_b"), col("__v").as("__vb")), "id_b")
+      .join(a.select(col("__id").as(outA), col("__v").as("__va")), outA)
+      .join(b.getOrElse(a).select(col("__id").as(outB), col("__v").as("__vb")),
+        outB)
       .withColumn("cosine", cosine(col("__va"), col("__vb"), dim))
       .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
+      .select(col(outA), col(outB), col("cosine"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

@@ -708,6 +708,76 @@ object StreamingQueries {
       r
     })
 
+  private val semDedupBuilt = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** SEMANTIC dedup AT INGEST run to completion — the embedding-space
+    * twin of [[nearDupIngestOut]] (q126), the production shape for
+    * keeping a multimodal corpus clean incrementally: the q47 near-dup
+    * embedding corpus (base + planted 1.02x+0.01 dups) in three
+    * id-ordered micro-batches; each batch drops vectors that exact-cosine
+    * (≥ 0.9) an already-committed SURVIVOR
+    * ([[graft.operators.VectorSearch.cosineNearDupPairsAgainst]] — per-
+    * batch cost scales with the batch × bucket collisions, never
+    * corpus²), keeps the greedy min-id survivor set within itself
+    * ([[graft.operators.TextDedup.greedySurvivors]] over the exact-cosine
+    * pair graph), and lands its survivors exactly-once (per-batch
+    * deterministic OVERWRITE, the q137 idempotence pattern). The greedy
+    * rule is batching-invariant, so the union of per-batch survivor sets
+    * must equal the GLOBAL sequential "keep unless it cosine-near-dups an
+    * earlier keeper" pass — which the oracle replays as unrolled iterated
+    * elimination over the brute-force cosine pair graph. The committed
+    * base is maintained incrementally as pinned (id, vector) rows; the
+    * sign-plane family is seed-fixed, so the base buckets identically
+    * batch after batch and is never re-scanned as raw corpus. */
+  private def semDedupIngestOut(s: SparkSession, dir: String): String =
+    semDedupBuilt.getOrElseUpdate(dir, {
+      val r = graft.tables.TempDirs.create("graft_stream_semdedup_")
+      // id-ordered thirds by RANK, not id value: the planted dup ids sit
+      // 1M above the base ids, so value thirds would leave a batch empty
+      val corpus = graft.operators.Pin(TrainingData.nearDupCorpus(s, dir)
+        .withColumn("__b", ntile(3).over(
+          org.apache.spark.sql.expressions.Window.orderBy("vec_id"))))
+      (1 to 3).foreach { b =>
+        if (b > 1) Thread.sleep(1100) // distinct mod-times: oldest-first
+        corpus.filter(col("__b") === b)
+          .select(col("vec_id"), col("v"))
+          .coalesce(1).write.mode("append").parquet(r + "/src")
+      }
+      val sch = StructType(Seq(StructField("vec_id", LongType),
+        StructField("v", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+      val src = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(r + "/src")
+      var base = graft.operators.Pin(
+        s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          sch))
+      val q = src.writeStream
+        .option("checkpointLocation", r + "/chk")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+          val batch = batch0.localCheckpoint()
+          val blocked = graft.operators.VectorSearch
+            .cosineNearDupPairsAgainst(batch, base, "vec_id", "v",
+              dim = 64, threshold = 0.9)
+            .select(col("new_id").as("vec_id")).distinct()
+          val clean = batch.join(blocked, Seq("vec_id"), "left_anti")
+          val within = graft.operators.VectorSearch.cosineNearDupPairs(
+            clean, "vec_id", "v", dim = 64, threshold = 0.9)
+          val surv = graft.operators.TextDedup.greedySurvivors(
+            clean.select(col("vec_id").as("__id")),
+            within.select("id_a", "id_b"))
+          val keepers = graft.operators.Pin(
+            clean.join(surv.select(col("__id").as("vec_id")), "vec_id"))
+          keepers.select(col("vec_id"))
+            .write.mode("overwrite").parquet(s"$r/out/batch_$batchId")
+          base = graft.operators.Pin(base.unionByName(keepers))
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      r
+    })
+
   private val containBuilt = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Containment decontamination AT INGEST run to completion — the q135
@@ -1038,6 +1108,14 @@ object StreamingQueries {
         .orderBy("bench_id", "doc_id")
     },
 
+    // ---- streaming SEMANTIC dedup at ingest (greedy min-id keep rule in
+    // embedding space, micro-batches probed against committed survivors) --
+    "q148_streaming_semantic_dedup" -> { (s, dir) =>
+      s.read.option("recursiveFileLookup", "true")
+        .parquet(semDedupIngestOut(s, dir) + "/out")
+        .orderBy("vec_id")
+    },
+
     // ---- streaming conversion funnel (the q80 operator, incrementally) ----
     "q85_streaming_funnel" -> { (s, dir) =>
       s.read.parquet(funnelOut2(s, dir) + "/out")
@@ -1152,6 +1230,37 @@ object StreamingQueries {
         |FROM b JOIN c
         | ON len(list_intersect(bts, cts))::DOUBLE / len(bts) >= 0.95
         |ORDER BY bench_id, doc_id""".stripMargin,
+
+    // the GLOBAL sequential greedy keep rule over the EXACT cosine ≥ 0.9
+    // pair graph of the q47 near-dup embedding corpus (base + planted
+    // dups), replayed as unrolled iterated elimination — the q126 oracle
+    // retargeted at embedding space. Brute-force pair scoring is
+    // quadratic and stays a GATE-SCALE oracle (the q47 treatment: at sf1
+    // the family is covered by the sampled-exact gates + recall
+    // measurement). Poison row on an unconverged unroll.
+    "q148_streaming_semantic_dedup" -> {
+      val rounds = 64
+      s"""WITH base AS (
+         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |dups AS (
+         | SELECT vec_id + 1000000 AS vec_id,
+         |   list_transform(v, x -> x * 1.02 + 0.01) AS v
+         | FROM base WHERE vec_id % 20 = 0),
+         |corpus AS MATERIALIZED (
+         | SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+         | FROM (SELECT * FROM base UNION ALL SELECT * FROM dups)),
+         |epairs AS MATERIALIZED (
+         | SELECT a.vec_id AS x, b.vec_id AS y
+         | FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+         | WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.9),
+         |${OracleSql.eliminationChain(rounds)}
+         |SELECT c.vec_id FROM corpus c
+         |WHERE c.vec_id NOT IN (SELECT id FROM paired)
+         |   OR c.vec_id IN (SELECT id FROM s$rounds)
+         |UNION ALL
+         |SELECT -1 FROM unconv WHERE n > 0
+         |ORDER BY vec_id""".stripMargin
+    },
 
     // The sequential keep rule as UNROLLED iterated elimination (the
     // one-row-per-step recursive CTE it replaces is O(n) sequential

@@ -71,7 +71,9 @@ import org.apache.spark.sql.{Column, DataFrame}
   * flush trigger (`flush_interval_secs` / pressure sawtooth, BASELINE.md).
   */
 final class BufferedWriteLayer(val table: GraftTable,
-    val maxBufferedRows: Long = 1000000L,
+    // default derived from host heap (explicit-override-wins via
+    // SPARK_GRAFT_BUFFER_MAX_ROWS) — see graft.Autotune
+    val maxBufferedRows: Long = graft.Autotune.defaultMaxBufferedRows(),
     val durable: Boolean = false) {
 
   // (pinned conformed batch, its WAL dir when durable)

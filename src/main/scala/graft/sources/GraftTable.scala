@@ -1261,6 +1261,7 @@ class GraftTable(
       d.withColumn(c, v)
     }
     append(updated.selectExpr(targetCols: _*), versionTime)
+    markDmlDirty()
   }
 
   /** `UPDATE … FROM source` (reference `src/dml.rs:86-115,158-240`): the
@@ -1278,9 +1279,11 @@ class GraftTable(
   def updateFrom(source: DataFrame, on: Column,
       assignments: Map[String, Column],
       versionTime: Option[java.time.LocalDateTime] = None,
-      targetClamp: Option[Column] = None): Unit =
+      targetClamp: Option[Column] = None): Unit = {
     append(updateFromBatch(targetClamp.foldLeft(readResolved())(_ filter _),
       source, on, assignments), versionTime)
+    markDmlDirty()
+  }
 
   /** The UPDATE…FROM new-version batch against an EXPLICIT target view —
     * shared by [[updateFrom]] (storage view) and the buffered layer's
@@ -1328,6 +1331,7 @@ class GraftTable(
         updates.unionByName(conformedInserts)
       }
     append(batch, versionTime)
+    markDmlDirty()
   }
 
   /** Version-append DELETE: append tombstone versions. */
@@ -1337,9 +1341,63 @@ class GraftTable(
       throw new IllegalStateException(s"${meta.name} has no tombstone column"))
     val matched = readResolved().filter(predicate).withColumn(t, lit(true))
     append(matched.selectExpr(targetCols: _*), versionTime)
+    markDmlDirty()
   }
 
   // -------------------------------------------------------- maintenance --
+
+  // ---- DML dirty-bin queue (reference `src/dirty_bin_queue.rs` +
+  // `database.rs:4715`: every dedup-keyed write records the (date, bin)
+  // buckets it touched; maintenance targets those first). Here the bin is
+  // the date partition, the queue is a best-effort JSON file beside the
+  // commit markers (tmp+rename, warn-and-continue on IO failure — losing
+  // it degrades to the ordinary backlog order, never to wrong data), and
+  // [[maintenanceSweep]] gives queued dates two privileges: they count as
+  // dirty at ANY append count (a single DML version already forces MOR
+  // window resolution on every read of that date — the exact fragmentation
+  // compaction exists to remove), and their runs are taken BEFORE the
+  // ordinary oldest-first backlog.
+  private def dmlQueuePath = new Path(commitsDir, "_dml_dirty.json")
+
+  private[graft] def dmlDirtyDates(): Set[String] =
+    try {
+      if (!fs.exists(dmlQueuePath)) Set.empty
+      else {
+        val in = fs.open(dmlQueuePath)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        txt.split("[\\[\\],\"\\s]+").filter(_.nonEmpty).toSet
+      }
+    } catch {
+      case e: java.io.IOException =>
+        logWarning(s"discarding unreadable DML dirty queue: $e"); Set.empty
+    }
+
+  private def storeDmlDirty(dates: Set[String]): Unit =
+    try {
+      val tmp = new Path(commitsDir, "_dml_dirty.json.tmp")
+      val out = fs.create(tmp, true)
+      out.write(dates.toSeq.sorted
+        .mkString("[\"", "\",\"", "\"]").getBytes("UTF-8"))
+      out.close()
+      fs.delete(dmlQueuePath, false)
+      if (!fs.rename(tmp, dmlQueuePath))
+        logWarning("failed to persist DML dirty queue (rename)")
+    } catch {
+      case e: java.io.IOException =>
+        logWarning(s"failed to persist DML dirty queue: $e")
+    }
+
+  private def logWarning(msg: String): Unit =
+    System.err.println(s"[graft] ${meta.name}: $msg")
+
+  /** Record the newest commit's date range as DML-dirtied. Called by the
+    * DML paths right after their version append — the commit marker
+    * already carries the touched range, so no data IO. */
+  private def markDmlDirty(): Unit =
+    commits().lastOption.flatMap(_.dates).foreach { case (lo, hi) =>
+      storeDmlDirty(dmlDirtyDates() ++ expandDates((lo, hi)))
+    }
 
   /** Background dedup sweep: write the resolved view (versions collapsed,
     * tombstoned identities dropped, re-sorted) as a new base version whose
@@ -1357,7 +1415,11 @@ class GraftTable(
     // cache warmth for zero gain.
     val alreadyCompacted =
       cs.lastOption.exists(_.baseOf.isDefined) && visibleDirs(cs).size == 1
-    if (cs.nonEmpty && !alreadyCompacted) compactLocked(cs)
+    if (cs.nonEmpty && !alreadyCompacted) {
+      compactLocked(cs)
+      // a FULL base consolidates every date — nothing queued remains dirty
+      if (dmlDirtyDates().nonEmpty) storeDmlDirty(Set.empty)
+    }
   }
 
   // z-order sort when the schema declares z_order_columns: compacted
@@ -1465,7 +1527,8 @@ class GraftTable(
     val vis = visibleCommits(commits())
     val pbases = vis.filter(_.pbase)
     val appends = vis.filter(c => !c.pbase && c.baseOf.isEmpty)
-    val dirty = appends
+    val queued = dmlDirtyDates()
+    val uncovered = appends
       .flatMap { c =>
         c.dates.toSeq.flatMap(expandDates).filterNot { ds =>
           val d = java.time.LocalDate.parse(ds)
@@ -1474,16 +1537,32 @@ class GraftTable(
           })
         }
       }
-      .groupBy(identity).filter(_._2.size >= minVersions)
+    // a DML-queued date is dirty at ANY append count: one DML version
+    // already puts MOR resolution on every read of that date
+    val dirty = uncovered
+      .groupBy(identity)
+      .filter { case (ds, vs) => vs.size >= minVersions || queued(ds) }
       .keys.toSeq.map(java.time.LocalDate.parse).sortBy(_.toEpochDay)
     // contiguous runs → one partial base each
-    val runs = dirty.foldLeft(
+    def runsOf(ds: Seq[java.time.LocalDate]) = ds.foldLeft(
       List.empty[(java.time.LocalDate, java.time.LocalDate)]) {
       case ((lo, hi) :: tail, d) if d == hi.plusDays(1) => (lo, d) :: tail
       case (acc, d) => (d, d) :: acc
     }.reverse
-    val slice = runs.take(maxRanges)
+    // DML-queued runs FIRST (targeted re-sort of buckets a reader is
+    // paying for right now), then the ordinary oldest-first backlog
+    val (dmlRuns, backlog) = runsOf(dirty)
+      .partition { case (lo, hi) =>
+        expandDates((lo, hi)).exists(queued)
+      }
+    val slice = (dmlRuns ++ backlog).take(maxRanges)
     slice.foreach { case (lo, hi) => compactRange(lo, hi) }
+    // drain the queue entries this slice consolidated
+    if (queued.nonEmpty && slice.nonEmpty) {
+      val done = slice.flatMap(expandDates).toSet
+      val remaining = queued -- done
+      if (remaining != queued) storeDmlDirty(remaining)
+    }
     slice
   }
 

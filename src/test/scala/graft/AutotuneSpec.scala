@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class AutotuneSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val GB = 1024L * 1024 * 1024
+
+  test("derive: clamps hold at both extremes and scale with the host") {
+    val tiny = Autotune.derive(Autotune.Host(cores = 1, heapBytes = 128L << 20))
+    assert(tiny.shufflePartitions == 1)
+    assert(tiny.broadcastThresholdBytes == 10L << 20, "broadcast floor")
+    assert(tiny.maxBufferedRows == 100000L, "buffer floor")
+    assert(tiny.ccDriverEdgeLimit == 200000L, "cc floor")
+
+    val huge = Autotune.derive(Autotune.Host(cores = 256, heapBytes = 512 * GB))
+    assert(huge.shufflePartitions == 256)
+    assert(huge.broadcastThresholdBytes == 128L << 20, "broadcast cap")
+    assert(huge.maxBufferedRows == 20000000L, "buffer cap")
+    assert(huge.ccDriverEdgeLimit == 20000000L, "cc cap")
+
+    // monotone between the clamps: a bigger host never derives less
+    val mid1 = Autotune.derive(Autotune.Host(8, 8 * GB))
+    val mid2 = Autotune.derive(Autotune.Host(16, 32 * GB))
+    assert(mid2.broadcastThresholdBytes > mid1.broadcastThresholdBytes)
+    assert(mid2.maxBufferedRows > mid1.maxBufferedRows)
+    assert(mid2.ccDriverEdgeLimit > mid1.ccDriverEdgeLimit)
+  }
+
+  test("audit: arithmetic and the oversubscription line") {
+    val host = Autotune.Host(32, 28 * GB)
+    val k = Autotune.derive(host)
+    val a = Autotune.audit(host, k.shufflePartitions,
+      k.broadcastThresholdBytes, k.maxBufferedRows, k.ccDriverEdgeLimit)
+    assert(a.committedMb == a.unifiedPoolMb + a.bufferHardMb +
+      a.ccCollectMb + a.broadcastPeakMb)
+    assert(a.warnAtMb == a.heapMb * 75 / 100)
+    assert(a.slackMb == math.max(a.warnAtMb - a.committedMb, 0))
+    // the DERIVED split must respect its own budget line by construction
+    assert(!a.oversubscribed,
+      s"derived knobs oversubscribe their own audit: ${a.render}")
+    // a hand-pinned combination that blows the line must flag
+    val pinned = Autotune.audit(host, 32, 2 * GB, 100000000L, 20000000L)
+    assert(pinned.oversubscribed)
+  }
+
+  test("install: env wins, operator-set conf wins, derived fills the rest") {
+    val key = "spark.graft.cc.driverEdgeLimit"
+    val prior = spark.conf.getOption(key)
+    // install also derives the broadcast threshold on this shared session;
+    // restore it so later suites keep the stock plan shapes
+    val priorBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // env wins over everything
+      spark.conf.set(key, "123")
+      Autotune.install(spark, env = Map("SPARK_GRAFT_CC_DRIVER_EDGE_LIMIT" -> "77"))
+      assert(spark.conf.get(key) == "77")
+      // operator-set conf wins when no env
+      spark.conf.set(key, "0")
+      Autotune.install(spark, env = Map.empty)
+      assert(spark.conf.get(key) == "0",
+        "an explicit conf (the probe's distributed-path pin) must survive")
+      // nothing set → derived
+      spark.conf.unset(key)
+      val audit = Autotune.install(spark, env = Map.empty)
+      assert(spark.conf.get(key).toLong ==
+        Autotune.derive().ccDriverEdgeLimit)
+      assert(audit.heapMb > 0)
+      // the shared test session pins shuffle partitions at the builder —
+      // install must NOT overwrite that explicit choice
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorBroadcast)
+    }
+  }
+
+  test("defaultMaxBufferedRows: env override wins, else derived") {
+    assert(Autotune.defaultMaxBufferedRows(
+      Map("SPARK_GRAFT_BUFFER_MAX_ROWS" -> "4242")) == 4242L)
+    assert(Autotune.defaultMaxBufferedRows(Map.empty) ==
+      Autotune.derive().maxBufferedRows)
+  }
+}

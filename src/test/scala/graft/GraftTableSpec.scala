@@ -34,6 +34,10 @@ class GraftTableSpec extends AnyFunSuite {
 
   private def t0(m: Int) = Some(java.time.LocalDateTime.of(2024, 3, 2, 0, m))
 
+  /** A fresh handle over the same root — models a process restart. */
+  private def reopen(t: GraftTable): GraftTable =
+    new GraftTable(spark, t.root, t.meta)
+
   /** Like [[sampleRows]] but spread by HOURS: n > 24 spans several dates
     * (row i lands on day 2024-03-01 + i/24). */
   private def hourlyRows(n: Int) = {
@@ -408,9 +412,53 @@ class GraftTableSpec extends AnyFunSuite {
     // idempotent: the appends' day-two dates are now covered by the
     // partial base, so nothing is dirty
     assert(t.maintenanceSweep(minVersions = 2).isEmpty)
-    // a single fresh update is below the threshold
+    // a single fresh UPDATE is dirty via the DML queue even below the
+    // version threshold: one DML version already forces MOR resolution
+    // on every read of that date (reference dirty-bin semantics)
     t.update(col("id") === "row-31", Map("name" -> lit("u4")), t0(5))
+    val dmlSwept = t.maintenanceSweep(minVersions = 2)
+    assert(dmlSwept.nonEmpty, "a DML-touched date must compact promptly")
     assert(t.maintenanceSweep(minVersions = 2).isEmpty)
+    val r31 = t.readResolved().filter(col("id") === "row-31").collect()
+    assert(r31.length == 1 && r31(0).getAs[String]("name") == "u4")
+  }
+
+  test("DML dirty-bin queue: an updated date compacts BEFORE an untouched " +
+      "older backlog run, and the queue drains durably") {
+    val t = freshTable()
+    t.append(hourlyRows(96), t0(0)) // days 03-01..03-04
+    t.compact()
+    // ordinary backlog: day 03-01 fragmented by two plain APPENDS
+    def day(n: Int) = f"2024-03-0$n"
+    def dayRows(n: Int) = hourlyRows(96).filter(
+      col("timestamp") >= lit(s"${day(n)} 00:00:00").cast("timestamp_ntz") &&
+        col("timestamp") < lit(s"${day(n)} 23:59:59").cast("timestamp_ntz"))
+    t.append(dayRows(1), t0(2))
+    t.append(dayRows(1), t0(3))
+    // DML wave on the NEWER day 03-04 — one version, queue-marked
+    t.update(col("timestamp") >= lit(s"${day(4)} 00:00:00")
+        .cast("timestamp_ntz"),
+      Map("name" -> lit("dml")), t0(4))
+    assert(t.dmlDirtyDates().contains("2024-03-04"),
+      "the UPDATE must enqueue its touched date durably")
+    val before = t.readResolved().collect().toSet
+    val d = (n: Int) => java.time.LocalDate.of(2024, 3, n)
+
+    // tick 1 at maxRanges=1: the DML-dirtied (younger!) day wins the slice
+    val s1 = t.maintenanceSweep(minVersions = 2, maxRanges = 1)
+    assert(s1 == Seq((d(4), d(4))),
+      s"DML-dirtied bucket must compact before the older backlog: $s1")
+    assert(!t.dmlDirtyDates().contains("2024-03-04"), "queue must drain")
+    // tick 2: the ordinary backlog (03-01) follows
+    val s2 = t.maintenanceSweep(minVersions = 2, maxRanges = 1)
+    assert(s2 == Seq((d(1), d(1))), s"backlog must follow: $s2")
+    assert(t.maintenanceSweep(minVersions = 2, maxRanges = 1).isEmpty)
+    assert(t.readResolved().collect().toSet == before,
+      "sweep order must never change the resolved view")
+    // durability: a FRESH table handle over the same root sees the same
+    // (now-empty) queue — the queue is a file, not process state
+    val t2 = reopen(t)
+    assert(t2.dmlDirtyDates().isEmpty)
   }
 
   test("bounded maintenance sweep: catch-up accrues oldest-first across " +

@@ -64,6 +64,22 @@ class PercentileAggSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(0) - 950.0) < 25.0)
   }
 
+  test("q22 rank-error bound: every group's estimate ranks within 1% or " +
+      "4 rows of its target percentile against the exact multiset") {
+    // the driver gate's quantitative story for the one approximate
+    // aggregate (the ANN-recall treatment): ε = |rank(estimate)/n − p|
+    // measured over every (day, event_type) group at both shipped
+    // percentiles; SampledRecall records the same number per scale dir
+    // into the round artifact.
+    val (eps, rows) = graft.SampledRecall.tdigestRankEps(spark,
+      "/root/testdata/sf0.01")
+    // gate-scale groups run ~100 rows, where rank granularity alone is a
+    // row; the bound is therefore "within 1% OR within 4 ROWS of the
+    // target rank" — at fleet group sizes the relative arm takes over
+    assert(eps <= 0.01 || rows <= 4.0,
+      f"t-digest rank error: eps=$eps%.5f rows=$rows%.1f")
+  }
+
   test("empty input yields NULL digest and NULL percentile") {
     val r = spark.range(0).select(col("id").cast("double").as("v"))
       .agg(PercentileAgg.approx_percentile(0.5, percentile_agg(col("v"))).as("p")).collect()(0)

@@ -269,6 +269,64 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(labels.length == n && labels.forall(_._2 == 0L))
   }
 
+  test("streaming semantic dedup: batching-invariant and eliminates every " +
+      "planted dup (equals the one-shot greedy set at any drain schedule)") {
+    import org.apache.spark.sql.DataFrame
+    val dim = 64
+    // the q47 near-dup corpus: base embeddings + planted 1.02x+0.01 dups
+    val base0 = embs.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val planted = base0.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"), x => x * 1.02 + 0.01).as("v"))
+    val corpus = base0.unionByName(planted).localCheckpoint()
+
+    // one-shot target: greedy min-id survivors over the exact-cosine graph
+    val oneShot = TextDedup.greedySurvivors(
+        corpus.select(col("vec_id").as("__id")),
+        VectorSearch.cosineNearDupPairs(corpus, "vec_id", "v", dim, 0.9)
+          .select("id_a", "id_b"))
+      .collect().map(_.getLong(0)).toSet
+
+    // every planted dup must fall to its lower-id base twin
+    val plantedIds = planted.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(plantedIds.nonEmpty)
+    assert(plantedIds.intersect(oneShot).isEmpty,
+      "a planted dup survived the one-shot greedy pass")
+
+    // incremental replay at two different drain schedules
+    def incremental(nBatches: Int): Set[Long] = {
+      val ids = corpus.select("vec_id").orderBy("vec_id")
+        .collect().map(_.getLong(0))
+      val bounds = (0 to nBatches).map(b => b * ids.length / nBatches)
+      var baseSurv: DataFrame = corpus.filter(lit(false)).localCheckpoint()
+      var out = Set.empty[Long]
+      (0 until nBatches).foreach { b =>
+        val lo = ids(bounds(b))
+        val batch = corpus.filter(col("vec_id") >= lo &&
+          (if (bounds(b + 1) < ids.length) col("vec_id") < ids(bounds(b + 1))
+           else lit(true))).localCheckpoint()
+        val blocked = VectorSearch.cosineNearDupPairsAgainst(
+            batch, baseSurv, "vec_id", "v", dim, 0.9)
+          .select(col("new_id").as("vec_id")).distinct()
+        val clean = batch.join(blocked, Seq("vec_id"), "left_anti")
+        val surv = TextDedup.greedySurvivors(
+          clean.select(col("vec_id").as("__id")),
+          VectorSearch.cosineNearDupPairs(clean, "vec_id", "v", dim, 0.9)
+            .select("id_a", "id_b"))
+        val keepers = clean.join(surv.select(col("__id").as("vec_id")),
+          "vec_id").localCheckpoint()
+        out ++= keepers.select("vec_id").collect().map(_.getLong(0))
+        baseSurv = baseSurv.unionByName(keepers).localCheckpoint()
+      }
+      out
+    }
+    assert(incremental(2) == oneShot,
+      "2-batch drain diverged from the one-shot greedy set")
+    assert(incremental(5) == oneShot,
+      "5-batch drain diverged from the one-shot greedy set")
+  }
+
   test("driver union-find fast path labels exactly like the distributed loop") {
     import spark.implicits._
     val rnd = new scala.util.Random(77)
