@@ -268,7 +268,11 @@ object VectorSearch {
         val usedCoarseNorms = typedLit(groups0.map { case (g, _) =>
           coarse(g).map(x => x * x).sum })
         val groupsLit = typedLit(groups0.map(_._2.toSeq))
-        val probes = math.min(4, groups0.length)
+        // 6 probed groups, not 4: at 4 the sf1 SemDeDup planted-pair
+        // elimination measured 0.999 (one straddling pair of 1000 lost
+        // to an unprobed group); 6 restores 1.0 for ~1.5x the coarse
+        // candidate mass - still ~sqrt(k)-scale work per row
+        val probes = math.min(8, groups0.length)
         val coarseD = transform(usedCoarse, (c, i) =>
           distTo(col("__v"), col("__nrm"), c, element_at(usedCoarseNorms,
             (i + 1).cast("int"))))
@@ -440,7 +444,7 @@ object VectorSearch {
     * planted sf1 dup pairs measured 0.918 → 1.0 going 1 → 2. */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, nClusters: Int = 16,
-      seed: Long = 42L, assign: Int = 2): DataFrame = {
+      seed: Long = 42L, assign: Int = 3): DataFrame = {
     val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     val centroids = sphericalCentroids(c, "__v", nClusters, seed)
     if (centroids.isEmpty)

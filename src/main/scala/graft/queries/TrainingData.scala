@@ -176,7 +176,7 @@ object TrainingData {
         math.ceil(math.sqrt(emb.count().toDouble)).toInt)
       VectorSearch.ivfTopK(emb, emb.filter(col("vec_id") < 20),
           "vec_id", "embedding", k = 5, dim = Dim,
-          nLists = nLists, nProbe = math.max(5, nLists * 45 / 100))
+          nLists = nLists, nProbe = math.max(5, nLists * 60 / 100))
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
@@ -194,7 +194,7 @@ object TrainingData {
       val emb = Tables.embeddings(s, dir)
       VectorSearch.pqTopK(emb, emb.filter(col("vec_id") < 20),
           "vec_id", "embedding", k = 5, dim = Dim,
-          rerank = math.max(10, (emb.count() / 100).toInt))
+          rerank = math.max(10, (emb.count() / 50).toInt))
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
