@@ -23,10 +23,10 @@ import org.apache.spark.sql.SparkSession
   *    (`docker --cpus`), so a quota-throttled container should set the
   *    override env explicitly.
   *  - `spark.sql.autoBroadcastJoinThreshold` — each broadcast relation is
-  *    rebuilt on the driver and resident per executor; the threshold
-  *    scales with heap, clamped to [10 MB, 128 MB] (a fleet driver gains
-  *    nothing from broadcasting 1 GB dimension tables — that is what
-  *    shuffle joins are for).
+  *    rebuilt on the driver and resident per executor. Measured (see
+  *    [[derive]]): raising it with heap REGRESSES reads under concurrent
+  *    ingest ~40% with no analytics win, so the derivation keeps Spark's
+  *    10 MB default and the knob stays an explicit operator override.
   *  - WAL buffer cap ([[graft.sources.BufferedWriteLayer]] default
   *    `maxBufferedRows`) — buffered batches are pinned via localCheckpoint
   *    in executor storage; derived as ~25% of heap at a conservative
@@ -77,8 +77,14 @@ object Autotune {
     * real slack for the consumers no budget tracks. */
   def derive(host: Host = detectHost()): Knobs = Knobs(
     shufflePartitions = math.max(host.cores, 1),
-    broadcastThresholdBytes =
-      clamp(host.heapBytes / 256, 10L * MB, 128L * MB),
+    // NOT raised with heap: alternating A/B on the under-ingest
+    // dashboard leg measured {1530, 1218} ms at a heap-derived 112 MB
+    // and 1185 ms at 32 MB vs {910, 936} ms at Spark's 10 MB default —
+    // bigger broadcast builds compete with concurrent commits on the
+    // driver, and the analytics pass showed no offsetting win. An
+    // operator with a read-only fleet can raise it via
+    // SPARK_GRAFT_BROADCAST_MB; the audit charges whatever is effective.
+    broadcastThresholdBytes = 10L * MB,
     maxBufferedRows =
       clamp((host.heapBytes * 8 / 100 /
         (BufferBytesPerRow * BufferRecoveryCeiling)).toLong,

@@ -9,20 +9,20 @@ class AutotuneSpec extends AnyFunSuite {
   test("derive: clamps hold at both extremes and scale with the host") {
     val tiny = Autotune.derive(Autotune.Host(cores = 1, heapBytes = 128L << 20))
     assert(tiny.shufflePartitions == 1)
-    assert(tiny.broadcastThresholdBytes == 10L << 20, "broadcast floor")
+    assert(tiny.broadcastThresholdBytes == 10L << 20, "broadcast stays at the Spark default")
     assert(tiny.maxBufferedRows == 100000L, "buffer floor")
     assert(tiny.ccDriverEdgeLimit == 200000L, "cc floor")
 
     val huge = Autotune.derive(Autotune.Host(cores = 256, heapBytes = 512 * GB))
     assert(huge.shufflePartitions == 256)
-    assert(huge.broadcastThresholdBytes == 128L << 20, "broadcast cap")
+    assert(huge.broadcastThresholdBytes == 10L << 20,
+      "broadcast is measured-flat at the default, never heap-raised")
     assert(huge.maxBufferedRows == 20000000L, "buffer cap")
     assert(huge.ccDriverEdgeLimit == 20000000L, "cc cap")
 
     // monotone between the clamps: a bigger host never derives less
     val mid1 = Autotune.derive(Autotune.Host(8, 8 * GB))
     val mid2 = Autotune.derive(Autotune.Host(16, 32 * GB))
-    assert(mid2.broadcastThresholdBytes > mid1.broadcastThresholdBytes)
     assert(mid2.maxBufferedRows > mid1.maxBufferedRows)
     assert(mid2.ccDriverEdgeLimit > mid1.ccDriverEdgeLimit)
   }
