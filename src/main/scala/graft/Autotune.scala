@@ -34,14 +34,25 @@ import org.apache.spark.sql.SparkSession
   *    ceiling the audit charges (a crashed predecessor's WAL replay may
   *    reconstruct up to the cap before the auto-flush fires).
   *  - connected-components driver fast-path bound
-  *    (`spark.graft.cc.driverEdgeLimit`) — the collect is charged at a
-  *    REALISTIC driver-row overhead (~96 B/edge with Row boxing), not the
-  *    16 B payload, and capped at ~2% of heap.
+  *    (`spark.graft.cc.driverEdgeLimit`) — charged at the FULL driver
+  *    footprint of the fast path, not just the collect: the collected Row
+  *    array (~96 B/edge with boxing), the union–find HashMap (≤2 boxed
+  *    Long entries per edge), the label-tuple seq, and the broadcast
+  *    label table `driverComponents` builds regardless of
+  *    `autoBroadcastJoinThreshold` (~512 B/edge peak in total), capped at
+  *    ~2% of heap — so the forced broadcast is bounded by the same audit
+  *    line as the collect instead of riding uncharged beside it.
   *
   * Precedence per knob: environment variable > already-set Spark conf >
   * derived value. [[install]] logs one line naming exactly which knobs
   * were derived vs respected — the reference's "logged once at startup so
-  * ops can see exactly what was chosen".
+  * ops can see exactly what was chosen". One documented edge: "operator
+  * set" is detected as "the resolved conf differs from Spark's own
+  * default", so an operator deliberately pinning a knob AT the Spark
+  * default (e.g. `spark.sql.shuffle.partitions=200`) is indistinguishable
+  * from an unset knob and will be overridden by the derived value — pin
+  * through the env override (`SPARK_GRAFT_*`) when the default itself is
+  * the intended choice.
   */
 object Autotune {
 
@@ -65,7 +76,12 @@ object Autotune {
   /** Conservative planning estimates, deliberately pessimistic: the audit
     * exists to warn BEFORE the allocator finds out. */
   private val BufferBytesPerRow = 200L // wide telemetry row, long strings
-  private val CcBytesPerEdge = 96L // 2 longs + Row boxing + array slack
+  // Full driver-side footprint of the CC fast path, per edge: collected
+  // Row array (~96 B with boxing) + union–find HashMap (≤2 vertices/edge
+  // × ~84 B boxed entry) + label-tuple seq (~128 B) + the broadcast label
+  // table built regardless of autoBroadcastJoinThreshold (~96 B) — the
+  // structures coexist at peak, so the budget charges their sum.
+  private[graft] val CcDriverBytesPerEdge = 512L
   private val BufferRecoveryCeiling = 1.2 // WAL replay may reach 120% of cap
 
   /** The budget tree, derived TOP-DOWN so the split respects its own
@@ -90,7 +106,7 @@ object Autotune {
         (BufferBytesPerRow * BufferRecoveryCeiling)).toLong,
         100000L, 20000000L),
     ccDriverEdgeLimit =
-      clamp(host.heapBytes / 50 / CcBytesPerEdge, 200000L, 20000000L))
+      clamp(host.heapBytes / 50 / CcDriverBytesPerEdge, 200000L, 5000000L))
 
   private def clamp(v: Long, lo: Long, hi: Long): Long =
     math.min(math.max(v, lo), hi)
@@ -109,7 +125,7 @@ object Autotune {
     def render: String =
       s"budget_audit committed_mb=$committedMb warn_at_mb=$warnAtMb " +
         s"slack_mb=$slackMb (unified_pool=$unifiedPoolMb " +
-        s"buffer_hard=$bufferHardMb cc_collect=$ccCollectMb " +
+        s"buffer_hard=$bufferHardMb cc_driver=$ccCollectMb " +
         s"broadcast_peak=$broadcastPeakMb) heap_mb=$heapMb — slack absorbs " +
         "UNTRACKED allocation (codegen cache, parquet footers, driver " +
         "collects, allocator overhead)"
@@ -129,7 +145,11 @@ object Autotune {
       memoryFraction).toLong / MB
     val bufferHard =
       (bufferedRows * BufferBytesPerRow * BufferRecoveryCeiling).toLong / MB
-    val ccCollect = ccEdges * CcBytesPerEdge / MB
+    // full fast-path footprint: collect + union–find + broadcast label
+    // table — an operator pinning driverEdgeLimit above the derived clamp
+    // sees the true cost here (and the oversubscription flag if it blows
+    // the line), not the 16 B payload fiction
+    val ccCollect = ccEdges * CcDriverBytesPerEdge / MB
     // several broadcast builds can be in flight in one plan; charge four
     val broadcastPeak = broadcastBytes * 4 / MB
     val committed = unified + bufferHard + ccCollect + broadcastPeak

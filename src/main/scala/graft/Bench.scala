@@ -368,6 +368,12 @@ object Bench {
     try spark.streams.active.foreach { s =>
       try { s.stop(); s.awaitTermination(10000L) } catch { case _: Throwable => }
     } catch { case _: Throwable => }
+    // stop the state-store maintenance executor BEFORE the session: its
+    // scheduled task otherwise races spark.stop() and lands an [error]
+    // stack trace ("SparkEnv not active") on the output tail AFTER the
+    // record prints (BENCH_r10's tail carried exactly that trace)
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => }
     try spark.stop() catch { case _: Throwable => }
     Thread.sleep(750)
     System.out.flush(); System.err.flush()

@@ -588,9 +588,11 @@ object TextDedup {
     // job instead of a dozen. The DISTRIBUTED loop below remains the only
     // path above the bound, for non-integral id types, and in every scale
     // probe (`spark.graft.cc.driverEdgeLimit=0` forces it) — this is the
-    // small-graph escape hatch, not the scale story. The collect is
-    // BOUNDED by construction: ≤ 2·limit rows of two longs (~64 MB at the
-    // default), checked against the pinned frame before any transfer.
+    // small-graph escape hatch, not the scale story. The DRIVER footprint
+    // is bounded by construction and charged in full by the Autotune
+    // audit (collect rows + union–find map + broadcast label table, see
+    // `Autotune.CcDriverBytesPerEdge`), checked against the pinned frame
+    // before any transfer.
     val idType = ids.schema.fields.find(_.name == "__id").map(_.dataType)
     val integral = idType.exists(t =>
       t == org.apache.spark.sql.types.LongType ||
@@ -598,7 +600,23 @@ object TextDedup {
     val driverLimit = ids.sparkSession.conf
       .getOption("spark.graft.cc.driverEdgeLimit").map(_.toLong)
       .getOrElse(graft.Autotune.derive().ccDriverEdgeLimit)
-    if (integral && driverLimit > 0 && sym.count() <= 2 * driverLimit)
+    // Gate probe: a short-circuiting per-partition count over the pinned
+    // frame — each partition stops at the budget+1, no shuffle, one long
+    // per partition to the driver. Above the budget the exact total is
+    // irrelevant (only "over" matters), so a full count() job there is
+    // pure waste; the capped sum is still EXACT for the gate: it can
+    // undercount only when some partition hit the cap, and the cap alone
+    // already exceeds the budget.
+    def withinBudget: Boolean = {
+      val cap = 2 * driverLimit + 1
+      val seen = sym.queryExecution.toRdd.mapPartitions { it =>
+        var c = 0L
+        while (it.hasNext && c < cap) { it.next(); c += 1 }
+        Iterator.single(c)
+      }.collect().sum
+      seen <= 2 * driverLimit
+    }
+    if (integral && driverLimit > 0 && withinBudget)
       return driverComponents(ids, sym, idType.get)
     var labels = ids.select(col("__id"), col("__id").as("__lbl"))
       .transform(Pin(_))

@@ -271,8 +271,10 @@ object VectorSearch {
         // 6 probed groups, not 4: at 4 the sf1 SemDeDup planted-pair
         // elimination measured 0.999 (one straddling pair of 1000 lost
         // to an unprobed group); 6 restores 1.0 for ~1.5x the coarse
-        // candidate mass - still ~sqrt(k)-scale work per row
-        val probes = math.min(8, groups0.length)
+        // candidate mass - still ~sqrt(k)-scale work per row. (r11: the
+        // shipped constant briefly drifted to 8; reset to the measured
+        // minimum and re-verified via the SampledRecall artifact.)
+        val probes = math.min(6, groups0.length)
         val coarseD = transform(usedCoarse, (c, i) =>
           distTo(col("__v"), col("__nrm"), c, element_at(usedCoarseNorms,
             (i + 1).cast("int"))))

@@ -79,6 +79,9 @@ final class BufferedWriteLayer(val table: GraftTable,
   // (pinned conformed batch, its WAL dir when durable)
   private var batches: List[(DataFrame, Option[String])] = Nil
   private var buffered: Long = 0L
+  // dates touched by buffered DML batches, enqueued to the table's
+  // dirty-bin queue when the flush commits them
+  private var pendingDmlDates: Set[String] = Set.empty
 
   private def walRoot = s"${table.root}/${table.meta.name}/_wal"
 
@@ -279,6 +282,20 @@ final class BufferedWriteLayer(val table: GraftTable,
     // after the buffer already contains the new versions themselves
     val batch = table.updateFromBatch(readResolved(), source, on,
       assignments).localCheckpoint()
+    // Buffered DML must reach the dirty-bin queue like the direct
+    // GraftTable DML paths do — otherwise enrichment through the buffer
+    // silently misses priority compaction after flush. The batch's own
+    // touched dates are recorded NOW (a bounded distinct over the pinned
+    // batch — enrichment batches span few dates) and enqueued when the
+    // flush commits them; recording must precede insert(), which may
+    // auto-flush at the cap.
+    val touched = batch
+      .select(org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col(table.meta.timeColumn))
+        .cast("string").as("d"))
+      .filter(org.apache.spark.sql.functions.col("d").isNotNull)
+      .distinct().collect().map(_.getString(0)).toSet
+    synchronized { pendingDmlDates ++= touched }
     insert(batch, versionTime)
   }
 
@@ -296,17 +313,22 @@ final class BufferedWriteLayer(val table: GraftTable,
     * truncate the WAL — AFTER the commit, so a crash in between re-adopts
     * (idempotently) rather than loses. */
   def flush(): Unit = {
-    val toWrite = synchronized {
+    val (toWrite, dmlDates) = synchronized {
       val bs = batches
+      val dml = pendingDmlDates
       batches = Nil
       buffered = 0L
-      bs
+      pendingDmlDates = Set.empty
+      (bs, dml)
     }
     if (toWrite.nonEmpty) {
       // allowMissingColumns: batches buffered across a schema evolution
       // differ in width; missing columns null-fill, like the files would
       table.appendConformed(
         toWrite.map(_._1).reduce(_.unionByName(_, allowMissingColumns = true)))
+      // the flushed commit now carries the buffered DML versions: enqueue
+      // their dates for priority compaction, exactly like direct DML
+      table.markDmlDirtyDates(dmlDates)
       toWrite.flatMap(_._2).foreach(d => fs.delete(new Path(d), true))
     }
   }

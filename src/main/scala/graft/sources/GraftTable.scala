@@ -1399,6 +1399,13 @@ class GraftTable(
       storeDmlDirty(dmlDirtyDates() ++ expandDates((lo, hi)))
     }
 
+  /** Enqueue an explicit date set — the buffered layer's flush path: its
+    * commit mixes plain inserts with DML-enrichment batches, so the
+    * newest-commit range [[markDmlDirty]] reads would over-mark; the
+    * layer records each DML batch's own touched dates instead. */
+  private[sources] def markDmlDirtyDates(dates: Set[String]): Unit =
+    if (dates.nonEmpty) storeDmlDirty(dmlDirtyDates() ++ dates)
+
   /** Background dedup sweep: write the resolved view (versions collapsed,
     * tombstoned identities dropped, re-sorted) as a new base version whose
     * marker records the cut-off. Readers racing the swap see the old
@@ -1557,10 +1564,17 @@ class GraftTable(
       }
     val slice = (dmlRuns ++ backlog).take(maxRanges)
     slice.foreach { case (lo, hi) => compactRange(lo, hi) }
-    // drain the queue entries this slice consolidated
-    if (queued.nonEmpty && slice.nonEmpty) {
+    // Drain the queue entries this slice consolidated — AND any queued
+    // date no longer uncovered at all (a full compact or another partial
+    // base already folded its DML; a post-pbase DML would have left an
+    // uncovered version, so absence from `uncovered` means fully served).
+    // Without the second clause a stale entry persists in _dml_dirty.json
+    // forever and permanently promotes any future run containing its date
+    // ahead of the oldest-first backlog.
+    if (queued.nonEmpty) {
       val done = slice.flatMap(expandDates).toSet
-      val remaining = queued -- done
+      val uncoveredSet = uncovered.toSet
+      val remaining = (queued -- done).filter(uncoveredSet)
       if (remaining != queued) storeDmlDirty(remaining)
     }
     slice

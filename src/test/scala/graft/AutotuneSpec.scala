@@ -18,7 +18,8 @@ class AutotuneSpec extends AnyFunSuite {
     assert(huge.broadcastThresholdBytes == 10L << 20,
       "broadcast is measured-flat at the default, never heap-raised")
     assert(huge.maxBufferedRows == 20000000L, "buffer cap")
-    assert(huge.ccDriverEdgeLimit == 20000000L, "cc cap")
+    assert(huge.ccDriverEdgeLimit == 5000000L,
+      "cc cap — full-footprint accounting (collect + union-find + broadcast)")
 
     // monotone between the clamps: a bigger host never derives less
     val mid1 = Autotune.derive(Autotune.Host(8, 8 * GB))

@@ -314,5 +314,11 @@ class BufferedWriteSpec extends AnyFunSuite {
     val after = tbl.readResolved().select("id", "hashes").collect()
       .map(r => (r.getString(0), r.getSeq[String](1))).toSet
     assert(after == before, "flush must not change the enriched view")
+    // buffered DML reaches the dirty-bin queue at flush, exactly like the
+    // direct GraftTable DML paths — enrichment through the buffer must
+    // not silently miss priority compaction
+    assert(tbl.dmlDirtyDates().contains("2024-03-01"),
+      s"flushed buffered DML must enqueue its touched dates, " +
+        s"queue=${tbl.dmlDirtyDates()}")
   }
 }

@@ -461,6 +461,30 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t2.dmlDirtyDates().isEmpty)
   }
 
+  test("dirty-bin queue: a queued date already covered by a newer partial " +
+      "base drains without promoting future runs") {
+    val t = freshTable()
+    t.append(hourlyRows(48), t0(0)) // days 03-01 + 03-02
+    t.compact()
+    // DML on day 03-02 enqueues it; an OPERATOR-ISSUED compactRange then
+    // covers that date OUTSIDE the sweep, so the queue entry is stale:
+    // every version of 03-02 now sits under a newer partial base
+    t.update(col("timestamp") >= lit("2024-03-02 00:00:00")
+        .cast("timestamp_ntz"),
+      Map("name" -> lit("dml")), t0(2))
+    assert(t.dmlDirtyDates().contains("2024-03-02"))
+    t.compactRange(java.time.LocalDate.of(2024, 3, 2),
+      java.time.LocalDate.of(2024, 3, 2))
+    assert(t.dmlDirtyDates().contains("2024-03-02"),
+      "compactRange alone must not touch the queue (precondition)")
+    // the sweep has nothing to compact — but it must still DRAIN the
+    // stale entry, or it would permanently promote any future run
+    // containing 03-02 ahead of the oldest-first backlog
+    assert(t.maintenanceSweep(minVersions = 2).isEmpty)
+    assert(t.dmlDirtyDates().isEmpty,
+      "a queued date fully covered by a newer pbase must drain")
+  }
+
   test("bounded maintenance sweep: catch-up accrues oldest-first across " +
       "restart-sized slices") {
     // the reference's consolidate-catchup contract: a backlog of dirty
