@@ -69,6 +69,25 @@ object SampledRecall {
     val nPlanted = planted.count()
     val elim = 1.0 - bothKept.toDouble / nPlanted
 
+    // TWO-LEVEL assignment path, measured UNCONDITIONALLY: the
+    // hierarchical √k quantizer only engages above HierK cells, so the
+    // shipped q75 exercises it at sf1+ but NOT at small dirs — and a
+    // quantizer change could silently trade recall between rounds if no
+    // per-round artifact re-measured it. Force the cell count over the
+    // gate (~16 vectors/cell here vs the shipped ~128) and record the
+    // planted-pair elimination of the forced path next to the shipped one.
+    val corpusN = corpus.count()
+    val forcedK = math.max(300, (corpusN / 128).toInt)
+    val dedup2 = VectorSearch.semanticDedup(corpus, "vec_id", "v", Dim,
+        0.95, nClusters = forcedK)
+      .localCheckpoint()
+    val kept2 = dedup2.filter(col("keep")).select(col("vec_id"))
+    val bothKept2 = planted
+      .join(kept2.select(col("vec_id").as("lo")), Seq("lo"), "left_semi")
+      .join(kept2.select(col("vec_id").as("hi")), Seq("hi"), "left_semi")
+      .count()
+    val elim2 = 1.0 - bothKept2.toDouble / nPlanted
+
     // q22 t-digest: measured RANK ERROR against the exact multiset —
     // for each (day, event_type) group and each probed percentile p,
     // ε = |rank(estimate)/n − p| with rank(e) = #{values ≤ e}. The max ε
@@ -95,6 +114,8 @@ object SampledRecall {
         f""""q91_ann_pq_recall":$rPq%.4f,"q75_semantic_dedup":""" +
         f"""{"planted_pairs":$nPlanted,"both_kept":$bothKept,""" +
         f""""elimination_rate":$elim%.4f},""" +
+        f""""q75_two_level_forced":{"n_clusters":$forcedK,""" +
+        f""""both_kept":$bothKept2,"elimination_rate":$elim2%.4f},""" +
         f""""q22_tdigest_max_rank_eps":$q22Eps%.5f,""" +
         f""""q22_tdigest_max_rank_err_rows":$q22Rows%.1f,""" +
         f""""q110_pca_captured_variance":$pcaVar%.4f,""" +

@@ -1,0 +1,78 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Per-stage cost breakdown for one SparkEntry query — the measurement
+  * companion to the scale probe's per-query aggregates: which STAGE owns
+  * the shuffle volume/spill the probe reports. Prints one line per stage
+  * (shuffle write/read MB + records, input rows, spill) sorted by shuffle
+  * write, with the stage's callsite so the line maps back to source.
+  *
+  * Usage: `runMain graft.StageBreakdown <queryName>`
+  * (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS). Diagnostic only — not on
+  * any driver surface.
+  */
+object StageBreakdown {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("q26_minhash_lsh")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Autotune.install(spark)
+
+    final case class St(id: Int, name: String, site: String, tasks: Int,
+        ms: Long, inRows: Long, swMb: Double, swRows: Long, srMb: Double,
+        spillMb: Double)
+    val stages = ArrayBuffer.empty[St]
+    val listener = new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val i = e.stageInfo
+        val m = i.taskMetrics
+        if (m != null) stages.synchronized {
+          stages += St(i.stageId, i.name.take(60),
+            i.details.linesIterator.filterNot(_.contains("graft.Stage"))
+              .find(_.contains("graft")).getOrElse("").trim.take(90),
+            i.numTasks,
+            i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L),
+            m.inputMetrics.recordsRead,
+            m.shuffleWriteMetrics.bytesWritten / 1e6,
+            m.shuffleWriteMetrics.recordsWritten,
+            m.shuffleReadMetrics.totalBytesRead / 1e6,
+            (m.memoryBytesSpilled + m.diskBytesSpilled) / 1e6)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    // listener events post asynchronously (waitUntilEmpty is
+    // private[spark]): wait until the stage list stops moving
+    var last = -1; var spins = 0
+    while (stages.synchronized(stages.size) != last && spins < 50) {
+      last = stages.synchronized(stages.size); Thread.sleep(100); spins += 1
+    }
+    println(f"== $name on $dir: $sec%.1f s, ${stages.size} stages ==")
+    println(f"${"stage"}%6s ${"ms"}%8s ${"tasks"}%5s ${"inRows"}%12s " +
+      f"${"shufW MB"}%9s ${"shufW rows"}%12s ${"shufR MB"}%9s " +
+      f"${"spill MB"}%9s  site")
+    stages.sortBy(-_.swMb).foreach { s =>
+      println(f"${s.id}%6d ${s.ms}%8d ${s.tasks}%5d ${s.inRows}%12d " +
+        f"${s.swMb}%9.1f ${s.swRows}%12d ${s.srMb}%9.1f " +
+        f"${s.spillMb}%9.1f  ${s.site}")
+    }
+    val totW = stages.map(_.swMb).sum
+    println(f"total shuffle write ${totW}%.1f MB, " +
+      f"spill ${stages.map(_.spillMb).sum}%.1f MB")
+    spark.stop()
+  }
+}

@@ -665,13 +665,15 @@ object StreamingQueries {
         .option("maxFilesPerTrigger", "1").parquet(r + "/src")
       // the base side is maintained INCREMENTALLY as pinned hashed-set
       // rows (id + long array + lang): each batch tokenizes once, and the
-      // survivors' set rows union into the base — the corpus TEXT is
-      // never re-scanned per micro-batch (the fleet-scale cost; the
-      // remaining per-batch corpus-sized work is the rarity-order
+      // survivors' set rows fold into a PinnedBase — each batch pins only
+      // its OWN keepers (flat in base size; re-pinning the whole base per
+      // batch is O(batches × base), the quadratic a long drain can't
+      // afford), and the corpus TEXT is never re-scanned per micro-batch
+      // (the remaining per-batch corpus-sized work is the rarity-order
       // frequency pass over the hashed sets, which the shared
       // prefix-filter core computes over both sides for ordering
       // consistency)
-      var baseSets = graft.operators.Pin(graft.operators.TextDedup
+      val baseSets = new graft.streaming.PinnedBase(graft.operators.TextDedup
         .hashedSets(s.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), sch),
           "doc_id", "text", Seq("lang")))
@@ -683,7 +685,7 @@ object StreamingQueries {
             .hashedSets(batch.localCheckpoint(), "doc_id", "text",
               Seq("lang")))
           val blocked = graft.operators.TextDedup.jaccardPairsAgainstSets(
-              newSets, baseSets, Seq("lang"), 0.9)
+              newSets, baseSets.current, Seq("lang"), 0.9)
             .select(col("new_id").as("doc_id")).distinct()
           val clean = batch.join(blocked, Seq("doc_id"), "left_anti")
           val within = graft.operators.TextDedup.jaccardPairs(
@@ -699,8 +701,7 @@ object StreamingQueries {
                 col("doc_id").cast("string").as("id"),
                 col("lang").as("name"), col("text").as("content")),
             Some(java.time.LocalDateTime.of(2024, 6, 1, 0, batchId.toInt)))
-          baseSets = graft.operators.Pin(baseSets.unionByName(
-            newSets.join(surv.select(col("__id")), Seq("__id"))))
+          baseSets.add(newSets.join(surv.select(col("__id")), Seq("__id")))
           ()
         }
         .start()
@@ -748,7 +749,9 @@ object StreamingQueries {
           org.apache.spark.sql.types.DoubleType))))
       val src = s.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1").parquet(r + "/src")
-      var base = graft.operators.Pin(
+      // per-batch keeper fragments, pinned once each — never the whole
+      // base re-pinned per batch (PinnedBase: flat add cost, LSM merges)
+      val base = new graft.streaming.PinnedBase(
         s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           sch))
       val q = src.writeStream
@@ -757,7 +760,7 @@ object StreamingQueries {
         .foreachBatch { (batch0: DataFrame, batchId: Long) =>
           val batch = batch0.localCheckpoint()
           val blocked = graft.operators.VectorSearch
-            .cosineNearDupPairsAgainst(batch, base, "vec_id", "v",
+            .cosineNearDupPairsAgainst(batch, base.current, "vec_id", "v",
               dim = 64, threshold = 0.9)
             .select(col("new_id").as("vec_id")).distinct()
           val clean = batch.join(blocked, Seq("vec_id"), "left_anti")
@@ -770,7 +773,7 @@ object StreamingQueries {
             clean.join(surv.select(col("__id").as("vec_id")), "vec_id"))
           keepers.select(col("vec_id"))
             .write.mode("overwrite").parquet(s"$r/out/batch_$batchId")
-          base = graft.operators.Pin(base.unionByName(keepers))
+          base.add(keepers)
           ()
         }
         .start()
