@@ -38,8 +38,9 @@ object StageBreakdown {
         val m = i.taskMetrics
         if (m != null) stages.synchronized {
           stages += St(i.stageId, i.name.take(60),
-            i.details.linesIterator.filterNot(_.contains("graft.Stage"))
-              .find(_.contains("graft")).getOrElse("").trim.take(90),
+            (i.name.take(40) + " | " +
+              i.details.linesIterator.filterNot(_.contains("graft.Stage"))
+                .find(_.contains("graft")).getOrElse("").trim).take(130),
             i.numTasks,
             i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L),
             m.inputMetrics.recordsRead,
@@ -51,9 +52,23 @@ object StageBreakdown {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    // SPARK_GRAFT_EXPLAIN_FINAL=1: the POST-AQE executed plan — join
+    // strategies and exchanges as actually run, not as first planned
+    // (captured from the write's own QueryExecution after it finishes)
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN_FINAL"))
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(fn: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              ns: Long): Unit =
+            System.err.println(qe.executedPlan.toString.take(30000))
+          override def onFailure(fn: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              e: Exception): Unit = ()
+        })
     val t0 = System.nanoTime()
-    SparkEntry.queries(name)(spark, dir)
-      .write.format("noop").mode("overwrite").save()
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
     val sec = (System.nanoTime() - t0) / 1e9
     // listener events post asynchronously (waitUntilEmpty is
     // private[spark]): wait until the stage list stops moving

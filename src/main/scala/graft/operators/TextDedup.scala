@@ -260,16 +260,35 @@ object TextDedup {
     * band, any key type (the production path hashes each band slice to a
     * long; the md5-replayable path concatenates hex minima). Shared by
     * [[minhashCandidates]] and [[verifiedMinhashPairsMd5]] so a fix to the
-    * first-match-band dedup or the bucket cap cannot diverge the two. */
+    * first-match-band dedup or the bucket cap cannot diverge the two.
+    *
+    * If the keyed frame carries a `__ts` column (the doc's hashed token
+    * set), it RIDES THE BANDED JOIN as payload and the output gains
+    * `__ts_a`/`__ts_b` — the exact-verify inputs co-located with the pair
+    * at the moment it is emitted. This is what keeps the verify OUT of
+    * the pair stream's exchanges: the alternative (attach sets by id-join
+    * after the candidate join) shuffles every candidate pair widened to
+    * its token array — measured 867 MB of a 1.38 GB total at sf1 and the
+    * entire 574 MB sf10 spill — while the banded exchange carries each
+    * set only `bands` times, clustered (12 consecutive repeats compress
+    * to ~nothing), independent of the pair count. Reference analogue:
+    * `read_dedup.rs` RowConverter-encoded keys — never shuffle the
+    * payload you can deliver with the key. The capped path drops `__ts`
+    * (its distinct() would group-compare arrays) and returns plain pairs
+    * for the legacy re-join verify. */
   private def bandedCandidateJoin(keyed0: DataFrame, bands: Int,
-      maxBucketSize: Int): DataFrame = {
-    // pin (__id, __keys) — id + `bands` keys per doc — so the bucket
-    // SELF-join's two sides share one signature pass instead of each
-    // re-hashing every token numHashes times (the dominant cost; same
-    // small-rows-only checkpoint policy as the verify join's token sets)
-    val keyed = keyed0.transform(Pin(_))
-    val banded = keyed.select(col("__id"), col("__keys"),
-      posexplode(col("__keys")).as(Seq("band", "key")))
+      maxBucketSize: Int, verifyThreshold: Option[Double] = None): DataFrame = {
+    val hasTs = keyed0.columns.contains("__ts") &&
+      maxBucketSize == Int.MaxValue && verifyThreshold.isDefined
+    // pin (__id, __keys[, __ts]) — id + `bands` keys (+ the token set) per
+    // doc — so the bucket SELF-join's two sides share one signature pass
+    // instead of each re-hashing every token numHashes times (the dominant
+    // cost; same small-rows-only checkpoint policy as hashedSets)
+    val keyed = (if (hasTs || !keyed0.columns.contains("__ts")) keyed0
+      else keyed0.drop("__ts")).transform(Pin(_))
+    val payload = if (hasTs) Seq(col("__ts")) else Nil
+    val banded = keyed.select(col("__id") +: col("__keys") +: payload :+
+      posexplode(col("__keys")).as(Seq("band", "key")): _*)
     if (maxBucketSize == Int.MaxValue) {
       // FIRST-MATCH-BAND dedup: a near-identical pair agrees on most of its
       // `bands` band keys, so the raw bucket join emits it up to `bands`
@@ -288,10 +307,35 @@ object TextDedup {
         col("x.band") <= i ||
           element_at(col("x.__keys"), i + 1) =!= element_at(col("y.__keys"), i + 1)
       }.foldLeft(lit(true))(_ && _)
+      // When the token sets ride the join (hasTs), the exact-Jaccard
+      // verify is the LAST conjunct of the join condition, built HERE
+      // rather than as a filter above the join: Catalyst folds an outer
+      // filter into the condition by PREPENDING it, which put the
+      // intersect FIRST in the AND chain — evaluated on every raw bucket
+      // match before the cheap id</first-match pruning discarded ~12/13
+      // of them (measured 25.7 s vs 11.5 s for this stage at sf1).
+      // Conjunct order inside one explicit condition is preserved and
+      // short-circuits, so the intersect runs exactly once per TRUE
+      // candidate. The division form matches the oracle's replay
+      // bit-for-bit (no algebraic rearrangement — double rounding could
+      // flip threshold-boundary pairs between engines).
+      def jac(a: Column, b: Column): Column = {
+        val inter = graft.functions.SortedIntersectCount(a, b).cast("double")
+        inter / (size(a) + size(b) - inter)
+      }
+      val verified = verifyThreshold.filter(_ => hasTs).map(t =>
+        jac(col("x.__ts"), col("y.__ts")) >= t)
       banded.as("x").join(banded.as("y"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-            col("x.__id") < col("y.__id") && noEarlierMatch)
-        .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+          verified.foldLeft(
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+              col("x.__id") < col("y.__id") && noEarlierMatch)(_ && _))
+        .select(col("x.__id").as("id_a") +: col("y.__id").as("id_b") +:
+          (if (hasTs)
+            // survivors only: recomputing jaccard here costs one more
+            // intersect per SURVIVING pair (~5% of candidates), the price
+            // of never exchanging a candidate stream at all
+            Seq(jac(col("x.__ts"), col("y.__ts")).as("jaccard"))
+          else Nil): _*)
     } else {
       // capped path: dropping over-full buckets breaks "first agreeing
       // band" (the first match may sit in a dropped bucket), so pair
@@ -360,9 +404,22 @@ object TextDedup {
   def verifiedMinhashPairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int, rowsPerBand: Int, threshold: Double,
       maxBucketSize: Int = Int.MaxValue): DataFrame =
-    verifiedLshCore(df, idCol, textCol, threshold,
-      repDocs => minhashCandidates(repDocs, "__id", "__text", bands,
-        rowsPerBand, maxBucketSize))
+    verifiedLshCore(df, idCol, textCol, threshold, repDocs => {
+      // signature AND hashed token set in ONE text pass: the set rides
+      // the banded join as verify payload (see bandedCandidateJoin) —
+      // under a bucket cap it is dropped there and the core re-joins
+      val sigs = repDocs.select(col("__id"),
+        graft.functions.MinHashSignature(
+          split(lower(col("__text")), "\\s+"), bands * rowsPerBand)
+          .as("__sig"),
+        hashedTokenSet(col("__text")).as("__ts"))
+      val keyed = sigs.select(col("__id"),
+        array((0 until bands).map { bnd =>
+          xxhash64(slice(col("__sig"), bnd * rowsPerBand + 1, rowsPerBand)
+            .cast("string"))
+        }: _*).as("__keys"), col("__ts"))
+      bandedCandidateJoin(keyed, bands, maxBucketSize, Some(threshold))
+    })
 
   /** Mersenne prime 2⁶¹−1: modulus of the oracle-replayable affine MinHash
     * permutation family ([[md5MinhashBandKeys]]). */
@@ -411,18 +468,28 @@ object TextDedup {
     * ([[minhashSignatures]]) keeps the single-pass xxhash64 kernel: same
     * banding structure, cheaper hashing, not oracle-replayable. */
   def md5MinhashBandKeys(df: DataFrame, idCol: String, textCol: String,
-      bands: Int, rowsPerBand: Int): DataFrame = {
-    val sigs = df.select(col(idCol).as("__id"),
+      bands: Int, rowsPerBand: Int): DataFrame =
+    md5MinhashKeyed(df, idCol, textCol, bands, rowsPerBand, withSets = false)
+
+  /** [[md5MinhashBandKeys]] plus (when `withSets`) the doc's hashed token
+    * set as `__ts`, computed in the SAME text pass — the verify payload
+    * that rides the banded join (see [[bandedCandidateJoin]]). */
+  private def md5MinhashKeyed(df: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int, withSets: Boolean): DataFrame = {
+    val sigs = df.select(col(idCol).as("__id") +:
       graft.functions.Md5AffineMinHash(
-        split(lower(col(textCol)), "\\s+"), bands * rowsPerBand).as("__sig"))
+        split(lower(col(textCol)), "\\s+"), bands * rowsPerBand).as("__sig") +:
+      (if (withSets) Seq(hashedTokenSet(col(textCol)).as("__ts"))
+       else Nil): _*)
     // slice + array-cast, NOT 96 element_at calls: ANSI element_at carries
     // a per-call out-of-bounds error branch and the 96-call projection
     // measured 20× slower than the sliced form (3.9 s vs 0.2 s at sf0.1)
-    sigs.select(col("__id"), array((0 until bands).map { bnd =>
+    sigs.select(col("__id") +: array((0 until bands).map { bnd =>
       concat_ws(",",
         slice(col("__sig"), bnd * rowsPerBand + 1, rowsPerBand)
           .cast("array<string>"))
-    }: _*).as("__keys"))
+    }: _*).as("__keys") +:
+      (if (withSets) Seq(col("__ts")) else Nil): _*)
   }
 
   /** The layered declarative form of [[md5MinhashBandKeys]] — the shape
@@ -481,7 +548,8 @@ object TextDedup {
       bands: Int, rowsPerBand: Int, threshold: Double): DataFrame =
     verifiedLshCore(df, idCol, textCol, threshold,
       repDocs => bandedCandidateJoin(
-        md5MinhashBandKeys(repDocs, "__id", "__text", bands, rowsPerBand)
+        md5MinhashKeyed(repDocs, "__id", "__text", bands, rowsPerBand,
+            withSets = true)
           // recode each ~150-byte decimal-minima key to its 16-byte md5
           // before the self-join: the join carries the FULL key vector on
           // both sides (the first-match-band check), so key width is the
@@ -491,8 +559,9 @@ object TextDedup {
           // colliding FALSE candidate would still have to pass the exact-
           // Jaccard verify. Computed once pre-Pin, off the join hot path.
           .select(col("__id"),
-            transform(col("__keys"), k => unhex(md5(k))).as("__keys")),
-        bands, Int.MaxValue))
+            transform(col("__keys"), k => unhex(md5(k))).as("__keys"),
+            col("__ts")),
+        bands, Int.MaxValue, Some(threshold)))
 
   /** Shared exact-duplicate collapse + exact-Jaccard verify + cluster
     * expansion around a pluggable candidate generator: `candidates` maps
@@ -510,31 +579,41 @@ object TextDedup {
       .select(col("__id"), col("__text"))
 
     val cands = candidates(repDocs)
-    // hashed sets materialized ONCE (the setJaccardPairs pattern): the
-    // verify join consumes this frame on both sides, and without the
-    // checkpoint each side re-runs the text scan + collapse joins + the
-    // split/hash/sort set construction. (Checkpointing repDocs/members
-    // themselves — TEXT payloads — measured 3× slower than recompute;
-    // id + long-array rows are the right thing to pin.)
-    val toks = repDocs.select(col("__id").as("__tid"),
-      hashedTokenSet(col("__text")).as("__ts"))
-      .transform(Pin(_))
-    // shuffle_hash, NOT sort-merge: the stream side is tens of millions of
-    // candidate pairs widening to ~KB rows as token arrays attach — SMJ
-    // must SORT that side (measured 8–100 s at the 10× probe, the spread
-    // being sort spill), while the build side is only the rep token sets,
-    // a few thousand rows per partition to hash. Same shuffle, no sort.
-    val repPairs = cands
-      .join(toks.withColumnRenamed("__tid", "id_a")
-        .withColumnRenamed("__ts", "ts_a").hint("shuffle_hash"), "id_a")
-      .join(toks.withColumnRenamed("__tid", "id_b")
-        .withColumnRenamed("__ts", "ts_b").hint("shuffle_hash"), "id_b")
-      .withColumn("__inter",
-        graft.functions.SortedIntersectCount(col("ts_a"), col("ts_b")).cast("double"))
+    def verify(pairs: DataFrame): DataFrame = pairs
+      .withColumn("__inter", graft.functions
+        .SortedIntersectCount(col("__ts_a"), col("__ts_b")).cast("double"))
       .withColumn("jaccard", col("__inter") /
-        (size(col("ts_a")) + size(col("ts_b")) - col("__inter")))
+        (size(col("__ts_a")) + size(col("__ts_b")) - col("__inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a").as("__ra"), col("id_b").as("__rb"), col("jaccard"))
+    val repPairs = if (cands.columns.contains("jaccard"))
+      // INLINE verify already ran: the token sets rode the banded join
+      // as payload and the threshold was the join condition's tail
+      // conjunct (see bandedCandidateJoin) — the pair stream was never
+      // exchanged at all, let alone widened to its arrays; only
+      // SURVIVING pairs left the stage. (The former re-join verify
+      // shuffled every candidate pair carrying its ts_a array — 867 MB
+      // of q26's 1.38 GB sf1 total and the whole 574 MB sf10 spill.)
+      cands.select(col("id_a").as("__ra"), col("id_b").as("__rb"),
+        col("jaccard"))
+    else {
+      // legacy RE-JOIN verify — the capped-bucket path, whose distinct()
+      // must not group-compare arrays. Hashed sets materialized ONCE (the
+      // setJaccardPairs pattern); shuffle_hash, NOT sort-merge: the
+      // stream side is tens of millions of candidate pairs widening to
+      // ~KB rows as token arrays attach — SMJ must SORT that side
+      // (measured 8–100 s at the 10× probe, the spread being sort
+      // spill), while the build side is only the rep token sets, a few
+      // thousand rows per partition to hash. Same shuffle, no sort.
+      val toks = repDocs.select(col("__id").as("__tid"),
+        hashedTokenSet(col("__text")).as("__ts"))
+        .transform(Pin(_))
+      verify(cands
+        .join(toks.withColumnRenamed("__tid", "id_a")
+          .withColumnRenamed("__ts", "__ts_a").hint("shuffle_hash"), "id_a")
+        .join(toks.withColumnRenamed("__tid", "id_b")
+          .withColumnRenamed("__ts", "__ts_b").hint("shuffle_hash"), "id_b"))
+    }
 
     val cross = repPairs
       .join(members.select(col("__id").as("__ma"), col("__rep").as("__ra")), "__ra")

@@ -126,21 +126,48 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q135 degraded to CartesianProduct: $names")
   }
 
-  test("q26 verify joins hash, not sort-merge (the r8 spill-variance fix)") {
-    // the verify stage attaches token-set arrays to tens of millions of
-    // candidate pairs; a sort-merge join SORTS that side and its spill was
-    // an 8-100 s variance at the 10x probe. The shuffle_hash hints must
-    // keep winning: hash joins present, and no SortMergeJoin anywhere in
-    // the pair-verify subtree (the plan has no other join reason to sort).
+  test("q26 verify is inline: the exact-Jaccard threshold is the banded " +
+      "join's tail conjunct and no exchange moves the pair stream") {
+    // r11 shape: the token sets ride the banded self-join as payload and
+    // the verify evaluates INSIDE the join condition (last conjunct), so
+    // the candidate pair stream is never exchanged — the former re-join
+    // verify shuffled every pair widened to its token array (867 MB of
+    // q26's 1.38 GB sf1 shuffle and the whole 574 MB sf10 spill).
     val df = graft.operators.TextDedup.verifiedMinhashPairs(
       spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
       bands = 12, rowsPerBand = 8, threshold = 0.9)
-    // the banded-bucket SELF-join legitimately sort-merges (narrow rows:
-    // id + band keys); the assertion targets the two ATTACH joins, whose
-    // rows widen to token arrays
-    val names = nodeNames(df)
-    assert(names.count(_.contains("ShuffledHashJoin")) >= 2,
-      s"verify attach joins lost their shuffle_hash strategy: $names")
+    val nodes = allNodes(finalPlan(df))
+    // 1. the verify lives in a join CONDITION, not a filter above an
+    //    attach join — and the expensive intersect is the LAST conjunct
+    //    (short-circuits after the cheap id</first-match-band pruning;
+    //    prepended it measured 25.7 s vs 11.5 s for the stage at sf1)
+    val joinConds = nodes.flatMap {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.condition.map(_.toString)
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        j.condition.map(_.toString)
+      case _ => None
+    }
+    val verifying = joinConds.filter(_.contains("sorted_intersect_count"))
+    assert(verifying.nonEmpty,
+      s"no join condition carries the exact-Jaccard verify: $joinConds")
+    assert(verifying.forall { c =>
+      c.indexOf("sorted_intersect_count") > c.indexOf("<")
+    }, "the intersect conjunct must come AFTER the cheap id< pruning")
+    // 2. no join attaches token arrays to the pair stream by id anymore:
+    //    every equi-join on id_a/id_b would be exactly that attach
+    val attachJoins = nodes.filter {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        j.leftKeys.map(_.toString).mkString.contains("id_a") ||
+          j.leftKeys.map(_.toString).mkString.contains("id_b")
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.leftKeys.map(_.toString).mkString.contains("id_a") ||
+          j.leftKeys.map(_.toString).mkString.contains("id_b")
+      case _ => false
+    }
+    assert(attachJoins.isEmpty,
+      s"pair stream re-joined by id (the shuffled-attach shape is back): " +
+        s"${attachJoins.map(_.nodeName)}")
   }
 
   test("q109 gram matrix partial-aggregates map-side before the exchange") {
