@@ -71,7 +71,7 @@ object Autotune {
     * clamps and monotonicity without a SparkSession. */
   final case class Knobs(shufflePartitions: Int,
       broadcastThresholdBytes: Long, maxBufferedRows: Long,
-      ccDriverEdgeLimit: Long)
+      ccDriverEdgeLimit: Long, initialShufflePartitions: Int)
 
   /** Conservative planning estimates, deliberately pessimistic: the audit
     * exists to warn BEFORE the allocator finds out. */
@@ -106,7 +106,18 @@ object Autotune {
         (BufferBytesPerRow * BufferRecoveryCeiling)).toLong,
         100000L, 20000000L),
     ccDriverEdgeLimit =
-      clamp(host.heapBytes / 50 / CcDriverBytesPerEdge, 200000L, 5000000L))
+      clamp(host.heapBytes / 50 / CcDriverBytesPerEdge, 200000L, 5000000L),
+    // AQE shuffles START at 8× cores and coalesce DOWN by size
+    // (spark.sql.adaptive.coalescePartitions, on by default): small
+    // shuffles collapse back to a handful of partitions, while a shuffle
+    // 100× the expected scale gets 8× more reduce tasks before the
+    // sort/build — the difference between an in-memory sort and a
+    // multi-GB spill. Measured on the q26 sf10 probe (60M wide banded
+    // rows): at 32 reduce partitions the SMJ sort is ~840 MB/task and
+    // spilled 4.6 GB; at 256 it is ~105 MB/task. This is the knob that
+    // makes one derived partition count serve both the 60k-row gate
+    // corpus and a 100× probe without retuning.
+    initialShufflePartitions = math.max(host.cores, 1) * 8)
 
   private def clamp(v: Long, lo: Long, hi: Long): Long =
     math.min(math.max(v, lo), hi)
@@ -164,6 +175,7 @@ object Autotune {
   private val EnvBroadcast = "SPARK_GRAFT_BROADCAST_MB"
   private val EnvBufferRows = "SPARK_GRAFT_BUFFER_MAX_ROWS"
   private val EnvCcLimit = "SPARK_GRAFT_CC_DRIVER_EDGE_LIMIT"
+  private val EnvInitialPartitions = "SPARK_GRAFT_INITIAL_PARTITIONS"
 
   /** The default WAL buffer cap [[graft.sources.BufferedWriteLayer]]
     * reads when the caller passes none: env override, else derived. */
@@ -207,6 +219,12 @@ object Autotune {
       k.broadcastThresholdBytes, mb => mb.toLong * MB, bytesConf)
     val ccLimit = resolve(EnvCcLimit, "spark.graft.cc.driverEdgeLimit",
       None, k.ccDriverEdgeLimit, _.toLong, _.toLong)
+    // AQE coalesce floor: shuffles start here and shrink by size; no
+    // Spark default for this key (unset = use shuffle.partitions), so
+    // any operator-set value is respected as-is
+    resolve(EnvInitialPartitions,
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      None, k.initialShufflePartitions, _.toLong, _.toLong)
     val bufferedRows = defaultMaxBufferedRows(env)
     val a = audit(host, shuffle.toInt, broadcast, bufferedRows, ccLimit)
     val chosen = if (applied.isEmpty) "no overrides applied (all knobs " +

@@ -232,6 +232,17 @@ object VectorSearch {
     * nLists×dim terms and ships multi-MiB task binaries, which dominated
     * the query cost before this shape. */
   private def withCells(df: DataFrame, centroids: Array[Array[Double]],
+      n: Int, band: Double = Double.PositiveInfinity): DataFrame =
+    withCellsArray(df, centroids, n, band)
+      .withColumn("__cell", explode(col("__cells"))).drop("__cells")
+
+  /** [[withCells]] keeping the assigned cells as an ARRAY (`__cells`,
+    * nearest-first) instead of exploding — the shape the inline-verified
+    * pair search needs: each side of the cell self-join carries its full
+    * assignment vector so "first shared cell" can dedup pair emissions
+    * in the join condition, the way the banded LSH join's
+    * first-match-band does. */
+  private def withCellsArray(df: DataFrame, centroids: Array[Array[Double]],
       n: Int, band: Double = Double.PositiveInfinity): DataFrame = {
     val matrixLit = typedLit(centroids.map(_.toSeq).toSeq)
     val normsLit = typedLit(centroids.map(_.map(x => x * x).sum).toSeq)
@@ -268,13 +279,16 @@ object VectorSearch {
         val usedCoarseNorms = typedLit(groups0.map { case (g, _) =>
           coarse(g).map(x => x * x).sum })
         val groupsLit = typedLit(groups0.map(_._2.toSeq))
-        // 6 probed groups, not 4: at 4 the sf1 SemDeDup planted-pair
-        // elimination measured 0.999 (one straddling pair of 1000 lost
-        // to an unprobed group); 6 restores 1.0 for ~1.5x the coarse
-        // candidate mass - still ~sqrt(k)-scale work per row. (r11: the
-        // shipped constant briefly drifted to 8; reset to the measured
-        // minimum and re-verified via the SampledRecall artifact.)
-        val probes = math.min(6, groups0.length)
+        // 8 probed groups — measured on SampledRecall's FORCED two-level
+        // leg (nClusters=300 on the 21k-vector sf1 corpus, deliberately
+        // over-sharded so group boundaries are common): planted-pair
+        // elimination is 0.999 at 6 probes (one straddling pair of 1000
+        // lost to an unprobed group) and 1.0 at 8, for ~4/3 the coarse
+        // candidate mass — still ~√k-scale work per row. Earlier rounds
+        // pinned 6 from a measurement at the SHIPPED cell count, where
+        // boundaries are rarer and 6 also gives 1.0; the forced leg is
+        // the harder gate and every round's artifact re-measures it.
+        val probes = math.min(8, groups0.length)
         val coarseD = transform(usedCoarse, (c, i) =>
           distTo(col("__v"), col("__nrm"), c, element_at(usedCoarseNorms,
             (i + 1).cast("int"))))
@@ -305,7 +319,7 @@ object VectorSearch {
         filter(sorted, (s, i) => (i === 0) ||
           (lit(1.0) + s("d")) <= lit(band * band) * (lit(1.0) + bestD))("cell")
       }
-    assigned.withColumn("__cell", explode(cells)).drop("__d", "__ci")
+    assigned.withColumn("__cells", cells).drop("__d", "__ci")
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -447,7 +461,20 @@ object VectorSearch {
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, nClusters: Int = 16,
       seed: Long = 42L, assign: Int = 3): DataFrame = {
-    val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    // (__id, __v) pinned ONCE at full shuffle width: five consumers read
+    // it (count, sample, both assignment pins, the verify join) — without
+    // the pin each re-ran the corpus construction, and worse, the
+    // EXPENSIVE per-row cell assignment (interpreted HOF lambdas) was
+    // collapsing below the scan's exchange and running at the file
+    // layout's parallelism (4 tasks on a 4-file corpus, 1 on the gate
+    // fixture — measured 25-31 s/pin at sf1 vs ~3 s at full width). The
+    // checkpoint is a barrier the optimizer cannot push a projection
+    // through, so assignment always evaluates over the repartitioned
+    // blocks.
+    val c = Pin(corpus
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .repartition(corpus.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt))
     val centroids = sphericalCentroids(c, "__v", nClusters, seed)
     if (centroids.isEmpty)
       return corpus.select(col(idCol), lit(0).as("cluster"),
@@ -461,22 +488,33 @@ object VectorSearch {
     // distance — the only vectors whose near-dups can land across the
     // boundary. Measured at sf1: planted-pair elimination stays 1.0
     // while candidate volume drops back toward single-assignment cost.
-    val multi =
-      if (assign <= 1) assigned
-      else Pin(withCells(c, centroids, assign, band = 1.5))
-    // candidate ids FIRST (a pair sharing several probed cells must
-    // verify once), vectors re-joined after the distinct so embedding
-    // payloads never group-compare
-    val cands = multi.as("a").join(multi.as("b"),
-        col("a.__cell") === col("b.__cell") && col("a.__id") < col("b.__id"))
+    val multi = Pin(
+      withCellsArray(c, centroids, math.max(assign, 1), band = 1.5))
+    // INLINE verify (the q26 banded-join discipline): the vectors ride
+    // the cell self-join as payload and the exact cosine evaluates as the
+    // join condition's LAST conjunct, so only SURVIVING pairs leave the
+    // stage. The former shape — candidate ids, distinct(), then two
+    // id-joins re-attaching the 512 B embedding rows — exchanged and
+    // SORTED the widened pair stream: at the sf10 probe that was a 19 GB
+    // shuffle write and a 93 GB sort spill for 136M candidates (133 s of
+    // a 482 s wall). Here the cell exchange carries each vector once per
+    // assignment (≤3×), independent of pair count. Pair uniqueness comes
+    // from FIRST-SHARED-CELL in the condition (each pair is emitted only
+    // where a's first cell found in b matches at b's first occurrence),
+    // replacing the 136M-row distinct the re-join shape needed.
+    val m = multi.select(col("__id"), col("__v"), col("__cells"),
+      posexplode(col("__cells")).as(Seq("__pos", "__cell")))
+    val noEarlierShared = (0 until math.max(assign, 1) - 1).map { j =>
+      col("a.__pos") <= j ||
+        !array_contains(col("b.__cells"), element_at(col("a.__cells"), j + 1))
+    }.foldLeft(lit(true))(_ && _)
+    val firstInB = array_position(col("b.__cells"), col("a.__cell")) ===
+      (col("b.__pos") + 1).cast("long")
+    val pairs = m.as("a").join(m.as("b"),
+        col("a.__cell") === col("b.__cell") && col("a.__id") < col("b.__id") &&
+          firstInB && noEarlierShared &&
+          cosine(col("a.__v"), col("b.__v"), dim) >= threshold)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-      .distinct()
-    val pairs = cands
-      .join(c.select(col("__id").as("id_a"), col("__v").as("__va")), "id_a")
-      .join(c.select(col("__id").as("id_b"), col("__v").as("__vb")), "id_b")
-      .withColumn("__cos", cosine(col("__va"), col("__vb"), dim))
-      .filter(col("__cos") >= threshold)
-      .select("id_a", "id_b")
     val labels = TextDedup.connectedComponents(
       assigned.select(col("__id")), pairs)
     assigned.select(col("__id"), col("__cell"))

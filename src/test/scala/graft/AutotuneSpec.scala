@@ -9,6 +9,9 @@ class AutotuneSpec extends AnyFunSuite {
   test("derive: clamps hold at both extremes and scale with the host") {
     val tiny = Autotune.derive(Autotune.Host(cores = 1, heapBytes = 128L << 20))
     assert(tiny.shufflePartitions == 1)
+    assert(tiny.initialShufflePartitions == 8,
+      "AQE coalesce floor: 8x cores so oversized shuffles right-size " +
+        "down instead of spilling their sorts")
     assert(tiny.broadcastThresholdBytes == 10L << 20, "broadcast stays at the Spark default")
     assert(tiny.maxBufferedRows == 100000L, "buffer floor")
     assert(tiny.ccDriverEdgeLimit == 200000L, "cc floor")
