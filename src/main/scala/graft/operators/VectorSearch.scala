@@ -403,6 +403,30 @@ object VectorSearch {
   /** Shared bucket + verify core: `b = None` self-joins `a` (pairs
     * guarded by `id_a < id_b`); otherwise a-side buckets probe b-side
     * buckets only. */
+  /** The sign-plane bucket rows of a frame, one row per (vector, table),
+    * with the (table, key) pair packed into ONE sortable long
+    * `__tk = (table << planesPerTable) | key` — the layout
+    * [[graft.streaming.AnnIngestIndex]] persists (key-sorted parquet
+    * segments) and probes (an `__tk IN (...)` pushed to the scan). The
+    * family is seed-fixed and data-independent, so index rows written
+    * batches ago bucket identically to a probe computed today — the
+    * property that lets the index be maintained incrementally with no
+    * retraining-on-drift concern (the reason to prefer sign-plane LSH
+    * over IVF cells for an INGEST-side index). Packing layout must stay
+    * in lockstep between add and probe; it lives here, next to the
+    * signature family it encodes. */
+  private[graft] def signatureBuckets(df: DataFrame, idCol: String,
+      vecCol: String, dim: Int, planesPerTable: Int, numTables: Int,
+      seed: Long): DataFrame = {
+    val cols = (0 until numTables).map { t =>
+      (signature(col("__v"), planes(planesPerTable, dim, seed + t))
+        .bitwiseOR(lit(t.toLong << planesPerTable))).as(s"__k$t")
+    }
+    df.select(col(idCol), col(vecCol).as("__v"))
+      .select(col(idCol), col("__v"),
+        explode(array(cols: _*)).as("__tk"))
+  }
+
   private def cosineNearDupJoin(a: DataFrame, b: Option[DataFrame],
       dim: Int, threshold: Double, planesPerTable: Int, numTables: Int,
       seed: Long, outA: String, outB: String): DataFrame = {

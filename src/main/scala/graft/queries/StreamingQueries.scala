@@ -727,9 +727,11 @@ object StreamingQueries {
     * must equal the GLOBAL sequential "keep unless it cosine-near-dups an
     * earlier keeper" pass — which the oracle replays as unrolled iterated
     * elimination over the brute-force cosine pair graph. The committed
-    * base is maintained incrementally as pinned (id, vector) rows; the
-    * sign-plane family is seed-fixed, so the base buckets identically
-    * batch after batch and is never re-scanned as raw corpus. */
+    * base lives in an [[graft.streaming.AnnIngestIndex]] — key-sorted
+    * LSH bucket segments maintained incrementally (LSM merges), probed
+    * through a pushed key filter — so per-batch probe cost follows the
+    * batch's bucket mass and the base is never re-hashed, re-shuffled,
+    * or re-scanned as raw corpus. */
   private def semDedupIngestOut(s: SparkSession, dir: String): String =
     semDedupBuilt.getOrElseUpdate(dir, {
       val r = graft.tables.TempDirs.create("graft_stream_semdedup_")
@@ -749,19 +751,20 @@ object StreamingQueries {
           org.apache.spark.sql.types.DoubleType))))
       val src = s.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1").parquet(r + "/src")
-      // per-batch keeper fragments, pinned once each — never the whole
-      // base re-pinned per batch (PinnedBase: flat add cost, LSM merges)
-      val base = new graft.streaming.PinnedBase(
-        s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-          sch))
+      // committed survivors live in an incrementally-maintained ANN
+      // index (key-sorted LSH bucket segments, LSM merges): each probe
+      // bucketizes ONLY the batch and reads the index through a pushed
+      // key filter — the base is never re-hashed or shuffled per batch.
+      // Output equals cosineNearDupPairsAgainst (same seed-fixed family,
+      // exact verify), so the q148 oracle is untouched.
+      val idx = new graft.streaming.AnnIngestIndex(s, r + "/annidx",
+        "vec_id", "v", dim = 64, threshold = 0.9)
       val q = src.writeStream
         .option("checkpointLocation", r + "/chk")
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch0: DataFrame, batchId: Long) =>
           val batch = batch0.localCheckpoint()
-          val blocked = graft.operators.VectorSearch
-            .cosineNearDupPairsAgainst(batch, base.current, "vec_id", "v",
-              dim = 64, threshold = 0.9)
+          val blocked = idx.probe(batch)
             .select(col("new_id").as("vec_id")).distinct()
           val clean = batch.join(blocked, Seq("vec_id"), "left_anti")
           val within = graft.operators.VectorSearch.cosineNearDupPairs(
@@ -773,7 +776,7 @@ object StreamingQueries {
             clean.join(surv.select(col("__id").as("vec_id")), "vec_id"))
           keepers.select(col("vec_id"))
             .write.mode("overwrite").parquet(s"$r/out/batch_$batchId")
-          base.add(keepers)
+          idx.add(keepers)
           ()
         }
         .start()
