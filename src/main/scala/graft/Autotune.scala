@@ -221,10 +221,16 @@ object Autotune {
       None, k.ccDriverEdgeLimit, _.toLong, _.toLong)
     // AQE coalesce floor: shuffles start here and shrink by size; no
     // Spark default for this key (unset = use shuffle.partitions), so
-    // any operator-set value is respected as-is
+    // any operator-set value is respected as-is. Floored at the RESOLVED
+    // shuffle.partitions: an operator pinning shuffle.partitions above
+    // 8×cores (e.g. 1000 on a 16-core host) must not have AQE silently
+    // START its shuffles below that explicit width — initialPartitionNum
+    // caps the pre-coalesce reduce-task count, so a floor below the
+    // operator's setting would recreate the oversized-shuffle spill this
+    // knob exists to prevent.
     resolve(EnvInitialPartitions,
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-      None, k.initialShufflePartitions, _.toLong, _.toLong)
+      None, math.max(k.initialShufflePartitions, shuffle), _.toLong, _.toLong)
     val bufferedRows = defaultMaxBufferedRows(env)
     val a = audit(host, shuffle.toInt, broadcast, bufferedRows, ccLimit)
     val chosen = if (applied.isEmpty) "no overrides applied (all knobs " +

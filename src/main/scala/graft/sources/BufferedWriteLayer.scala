@@ -76,12 +76,14 @@ final class BufferedWriteLayer(val table: GraftTable,
     val maxBufferedRows: Long = graft.Autotune.defaultMaxBufferedRows(),
     val durable: Boolean = false) {
 
-  // (pinned conformed batch, its WAL dir when durable)
-  private var batches: List[(DataFrame, Option[String])] = Nil
+  // (pinned conformed batch, its WAL dir when durable, dates touched by
+  // DML in the batch). DML dates travel WITH their batch entry — a
+  // separate pending-dates set opened a race where a concurrent flush
+  // drained the dates against a commit that did not yet contain the DML
+  // batch (dropping them entirely when it had nothing else to write), so
+  // the flushed DML batch then missed priority compaction.
+  private var batches: List[(DataFrame, Option[String], Set[String])] = Nil
   private var buffered: Long = 0L
-  // dates touched by buffered DML batches, enqueued to the table's
-  // dirty-bin queue when the flush commits them
-  private var pendingDmlDates: Set[String] = Set.empty
 
   private def walRoot = s"${table.root}/${table.meta.name}/_wal"
 
@@ -170,7 +172,10 @@ final class BufferedWriteLayer(val table: GraftTable,
             // while frames served from this batch may still be alive
             val df = table.spark.read.parquet(d.toString).localCheckpoint()
             val n = df.count()
-            if (n > 0) { batches ::= ((df, Some(d.toString))); buffered += n }
+            if (n > 0) {
+              batches ::= ((df, Some(d.toString), Set.empty[String]))
+              buffered += n
+            }
             else fs.delete(d, true)
           } else fs.delete(d, true) // mid-write crash: the un-fsynced tail
         }
@@ -239,7 +244,15 @@ final class BufferedWriteLayer(val table: GraftTable,
     * crash-safe from return). `versionTime` is the batch's dedup stamp
     * (defaults to now, like an interactive INSERT). */
   def insert(df: DataFrame,
-      versionTime: Option[java.time.LocalDateTime] = None): Unit = {
+      versionTime: Option[java.time.LocalDateTime] = None): Unit =
+    insertWithDmlDates(df, versionTime, Set.empty)
+
+  /** [[insert]] carrying the batch's DML-touched dates: the dates are
+    * enqueued in the SAME synchronized block as the batch itself, so any
+    * flush drains them together with (never ahead of) the batch. */
+  private def insertWithDmlDates(df: DataFrame,
+      versionTime: Option[java.time.LocalDateTime],
+      dmlDates: Set[String]): Unit = {
     val t = versionTime.getOrElse(java.time.LocalDateTime
       .now(java.time.ZoneOffset.UTC)
       .truncatedTo(java.time.temporal.ChronoUnit.MICROS))
@@ -257,7 +270,7 @@ final class BufferedWriteLayer(val table: GraftTable,
           .localCheckpoint(), Some(dir))
       } else (conformed.localCheckpoint(), None)
     val doFlush = synchronized {
-      batches ::= ((pinned, walDir))
+      batches ::= ((pinned, walDir, dmlDates))
       buffered += pinned.count()
       buffered >= maxBufferedRows
     }
@@ -285,18 +298,18 @@ final class BufferedWriteLayer(val table: GraftTable,
     // Buffered DML must reach the dirty-bin queue like the direct
     // GraftTable DML paths do — otherwise enrichment through the buffer
     // silently misses priority compaction after flush. The batch's own
-    // touched dates are recorded NOW (a bounded distinct over the pinned
-    // batch — enrichment batches span few dates) and enqueued when the
-    // flush commits them; recording must precede insert(), which may
-    // auto-flush at the cap.
+    // touched dates are computed here (a bounded distinct over the pinned
+    // batch — enrichment batches span few dates) and enqueued ATOMICALLY
+    // with the batch entry inside insert's synchronized block: a
+    // concurrent flush either commits the batch with its dates or sees
+    // neither, never the dates alone.
     val touched = batch
       .select(org.apache.spark.sql.functions.to_date(
           org.apache.spark.sql.functions.col(table.meta.timeColumn))
         .cast("string").as("d"))
       .filter(org.apache.spark.sql.functions.col("d").isNotNull)
       .distinct().collect().map(_.getString(0)).toSet
-    synchronized { pendingDmlDates ++= touched }
-    insert(batch, versionTime)
+    insertWithDmlDates(batch, versionTime, touched)
   }
 
   /** The table's resolved view INCLUDING buffered rows. */
@@ -313,13 +326,11 @@ final class BufferedWriteLayer(val table: GraftTable,
     * truncate the WAL — AFTER the commit, so a crash in between re-adopts
     * (idempotently) rather than loses. */
   def flush(): Unit = {
-    val (toWrite, dmlDates) = synchronized {
+    val toWrite = synchronized {
       val bs = batches
-      val dml = pendingDmlDates
       batches = Nil
       buffered = 0L
-      pendingDmlDates = Set.empty
-      (bs, dml)
+      bs
     }
     if (toWrite.nonEmpty) {
       // allowMissingColumns: batches buffered across a schema evolution
@@ -327,8 +338,8 @@ final class BufferedWriteLayer(val table: GraftTable,
       table.appendConformed(
         toWrite.map(_._1).reduce(_.unionByName(_, allowMissingColumns = true)))
       // the flushed commit now carries the buffered DML versions: enqueue
-      // their dates for priority compaction, exactly like direct DML
-      table.markDmlDirtyDates(dmlDates)
+      // exactly the dates of the batches THIS flush committed
+      table.markDmlDirtyDates(toWrite.iterator.flatMap(_._3).toSet)
       toWrite.flatMap(_._2).foreach(d => fs.delete(new Path(d), true))
     }
   }

@@ -82,6 +82,40 @@ class AutotuneSpec extends AnyFunSuite {
     }
   }
 
+  test("install: AQE initial-partition floor never undercuts an explicit " +
+      "shuffle.partitions") {
+    val initKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val shufKey = "spark.sql.shuffle.partitions"
+    val priorInit = spark.conf.getOption(initKey)
+    val priorShuf = spark.conf.get(shufKey)
+    val priorBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // operator pins shuffle width ABOVE 8x cores: the AQE starting
+      // width must be at least that, or every adaptive shuffle silently
+      // starts narrower than the operator's explicit setting — the exact
+      // oversized-shuffle spill the floor was added to prevent
+      spark.conf.unset(initKey)
+      spark.conf.set(shufKey, "999983")
+      Autotune.install(spark, env = Map.empty)
+      assert(spark.conf.get(initKey).toLong >= 999983L,
+        "initialPartitionNum must floor at the resolved shuffle.partitions")
+      // and with the session's small explicit width (4), the derived
+      // 8x-cores floor applies as before
+      spark.conf.unset(initKey)
+      spark.conf.set(shufKey, "4")
+      Autotune.install(spark, env = Map.empty)
+      assert(spark.conf.get(initKey).toLong ==
+        Autotune.derive().initialShufflePartitions)
+    } finally {
+      priorInit match {
+        case Some(v) => spark.conf.set(initKey, v)
+        case None => spark.conf.unset(initKey)
+      }
+      spark.conf.set(shufKey, priorShuf)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorBroadcast)
+    }
+  }
+
   test("defaultMaxBufferedRows: env override wins, else derived") {
     assert(Autotune.defaultMaxBufferedRows(
       Map("SPARK_GRAFT_BUFFER_MAX_ROWS" -> "4242")) == 4242L)
