@@ -636,8 +636,9 @@ object StreamingQueries {
   /** Near-dup dedup AT INGEST run to completion: the documents corpus in
     * three id-ordered micro-batches; each batch drops docs that
     * exact-Jaccard (≥ 0.9, lang-blocked) an already-committed SURVIVOR
-    * ([[graft.operators.TextDedup.jaccardPairsAgainst]] — cost scales
-    * with the batch, never the corpus²), then keeps the greedy min-id
+    * (probed against a [[graft.streaming.TextIngestIndex]] — key-sorted
+    * frozen-rarity prefix segments, so per-batch probe cost follows the
+    * batch's token mass, never the corpus), then keeps the greedy min-id
     * survivor set within itself
     * ([[graft.operators.TextDedup.greedySurvivors]]), and appends the
     * keepers to a doc_store MOR table. The greedy rule is
@@ -663,20 +664,20 @@ object StreamingQueries {
         StructField("text", StringType), StructField("lang", StringType)))
       val src = s.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1").parquet(r + "/src")
-      // the base side is maintained INCREMENTALLY as pinned hashed-set
-      // rows (id + long array + lang): each batch tokenizes once, and the
-      // survivors' set rows fold into a PinnedBase — each batch pins only
-      // its OWN keepers (flat in base size; re-pinning the whole base per
-      // batch is O(batches × base), the quadratic a long drain can't
-      // afford), and the corpus TEXT is never re-scanned per micro-batch
-      // (the remaining per-batch corpus-sized work is the rarity-order
-      // frequency pass over the hashed sets, which the shared
-      // prefix-filter core computes over both sides for ordering
-      // consistency)
-      val baseSets = new graft.streaming.PinnedBase(graft.operators.TextDedup
-        .hashedSets(s.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](), sch),
-          "doc_id", "text", Seq("lang")))
+      // the committed survivors live in a TextIngestIndex — hashed sets,
+      // frozen-rarity-order prefix rows, and vocab as key-sorted parquet
+      // segments (LSM binary-counter merges): each batch tokenizes ONCE
+      // and probes through pushed key filters, so per-batch probe cost
+      // follows the BATCH's token/candidate mass. The corpus text is
+      // never re-scanned, the base sets are never re-bucketed, and the
+      // rarity-order frequency pass — the last corpus-sized per-batch
+      // cost when the base rode PinnedBase into jaccardPairsAgainstSets
+      // — is frozen per segment at index-build time instead of being
+      // recomputed over base ∪ batch every micro-batch. Output is
+      // spec-pinned EQUAL to jaccardPairsAgainstSets, so the q126
+      // batching-invariance oracle is untouched.
+      val idx = new graft.streaming.TextIngestIndex(s, r + "/txtidx",
+        Seq("lang"), threshold = 0.9)
       val q = src.writeStream
         .option("checkpointLocation", r + "/chk")
         .trigger(Trigger.AvailableNow())
@@ -684,8 +685,7 @@ object StreamingQueries {
           val newSets = graft.operators.Pin(graft.operators.TextDedup
             .hashedSets(batch.localCheckpoint(), "doc_id", "text",
               Seq("lang")))
-          val blocked = graft.operators.TextDedup.jaccardPairsAgainstSets(
-              newSets, baseSets.current, Seq("lang"), 0.9)
+          val blocked = idx.probe(newSets)
             .select(col("new_id").as("doc_id")).distinct()
           val clean = batch.join(blocked, Seq("doc_id"), "left_anti")
           val within = graft.operators.TextDedup.jaccardPairs(
@@ -701,7 +701,7 @@ object StreamingQueries {
                 col("doc_id").cast("string").as("id"),
                 col("lang").as("name"), col("text").as("content")),
             Some(java.time.LocalDateTime.of(2024, 6, 1, 0, batchId.toInt)))
-          baseSets.add(newSets.join(surv.select(col("__id")), Seq("__id")))
+          idx.add(newSets.join(surv.select(col("__id")), Seq("__id")))
           ()
         }
         .start()

@@ -22,6 +22,14 @@ import org.apache.spark.sql.DataFrame
   * discipline is the reference sidecar's incremental segment-add policy
   * (`tantivy` segment merges) applied to checkpointed frames.
   *
+  * This is the IN-MEMORY tier of the discipline — right when the
+  * consumer needs the whole base as one frame (`current`). When the
+  * consumer can probe through key filters instead, the persisted
+  * siblings ([[AnnIngestIndex]] for vectors, [[TextIngestIndex]] for
+  * exact-Jaccard text — which superseded PinnedBase on the q126 ingest
+  * path) keep per-batch PROBE cost batch-sized too, not just the
+  * maintenance.
+  *
   * Counters expose the maintenance cost for specs and ops: [[pinnedRowsTotal]]
   * is every row ever materialized (adds + merges); [[addPinnedRows]] only
   * the per-batch add cost, which stays flat in base size by construction. */

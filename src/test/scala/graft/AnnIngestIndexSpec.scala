@@ -62,6 +62,118 @@ class AnnIngestIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("restart recovery: a new instance adopts on-disk segments and " +
+      "tombstones instead of leaking them") {
+    val dir = graft.tables.TempDirs.create("graft_annidx_restart_")
+    val idx = new AnnIngestIndex(spark, dir, "vec_id", "v", Dim,
+      threshold = 0.9)
+    val b1 = vecs(0, 80, 11).localCheckpoint()
+    val b2 = vecs(80, 200, 12).localCheckpoint() // bigger: forces a merge
+    idx.add(b1); idx.add(b2)
+    val base = b1.unionByName(b2).localCheckpoint()
+    // simulate a process restart: fresh instance over the same root
+    val idx2 = new AnnIngestIndex(spark, dir, "vec_id", "v", Dim,
+      threshold = 0.9)
+    assert(idx2.segmentCount == idx.segmentCount,
+      "restarted index must adopt the resident segments")
+    assert(idx2.indexedRows == idx.indexedRows,
+      "adopted sizes must come from the on-disk footers")
+    val probeBatch = batchWithDups(200 until 320, base, 13).localCheckpoint()
+    val got = idx2.probe(probeBatch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = VectorSearch.cosineNearDupPairsAgainst(probeBatch, base,
+        "vec_id", "v", Dim, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, "restarted probe diverged from the brute join")
+    // and the next add must not overwrite an adopted segment dir
+    idx2.add(probeBatch)
+    val idx3 = new AnnIngestIndex(spark, dir, "vec_id", "v", Dim,
+      threshold = 0.9)
+    assert(idx3.indexedRows == idx2.indexedRows)
+  }
+
+  test("probe schema is identical before the first add (typed from the " +
+      "batch, not hardcoded long)") {
+    import spark.implicits._
+    val dir = graft.tables.TempDirs.create("graft_annidx_schema_")
+    // STRING ids: the old lit(0L) empty frame would diverge here
+    val idx = new AnnIngestIndex(spark, dir, "vec_id", "v", Dim,
+      threshold = 0.9)
+    val batch = vecs(0, 10, 7)
+      .select(concat(lit("d"), col("vec_id")).as("vec_id"), col("v"))
+      .localCheckpoint()
+    // names + types must agree (nullability may differ — a join output
+    // is nullable where the empty projection is not; unionByName relaxes)
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType)).toSeq
+    val emptySchema = shape(idx.probe(batch).schema)
+    idx.add(batch)
+    val fullSchema = shape(idx.probe(batch).schema)
+    assert(emptySchema == fullSchema,
+      s"empty-index probe schema $emptySchema != non-empty $fullSchema")
+  }
+
+  test("large-batch probe stays off the In-literal path above " +
+      "maxProbeKeys, with identical output") {
+    val dir = graft.tables.TempDirs.create("graft_annidx_bigbatch_")
+    // tiny bound so the fixture batch exercises the production fallback
+    val idx = new AnnIngestIndex(spark, dir, "vec_id", "v", Dim,
+      threshold = 0.9, maxProbeKeys = 50)
+    val base = vecs(0, 100, 21).localCheckpoint()
+    idx.add(base)
+    val batch = batchWithDups(100 until 220, base, 22).localCheckpoint()
+    val probed = idx.probe(batch)
+    assert(!idx.lastProbePushedKeys,
+      "a batch with > maxProbeKeys distinct bucket keys must not build " +
+        "a driver-side In literal")
+    assert(!probed.queryExecution.optimizedPlan.toString.contains("__tk IN"),
+      "fallback probe plan still carries an In literal on the key column")
+    val got = probed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = VectorSearch.cosineNearDupPairsAgainst(batch, base,
+        "vec_id", "v", Dim, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, "fallback probe diverged from the brute join")
+    // the small-batch path still pushes keys
+    val small = batchWithDups(220 until 224, base, 23).localCheckpoint()
+    idx.probe(small).count()
+    assert(idx.lastProbePushedKeys,
+      "a batch under the bound must keep the pushed-In scan")
+  }
+
+  test("tombstoned survivors stop suppressing ingest; merges compact " +
+      "them away; untombstoned keepers still hit") {
+    import spark.implicits._
+    val dir = graft.tables.TempDirs.create("graft_annidx_tomb_")
+    val idx = new AnnIngestIndex(spark, dir, "vec_id", "v", Dim,
+      threshold = 0.9)
+    val base = vecs(0, 100, 31).localCheckpoint()
+    idx.add(base)
+    // batch duplicates base rows 0 and 1 (ids 1000000 and 1000001)
+    val batch = base.limit(2)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"), x => x * 1.01).as("v"))
+      .localCheckpoint()
+    val before = idx.probe(batch)
+      .collect().map(_.getLong(1)).toSet
+    assert(before == Set(0L, 1L), s"expected hits on 0 and 1, got $before")
+    // DML deletes survivor 0: its near-dups must land from the next probe
+    idx.remove(Seq(0L).toDF("vec_id"))
+    val after = idx.probe(batch).collect().map(_.getLong(1)).toSet
+    assert(after == Set(1L),
+      s"tombstoned survivor 0 still suppresses (hits=$after)")
+    // a merge (bigger add) physically drops the dead rows, and the
+    // semantics survive compaction + restart
+    val big = vecs(200, 500, 32).localCheckpoint()
+    idx.add(big)
+    val afterMerge = idx.probe(batch).collect().map(_.getLong(1)).toSet
+    assert(afterMerge == Set(1L))
+    val idx2 = new AnnIngestIndex(spark, dir, "vec_id", "v", Dim,
+      threshold = 0.9)
+    val afterRestart = idx2.probe(batch).collect().map(_.getLong(1)).toSet
+    assert(afterRestart == Set(1L),
+      s"tombstones must survive restart (hits=$afterRestart)")
+  }
+
   test("20-batch drain: probes never re-hash the base, reads follow the " +
       "batch's bucket mass, segments stay logarithmic") {
     val recordsRead = new java.util.concurrent.atomic.AtomicLong
