@@ -115,12 +115,29 @@ object ScaleProbe {
 
     val metrics = new ProbeMetrics
     spark.sparkContext.addSparkListener(metrics)
+    val stages = new StageBreakdown.Collector
+    spark.sparkContext.addSparkListener(stages)
 
-    def run(name: String, dir: String): (Double, Seq[Long]) = {
+    def run(name: String, dir: String): (Double, Seq[Long], Seq[StageBreakdown.St]) = {
       metrics.reset()
+      stages.reset()
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
+      // ORDER-INSENSITIVE digest instead of writing the query's sorted
+      // output: the SparkEntry frames end in a determinism orderBy for
+      // the driver's compare harness, and at the 10× leg that global
+      // sort of the RESULT (96.4M rows for q26) was the only remaining
+      // spill — operator cost, not output formatting, is what the probe
+      // measures. The aggregate consumes every output row (hash + count
+      // over all columns), and Catalyst's EliminateSorts removes the
+      // now-irrelevant top-level Sort under it; a fleet would sort the
+      // result across executors at write time anyway. The Verify/oracle
+      // path keeps the orderBy untouched.
+      val df = SparkEntry.queries(name)(spark, dir)
+      val digest = df
+        .agg(count(lit(1)).as("n"),
+          sum(xxhash64(struct(df.columns.map(col): _*))).as("h"))
+        .collect()
+      require(digest.length == 1 && digest.head.getLong(0) >= 0L)
       val sec = (System.nanoTime() - t0) / 1e9
       // measurement hygiene: localCheckpoint blocks from THIS run's Pins
       // stay resident until the driver GCs the frame refs and the
@@ -138,7 +155,7 @@ object ScaleProbe {
         Thread.sleep(200); System.gc()
       }
       Thread.sleep(300)
-      (sec, metrics.snapshot)
+      (sec, metrics.snapshot, stages.top(3))
     }
     run(selected.head, base) // warm the JVM/codegen once, unrecorded
     val rows = selected.map { q =>
@@ -146,11 +163,11 @@ object ScaleProbe {
       // repeat mode is the re-measurement path, where sample 1 would
       // otherwise record this query's whole-stage-codegen compilation
       val samples = (1 to repeats).map { _ =>
-        val (b, bm) = run(q, base)
-        val (s, sm) = run(q, out)
+        val (b, bm, bst) = run(q, base)
+        val (s, sm, sst) = run(q, out)
         System.err.println(f"[probe] $q%-28s base=$b%7.2fs scaled=$s%7.2fs ratio=${s / b}%5.2f " +
           f"spill=${(sm(2) + sm(3)) / 1e6}%.0fMB")
-        (b, s, bm, sm)
+        (b, s, bm, sm, bst, sst)
       }
       (q, samples)
     }
@@ -175,7 +192,7 @@ object ScaleProbe {
           s""""scaled":${stats(out, "md5")}}"""
       } else ""
     val js = rows.map { case (q, samples) =>
-      val (b, s, bm, sm) = samples.head
+      val (b, s, bm, sm, bst, sst) = samples.head
       val extra = if (repeats > 1) {
         val bs = samples.map(x => f"${x._1}%.2f").mkString("[", ",", "]")
         val ss = samples.map(x => f"${x._2}%.2f").mkString("[", ",", "]")
@@ -192,10 +209,15 @@ object ScaleProbe {
           s""""scaled_metrics":{"shuffle_read_mb":${mb(sm(0))},""" +
           s""""shuffle_write_mb":${mb(sm(1))},"spill_mem_mb":${mb(sm(2))},""" +
           s""""spill_disk_mb":${mb(sm(3))}}"""
-      f""""$q":{"base_sec":$b%.2f,"scaled_sec":$s%.2f,"ratio":${s / b}%.2f$extra$met}"""
+      // stage-level attribution per leg (top-3 by shuffle write): WHICH
+      // operator stage owns the volume/spill the aggregates report
+      val stg =
+        s""","base_stages":${bst.map(StageBreakdown.stageJson).mkString("[", ",", "]")},""" +
+          s""""scaled_stages":${sst.map(StageBreakdown.stageJson).mkString("[", ",", "]")}"""
+      f""""$q":{"base_sec":$b%.2f,"scaled_sec":$s%.2f,"ratio":${s / b}%.2f$extra$met$stg}"""
     }.mkString("{", ",", "}")
     spark.stop()
-    println(s"""{"metric":"scale_probe","factor":$factor,"base":"$base","queries":$js$bucketJs}""")
+    println(s"""{"metric":"scale_probe","factor":$factor,"base":"$base","harness":"digest","queries":$js$bucketJs}""")
   }
 
   /** Build the amplified corpus: structure-preserving replicas for

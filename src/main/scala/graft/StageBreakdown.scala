@@ -12,10 +12,68 @@ import org.apache.spark.sql.SparkSession
   * write, with the stage's callsite so the line maps back to source.
   *
   * Usage: `runMain graft.StageBreakdown <queryName>`
-  * (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS). Diagnostic only — not on
-  * any driver surface.
-  */
+  * (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS). The [[StageBreakdown.Collector]]
+  * is also attached to every [[ScaleProbe]] leg, whose artifact carries
+  * each leg's top stages — the stage-level attribution that named the
+  * q26 residual spill as the output sort, now recorded per run instead
+  * of reconstructed by hand. */
 object StageBreakdown {
+
+  final case class St(id: Int, name: String, site: String, tasks: Int,
+      ms: Long, inRows: Long, swMb: Double, swRows: Long, srMb: Double,
+      spillMb: Double)
+
+  /** Reusable stage-metrics listener: accumulate, settle, rank. */
+  final class Collector extends SparkListener {
+    private val stages = ArrayBuffer.empty[St]
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+      val i = e.stageInfo
+      val m = i.taskMetrics
+      if (m != null) stages.synchronized {
+        stages += St(i.stageId, i.name.take(60),
+          (i.name.take(40) + " | " +
+            i.details.linesIterator.filterNot(_.contains("graft.Stage"))
+              .find(_.contains("graft")).getOrElse("").trim).take(130),
+          i.numTasks,
+          i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L),
+          m.inputMetrics.recordsRead,
+          m.shuffleWriteMetrics.bytesWritten / 1e6,
+          m.shuffleWriteMetrics.recordsWritten,
+          m.shuffleReadMetrics.totalBytesRead / 1e6,
+          (m.memoryBytesSpilled + m.diskBytesSpilled) / 1e6)
+      }
+    }
+    def reset(): Unit = stages.synchronized(stages.clear())
+    /** Wait for the async listener bus to stop moving, then return all
+      * stages seen since the last reset. */
+    def settled(): Seq[St] = {
+      var last = -1; var spins = 0
+      while (stages.synchronized(stages.size) != last && spins < 50) {
+        last = stages.synchronized(stages.size); Thread.sleep(100); spins += 1
+      }
+      stages.synchronized(stages.toList)
+    }
+    /** The top-k stages by shuffle write (spill as tiebreak) — the rows
+      * a scale artifact carries per leg. */
+    def top(k: Int): Seq[St] =
+      settled().sortBy(s => (-s.swMb, -s.spillMb)).take(k)
+  }
+
+  /** Minimal JSON string escape for the stage-site free text. */
+  def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    }
+
+  def stageJson(s: St): String =
+    f"""{"stage":${s.id},"ms":${s.ms},"tasks":${s.tasks},""" +
+      f""""in_rows":${s.inRows},"shuffle_write_mb":${s.swMb}%.1f,""" +
+      f""""shuffle_write_rows":${s.swRows},"shuffle_read_mb":${s.srMb}%.1f,""" +
+      f""""spill_mb":${s.spillMb}%.1f,"site":"${jsonEscape(s.site)}"}"""
+
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("q26_minhash_lsh")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -28,30 +86,8 @@ object StageBreakdown {
     spark.sparkContext.setLogLevel("WARN")
     Autotune.install(spark)
 
-    final case class St(id: Int, name: String, site: String, tasks: Int,
-        ms: Long, inRows: Long, swMb: Double, swRows: Long, srMb: Double,
-        spillMb: Double)
-    val stages = ArrayBuffer.empty[St]
-    val listener = new SparkListener {
-      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
-        val i = e.stageInfo
-        val m = i.taskMetrics
-        if (m != null) stages.synchronized {
-          stages += St(i.stageId, i.name.take(60),
-            (i.name.take(40) + " | " +
-              i.details.linesIterator.filterNot(_.contains("graft.Stage"))
-                .find(_.contains("graft")).getOrElse("").trim).take(130),
-            i.numTasks,
-            i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L),
-            m.inputMetrics.recordsRead,
-            m.shuffleWriteMetrics.bytesWritten / 1e6,
-            m.shuffleWriteMetrics.recordsWritten,
-            m.shuffleReadMetrics.totalBytesRead / 1e6,
-            (m.memoryBytesSpilled + m.diskBytesSpilled) / 1e6)
-        }
-      }
-    }
-    spark.sparkContext.addSparkListener(listener)
+    val collector = new Collector
+    spark.sparkContext.addSparkListener(collector)
     // SPARK_GRAFT_EXPLAIN_FINAL=1: the POST-AQE executed plan — join
     // strategies and exchanges as actually run, not as first planned
     // (captured from the write's own QueryExecution after it finishes)
@@ -70,12 +106,7 @@ object StageBreakdown {
     val df = SparkEntry.queries(name)(spark, dir)
     df.write.format("noop").mode("overwrite").save()
     val sec = (System.nanoTime() - t0) / 1e9
-    // listener events post asynchronously (waitUntilEmpty is
-    // private[spark]): wait until the stage list stops moving
-    var last = -1; var spins = 0
-    while (stages.synchronized(stages.size) != last && spins < 50) {
-      last = stages.synchronized(stages.size); Thread.sleep(100); spins += 1
-    }
+    val stages = collector.settled()
     println(f"== $name on $dir: $sec%.1f s, ${stages.size} stages ==")
     println(f"${"stage"}%6s ${"ms"}%8s ${"tasks"}%5s ${"inRows"}%12s " +
       f"${"shufW MB"}%9s ${"shufW rows"}%12s ${"shufR MB"}%9s " +

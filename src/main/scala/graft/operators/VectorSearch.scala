@@ -232,9 +232,10 @@ object VectorSearch {
     * nLists×dim terms and ships multi-MiB task binaries, which dominated
     * the query cost before this shape. */
   private def withCells(df: DataFrame, centroids: Array[Array[Double]],
-      n: Int, band: Double = Double.PositiveInfinity): DataFrame =
-    withCellsArray(df, centroids, n, band)
-      .withColumn("__cell", explode(col("__cells"))).drop("__cells")
+      n: Int, band: Double = Double.PositiveInfinity): DataFrame = {
+    val (assigned, cells) = cellExprs(df, centroids, n, band)
+    assigned.withColumn("__cell", explode(cells)).drop("__d", "__ci")
+  }
 
   /** [[withCells]] keeping the assigned cells as an ARRAY (`__cells`,
     * nearest-first) instead of exploding — the shape the inline-verified
@@ -244,6 +245,15 @@ object VectorSearch {
     * first-match-band does. */
   private def withCellsArray(df: DataFrame, centroids: Array[Array[Double]],
       n: Int, band: Double = Double.PositiveInfinity): DataFrame = {
+    val (assigned, cells) = cellExprs(df, centroids, n, band)
+    assigned.withColumn("__cells", cells).drop("__d", "__ci")
+  }
+
+  /** The assignment frame (+`__d`/`__ci` scratch columns) and the
+    * selected-cells expression, shared by [[withCells]] and
+    * [[withCellsArray]] so the two output shapes cannot drift. */
+  private def cellExprs(df: DataFrame, centroids: Array[Array[Double]],
+      n: Int, band: Double = Double.PositiveInfinity): (DataFrame, Column) = {
     val matrixLit = typedLit(centroids.map(_.toSeq).toSeq)
     val normsLit = typedLit(centroids.map(_.map(x => x * x).sum).toSeq)
     def vnorm(vec: Column): Column = sqrt(aggregate(vec,
@@ -319,7 +329,7 @@ object VectorSearch {
         filter(sorted, (s, i) => (i === 0) ||
           (lit(1.0) + s("d")) <= lit(band * band) * (lit(1.0) + bestD))("cell")
       }
-    assigned.withColumn("__cells", cells).drop("__d", "__ci")
+    (assigned, cells)
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
