@@ -133,9 +133,12 @@ object ScaleProbe {
       // result across executors at write time anyway. The Verify/oracle
       // path keeps the orderBy untouched.
       val df = SparkEntry.queries(name)(spark, dir)
+      // decimal(38) sum: a long sum of 64-bit hashes overflows under
+      // ANSI; 38 digits hold 1e19 rows of max-magnitude hashes
       val digest = df
         .agg(count(lit(1)).as("n"),
-          sum(xxhash64(struct(df.columns.map(col): _*))).as("h"))
+          sum(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*))
+            .cast("decimal(38,0)")).as("h"))
         .collect()
       require(digest.length == 1 && digest.head.getLong(0) >= 0L)
       val sec = (System.nanoTime() - t0) / 1e9
