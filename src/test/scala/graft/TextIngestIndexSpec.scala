@@ -150,6 +150,36 @@ class TextIngestIndexSpec extends AnyFunSuite {
     assert(idx.lastProbePushedKeys)
   }
 
+  test("degenerate batches: an empty batch probes to empty; blank-text " +
+      "docs behave exactly like the recompute (1-token sets)") {
+    import spark.implicits._
+    val dir = graft.tables.TempDirs.create("graft_txtidx_empty_")
+    val idx = new TextIngestIndex(spark, dir, Seq("lang"), threshold = 0.9)
+    val base = docs(0, 20).localCheckpoint()
+    idx.add(sets(base))
+    val emptyBatch = docs(0, 0).localCheckpoint()
+    assert(idx.probe(sets(emptyBatch)).count() == 0L)
+    // blank text is a 1-TOKEN set (hash of ""), not an empty set — the
+    // size-ratio prune keeps it away from the 30-token docs, and the
+    // index must agree with the recompute on that
+    val blank1 = Seq((9000L, "", "en")).toDF("doc_id", "text", "lang")
+      .localCheckpoint()
+    assert(idx.probe(sets(blank1)).count() == 0L)
+    assert(idx.add(sets(blank1)) == 1L)
+    // a second blank doc IS a perfect near-dup of the first (J = 1.0);
+    // index and recompute must both find exactly that pair
+    val blank2 = Seq((9001L, " ", "en")).toDF("doc_id", "text", "lang")
+      .localCheckpoint()
+    val got = idx.probe(sets(blank2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = TextDedup.jaccardPairsAgainstSets(sets(blank2),
+        sets(base.unionByName(blank1.toDF("doc_id", "text", "lang"))),
+        Seq("lang"), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got == Set((9001L, 9000L)),
+      s"blank-doc pair: got=$got want=$want")
+  }
+
   test("20-batch drain: probe cost follows the batch, not the corpus; " +
       "segments stay logarithmic; maintenance amortized-log") {
     val recordsRead = new java.util.concurrent.atomic.AtomicLong
