@@ -183,6 +183,45 @@ object Autotune {
     env.get(EnvBufferRows).map(_.toLong)
       .getOrElse(derive().maxBufferedRows)
 
+  private val EnvIngestProbeKeys = "SPARK_GRAFT_INGEST_MAX_PROBE_KEYS"
+  private val EnvSegmentRowsPerFile = "SPARK_GRAFT_SEGMENT_ROWS_PER_FILE"
+
+  /** Driver-side probe-key bound for the ingest indexes
+    * ([[graft.streaming.AnnIngestIndex]] /
+    * [[graft.streaming.TextIngestIndex]]): above it a probe falls back
+    * from the pushed-In segment scan to the join-only path. Precedence
+    * env > session conf (`spark.graft.ingestIndex.maxProbeKeys`) >
+    * derived. The cost is all DRIVER-resident — the collected key rows,
+    * one In literal per key, and the pushed filter's sorted set, ~300 B
+    * per key worst case (the text index collects keys twice: tokens,
+    * then candidate ids) — so the per-index baseline (validated on an
+    * 8 GiB-heap host) scales linearly with driver heap, capped at 8×:
+    * past ~1M literals, plan serialization latency (not memory) is the
+    * binding constraint, and a batch that large is corpus-scale anyway
+    * — the join-only fallback is the right plan for it. */
+  def ingestIndexMaxProbeKeys(base: Int, confValue: Option[String] = None,
+      env: Map[String, String] = sys.env, host: Host = detectHost()): Int =
+    env.get(EnvIngestProbeKeys).map(_.toInt)
+      .orElse(confValue.map(_.toInt))
+      .getOrElse {
+        val scale = clamp(host.heapBytes / (8L * 1024 * MB), 1L, 8L)
+        (base.toLong * scale).toInt
+      }
+
+  /** Target rows per ingest-index segment FILE (the LSM merge's write
+    * parallelism ÷ file-size trade, see
+    * [[graft.streaming.SegmentWriter]]). Precedence env > session conf
+    * (`spark.graft.ingestIndex.rowsPerFile`) > the 2M default — NOT
+    * heap-derived: the knob targets on-disk file size (~100-200 MB at
+    * typical bucket-row widths, the parquet sweet spot a 1000-executor
+    * scan wants) and merge-write task count, neither of which follows
+    * this host's memory. */
+  def segmentRowsPerFile(confValue: Option[String] = None,
+      env: Map[String, String] = sys.env): Long =
+    env.get(EnvSegmentRowsPerFile).map(_.toLong)
+      .orElse(confValue.map(_.toLong))
+      .getOrElse(2000000L)
+
   /** Resolve every knob with env > operator-set-conf > derived precedence
     * and SET the winners on the session; returns the audit of the FINAL
     * (post-override) values — operators keep authority, the failure mode

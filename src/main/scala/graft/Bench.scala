@@ -122,6 +122,10 @@ object Bench {
     //    (builds/hot_served/wasted_builds/suppressions) say whether the
     //    adaptive policy paid or suppressed (reference `hot_tier.rs`
     //    demotion-payoff accounting);
+    //  - ingest_index counters: pushed-In vs join-only fallback probe
+    //    counts across the q126/q148 ingest indexes — an always-fallback
+    //    configuration (keys over the bound every batch) would look
+    //    correct and scale badly; this makes it visible per artifact.
     //  - scan_gate counters: the under-ingest reads route through an
     //    attached ScanGate (the reference gates every routing-table scan),
     //    so gate pressure is visible in the artifact.
@@ -382,7 +386,7 @@ object Bench {
         .mkString("{", ",", "}")
     val analyticsJs = analytics
       .map { case (k, v) => s"\"$k\":${v.round}" }.mkString("{", ",", "}")
-    val record = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"ingest_rows_per_sec":${ingest.round},"compact_ms":${compactMs.round},"query_idle_ms":${idleMs.round},"query_under_ingest_ms":${underMs.round},"window_read_cold_ms":${coldWinMs.round},"window_read_hot_ms":${hotWinMs.round},"churn_read_hot_ms":${churnHotMs.round},"churn_read_cold_ms":${churnColdMs.round},"hot_tier":${counters(tierStats)},"scan_gate":${counters(gateStats)},"analytics_under_ingest":$analyticsJs,"queries":$qs,"sf":"$sfDir"}"""
+    val record = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"ingest_rows_per_sec":${ingest.round},"compact_ms":${compactMs.round},"query_idle_ms":${idleMs.round},"query_under_ingest_ms":${underMs.round},"window_read_cold_ms":${coldWinMs.round},"window_read_hot_ms":${hotWinMs.round},"churn_read_hot_ms":${churnHotMs.round},"churn_read_cold_ms":${churnColdMs.round},"hot_tier":${counters(tierStats)},"scan_gate":${counters(gateStats)},"ingest_index":{"probes_pushed":${graft.streaming.LsmSegmentIndex.pushedTotal.get},"probes_fallback":${graft.streaming.LsmSegmentIndex.fallbackTotal.get}},"analytics_under_ingest":$analyticsJs,"queries":$qs,"sf":"$sfDir"}"""
     // the driver snapshots only a truncated stdout tail — persist the FULL
     // record (every per-query timing + the storage/tier/gate legs) to a
     // file committed each round so the bench surface is auditable like the

@@ -173,11 +173,24 @@ final class BufferedWriteLayer(val table: GraftTable,
             val df = table.spark.read.parquet(d.toString).localCheckpoint()
             val n = df.count()
             if (n > 0) {
-              batches ::= ((df, Some(d.toString), Set.empty[String]))
+              // restore the batch's DML-touched dates from its sidecar —
+              // written BEFORE the batch itself, so a committed DML batch
+              // can never be re-adopted without the dates that route it
+              // to priority compaction at flush
+              batches ::= ((df, Some(d.toString), readDmlSidecar(d)))
               buffered += n
             }
-            else fs.delete(d, true)
-          } else fs.delete(d, true) // mid-write crash: the un-fsynced tail
+            else deleteWalBatch(d.toString)
+          } else deleteWalBatch(d.toString) // mid-write crash: un-fsynced tail
+        }
+      // a crash between sidecar and batch write leaves an orphan sidecar
+      // with no batch directory — drop it (its batch never committed)
+      fs.listStatus(root).filter(!_.isDirectory).map(_.getPath)
+        .filter(_.getName.endsWith(BufferedWriteLayer.DmlDatesSuffix))
+        .foreach { s =>
+          val batchDir = new Path(root, s.getName
+            .stripSuffix(BufferedWriteLayer.DmlDatesSuffix))
+          if (!fs.exists(batchDir)) fs.delete(s, false)
         }
     } catch {
       case t: Throwable =>
@@ -263,6 +276,17 @@ final class BufferedWriteLayer(val table: GraftTable,
           t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
         val dir = f"$walRoot/$micros%020d-${
           java.util.UUID.randomUUID.toString.take(8)}"
+        // DML-touched dates persist in a sidecar written BEFORE the batch
+        // (ADVICE r12): recovery restores durable DML batches WITH their
+        // dates, so a crash cannot strand a flushed enrichment outside
+        // the dirty-bin queue. Sidecar-then-batch ordering means the only
+        // crash residue is an orphan sidecar, swept at adoption.
+        if (dmlDates.nonEmpty) {
+          val out = fs.create(
+            new Path(dir + BufferedWriteLayer.DmlDatesSuffix), true)
+          try out.write(dmlDates.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+          finally out.close()
+        }
         conformed.write.parquet(dir) // _SUCCESS commits the record
         // checkpoint the READ-BACK (bounded local scan), so the buffered
         // frame outlives the WAL truncation at flush
@@ -340,7 +364,24 @@ final class BufferedWriteLayer(val table: GraftTable,
       // the flushed commit now carries the buffered DML versions: enqueue
       // exactly the dates of the batches THIS flush committed
       table.markDmlDirtyDates(toWrite.iterator.flatMap(_._3).toSet)
-      toWrite.flatMap(_._2).foreach(d => fs.delete(new Path(d), true))
+      toWrite.flatMap(_._2).foreach(deleteWalBatch)
+    }
+  }
+
+  /** Drop a WAL batch directory together with its DML-dates sidecar. */
+  private def deleteWalBatch(dir: String): Unit = {
+    fs.delete(new Path(dir), true)
+    fs.delete(new Path(dir + BufferedWriteLayer.DmlDatesSuffix), false)
+  }
+
+  private def readDmlSidecar(d: Path): Set[String] = {
+    val sidecar = new Path(d.toString + BufferedWriteLayer.DmlDatesSuffix)
+    if (!fs.exists(sidecar)) Set.empty
+    else {
+      val in = fs.open(sidecar)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toSet
+      finally in.close()
     }
   }
 }
@@ -353,6 +394,10 @@ object BufferedWriteLayer {
     * driver IS the serialization point. */
   private[sources] val owners =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Suffix of the per-batch DML-touched-dates sidecar file, a sibling
+    * of the batch directory under the WAL root. */
+  private[sources] val DmlDatesSuffix = "._dml_dates"
 
   private[sources] def isLocalFs(fs: org.apache.hadoop.fs.FileSystem): Boolean = {
     val s = fs.getUri.getScheme

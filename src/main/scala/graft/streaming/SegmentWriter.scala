@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions.col
 
 /** Shared key-sorted-segment writer for the ingest-side indexes
   * ([[AnnIngestIndex]], [[TextIngestIndex]]): range-partition on the
-  * sort key into ~[[RowsPerFile]]-row files, each internally sorted —
+  * sort key into ~rowsPerFile-row files (env/conf-tunable via
+  * [[graft.Autotune.segmentRowsPerFile]], default 2M), each internally
+  * sorted —
   * the probe's pushed key filter then prunes at FILE granularity
   * (range-disjoint footer min/max) and at row-group granularity within
   * a file. The largest LSM merge writes with ⌈rows/RowsPerFile⌉-way
@@ -17,12 +19,12 @@ import org.apache.spark.sql.functions.col
   * proportional instead of ~10⁶ entries per file. */
 private[streaming] object SegmentWriter {
 
-  /** Target rows per segment file. */
-  val RowsPerFile = 2000000L
-
   def writeSorted(frame: DataFrame, dir: String, n: Long,
       key: String): Unit = {
-    val files = math.max(1L, (n + RowsPerFile - 1) / RowsPerFile).toInt
+    // env > conf > 2M default (see Autotune.segmentRowsPerFile)
+    val rowsPerFile = graft.Autotune.segmentRowsPerFile(
+      frame.sparkSession.conf.getOption("spark.graft.ingestIndex.rowsPerFile"))
+    val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
     val blockBytes = if (n < 1000000L) 64 * 1024 else 1024 * 1024
     val arranged =
       if (files == 1) frame.repartition(1).sortWithinPartitions(key)

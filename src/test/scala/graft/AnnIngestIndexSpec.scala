@@ -138,6 +138,54 @@ class AnnIngestIndexSpec extends AnyFunSuite {
     idx.probe(small).count()
     assert(idx.lastProbePushedKeys,
       "a batch under the bound must keep the pushed-In scan")
+    val (pushed, fellBack) = idx.probePathCounts
+    assert(pushed == 1 && fellBack == 1,
+      s"probe-path counters must record both paths: ($pushed, $fellBack)")
+  }
+
+  private def copyDir(src: java.io.File, dst: java.io.File): Unit = {
+    dst.mkdirs()
+    src.listFiles().foreach { f =>
+      val t = new java.io.File(dst, f.getName)
+      if (f.isDirectory) copyDir(f, t)
+      else java.nio.file.Files.copy(f.toPath, t.toPath)
+    }
+  }
+
+  test("interrupted-merge recovery: a crash between segment commit and " +
+      "absorbed-dir cleanup must not double-index the absorbed rows") {
+    val dir = graft.tables.TempDirs.create("graft_annidx_crash_")
+    val idx = new AnnIngestIndex(spark, dir, "vec_id", "v", Dim,
+      threshold = 0.9)
+    val b1 = vecs(0, 80, 41).localCheckpoint()
+    idx.add(b1)
+    val seg0 = new java.io.File(dir, "seg_000000")
+    val backup = new java.io.File(dir + "_backup")
+    copyDir(seg0, backup)
+    val b2 = vecs(80, 200, 42).localCheckpoint()
+    idx.add(b2) // absorbs seg_000000 into seg_000001, then deletes it
+    assert(!seg0.exists(), "merge cleanup should have removed the source")
+    // the crash window: the merged segment is committed (_commit written)
+    // but the absorbed source was not yet deleted — restore it exactly as
+    // the crash would leave it, complete with its own _commit
+    copyDir(backup, seg0)
+    val idx2 = new AnnIngestIndex(spark, dir, "vec_id", "v", Dim,
+      threshold = 0.9)
+    assert(idx2.segmentCount == 1,
+      "adoption must replay the commit manifest and drop the absorbed dir")
+    assert(idx2.indexedRows == idx.indexedRows,
+      "absorbed rows were adopted twice")
+    assert(!seg0.exists(), "the leftover absorbed dir must be deleted")
+    val base = b1.unionByName(b2).localCheckpoint()
+    val probeBatch = batchWithDups(200 until 320, base, 43).localCheckpoint()
+    val got = idx2.probe(probeBatch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = VectorSearch.cosineNearDupPairsAgainst(probeBatch, base,
+        "vec_id", "v", Dim, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      s"post-recovery probe diverged (extra=${got -- want}, " +
+        s"missing=${want -- got})")
   }
 
   test("tombstoned survivors stop suppressing ingest; merges compact " +
@@ -167,6 +215,14 @@ class AnnIngestIndexSpec extends AnyFunSuite {
     idx.add(big)
     val afterMerge = idx.probe(batch).collect().map(_.getLong(1)).toSet
     assert(afterMerge == Set(1L))
+    // that add absorbed EVERY resident segment (a full merge), the dead
+    // rows are physically gone, so the tombstone set has nothing left to
+    // refer to and must be cleared — bounding it by the removes since
+    // the last full merge, not the stream lifetime (VERDICT r12 #2)
+    assert(idx.tombstoneRows == 0L,
+      "full merge must clear the tombstone set")
+    assert(!new java.io.File(dir + "/_tombstones").exists(),
+      "full merge must drop the durable tombstone dir")
     val idx2 = new AnnIngestIndex(spark, dir, "vec_id", "v", Dim,
       threshold = 0.9)
     val afterRestart = idx2.probe(batch).collect().map(_.getLong(1)).toSet

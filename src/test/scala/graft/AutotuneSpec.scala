@@ -122,4 +122,30 @@ class AutotuneSpec extends AnyFunSuite {
     assert(Autotune.defaultMaxBufferedRows(Map.empty) ==
       Autotune.derive().maxBufferedRows)
   }
+
+  test("ingest-index knobs: env > conf > derived, heap-scaled key bound") {
+    val GB = 1024L * 1024 * 1024
+    // derived: baseline at the 8 GiB validation host, linear with heap,
+    // capped at 8x (plan-serialization bound, not memory)
+    assert(Autotune.ingestIndexMaxProbeKeys(20000, None, Map.empty,
+      Autotune.Host(8, 8 * GB)) == 20000)
+    assert(Autotune.ingestIndexMaxProbeKeys(20000, None, Map.empty,
+      Autotune.Host(32, 28 * GB)) == 60000)
+    assert(Autotune.ingestIndexMaxProbeKeys(100000, None, Map.empty,
+      Autotune.Host(64, 512 * GB)) == 800000, "8x cap")
+    assert(Autotune.ingestIndexMaxProbeKeys(20000, None, Map.empty,
+      Autotune.Host(1, 1 * GB)) == 20000, "never below the baseline")
+    // conf beats derived; env beats conf
+    assert(Autotune.ingestIndexMaxProbeKeys(20000, Some("5000"), Map.empty,
+      Autotune.Host(32, 28 * GB)) == 5000)
+    assert(Autotune.ingestIndexMaxProbeKeys(20000, Some("5000"),
+      Map("SPARK_GRAFT_INGEST_MAX_PROBE_KEYS" -> "777"),
+      Autotune.Host(32, 28 * GB)) == 777)
+    // rows-per-file: env > conf > the 2M default (file-size targeted,
+    // deliberately NOT heap-derived)
+    assert(Autotune.segmentRowsPerFile(None, Map.empty) == 2000000L)
+    assert(Autotune.segmentRowsPerFile(Some("500000"), Map.empty) == 500000L)
+    assert(Autotune.segmentRowsPerFile(Some("500000"),
+      Map("SPARK_GRAFT_SEGMENT_ROWS_PER_FILE" -> "250000")) == 250000L)
+  }
 }

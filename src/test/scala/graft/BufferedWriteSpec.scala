@@ -321,4 +321,46 @@ class BufferedWriteSpec extends AnyFunSuite {
       s"flushed buffered DML must enqueue its touched dates, " +
         s"queue=${tbl.dmlDirtyDates()}")
   }
+
+  test("a durable DML batch recovered from the WAL keeps its touched " +
+      "dates: the crash-then-flush path still reaches the dirty-bin queue") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_enrich_wal_").toString
+    val tbl = new GraftTable(spark, dir, TableSchemas.otelLogsAndSpans)
+    val buf = new BufferedWriteLayer(tbl, durable = true)
+    def spans(ids: Seq[Int]) = ids.toDF("n").select(
+      lit("p0").as("project_id"),
+      (lit("2024-03-01 00:00:00").cast("timestamp_ntz")
+        + expr("make_interval(0, 0, 0, 0, 0, n, 0)")).as("timestamp"),
+      concat(lit("span-"), col("n")).as("id"),
+      lit("span").as("name"),
+      array().cast("array<string>").as("hashes"),
+      concat(lit("trace-"), col("n") % 4).as("context___trace_id"))
+    buf.insert(spans(0 until 6), t(0))
+    buf.flush()
+    assert(tbl.dmlDirtyDates().isEmpty, "plain inserts queue nothing")
+    // DML through the buffer, then a crash BEFORE any flush: the batch
+    // is durable, and since r13 its touched dates are too (the sidecar
+    // is written before the batch itself)
+    buf.updateFrom(
+      (0 until 3).toDF("n").select(
+        concat(lit("span-"), col("n")).as("src_id"), lit("tag").as("tag")),
+      col("t.id") === col("s.src_id"),
+      Map("hashes" ->
+        concat(coalesce(col("t.hashes"), array().cast("array<string>")),
+          array(col("s.tag")))), t(1))
+    buf.simulateCrash()
+    val recovered = new BufferedWriteLayer(tbl, durable = true)
+    assert(recovered.bufferedRows == 3, "WAL replay adopts the DML batch")
+    assert(tbl.dmlDirtyDates().isEmpty, "recovery alone must not enqueue")
+    recovered.flush()
+    assert(tbl.dmlDirtyDates().contains("2024-03-01"),
+      "a recovered-then-flushed DML batch must enqueue its touched " +
+        s"dates, queue=${tbl.dmlDirtyDates()}")
+    recovered.close()
+    // and the sidecar died with its batch: a third layer adopts nothing
+    val fresh = new BufferedWriteLayer(tbl, durable = true)
+    assert(fresh.bufferedRows == 0L)
+    fresh.close()
+  }
 }

@@ -148,6 +148,61 @@ class TextIngestIndexSpec extends AnyFunSuite {
       .localCheckpoint()
     idx.probe(sets(small)).count()
     assert(idx.lastProbePushedKeys)
+    val (pushed, fellBack) = idx.probePathCounts
+    assert(pushed == 1 && fellBack == 1,
+      s"probe-path counters must record both paths: ($pushed, $fellBack)")
+  }
+
+  test("tombstoned survivors stop suppressing ingest (immediately, " +
+      "after restart, and after the merge that compacts them away)") {
+    import spark.implicits._
+    val dir = graft.tables.TempDirs.create("graft_txtidx_tomb_")
+    val idx = new TextIngestIndex(spark, dir, Seq("lang"), threshold = 0.9)
+    val base = docs(0, 50).localCheckpoint()
+    idx.add(sets(base))
+    // batch near-dups committed survivors 0 and 1
+    val batch = Seq(dupOf(0, 5000L), dupOf(1, 5001L))
+      .toDF("doc_id", "text", "lang").localCheckpoint()
+    val before = idx.probe(sets(batch)).collect().map(_.getLong(1)).toSet
+    assert(before == Set(0L, 1L), s"expected hits on 0 and 1, got $before")
+    // DML deletes survivor 0: its near-dups must land from the next probe
+    idx.remove(Seq(0L).toDF("doc_id"))
+    val after = idx.probe(sets(batch)).collect().map(_.getLong(1)).toSet
+    assert(after == Set(1L),
+      s"tombstoned survivor 0 still suppresses (hits=$after)")
+    // tombstones survive restart
+    val idx2 = new TextIngestIndex(spark, dir, Seq("lang"), threshold = 0.9)
+    val afterRestart = idx2.probe(sets(batch))
+      .collect().map(_.getLong(1)).toSet
+    assert(afterRestart == Set(1L),
+      s"tombstones must survive restart (hits=$afterRestart)")
+    // a bigger add absorbs everything (full merge): vocab/pref/sets are
+    // rebuilt without doc 0's rows AND the tombstone set clears
+    idx2.add(sets(docs(100, 400).localCheckpoint()))
+    assert(idx2.tombstoneRows == 0L,
+      "full merge must clear the tombstone set")
+    assert(!new java.io.File(dir + "/_tombstones").exists(),
+      "full merge must drop the durable tombstone dir")
+    val afterMerge = idx2.probe(sets(batch))
+      .collect().map(_.getLong(1)).toSet
+    assert(afterMerge == Set(1L),
+      s"compaction must keep the deletion physical (hits=$afterMerge)")
+    // and a third instance (post-compaction restart) agrees
+    val idx3 = new TextIngestIndex(spark, dir, Seq("lang"), threshold = 0.9)
+    val afterRestart2 = idx3.probe(sets(batch))
+      .collect().map(_.getLong(1)).toSet
+    assert(afterRestart2 == Set(1L))
+    // the q126 invariant is untouched for the living: survivor 1 still
+    // blocks, and the untombstoned corpus still matches the recompute
+    val want = TextDedup.jaccardPairsAgainstSets(sets(batch),
+        sets(base.filter(col("doc_id") =!= 0L)
+          .unionByName(docs(100, 400))),
+        Seq("lang"), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = idx3.probe(sets(batch))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, "post-tombstone probe diverged from the " +
+      s"recompute over the surviving corpus (got=$got want=$want)")
   }
 
   test("degenerate batches: an empty batch probes to empty; blank-text " +
