@@ -75,7 +75,11 @@ object IngestDrainProbe {
     spark.sparkContext.addSparkListener(reads)
 
     /** One drain: split `sets`-shaped rows into `batches` by id hash,
-      * probe-then-add each, measure. `probe`/`add` close over the index. */
+      * probe-then-add each, measure. Mirrors the q126/q148 pipelines'
+      * SURVIVOR semantics: a doc that near-dups a committed survivor is
+      * suppressed and never joins the base (so the base stays dup-free
+      * and hit counts reflect real suppression, not an accumulating
+      * dup-family quadratic). `probe`/`add` close over the index. */
     def drain(source: DataFrame, splitCol: String,
         probe: DataFrame => DataFrame, add: DataFrame => Unit,
         pushedFlag: () => Boolean, segCount: () => Int): Seq[BatchRow] =
@@ -85,11 +89,15 @@ object IngestDrainProbe {
         val rows = batch.count()
         reads.reset()
         val t0 = System.nanoTime()
-        val hits = probe(batch).count()
+        val pairs = graft.operators.Pin(probe(batch))
+        val hits = pairs.count()
         val probeSec = (System.nanoTime() - t0) / 1e9
         val probeReads = reads.settle()
         val t1 = System.nanoTime()
-        add(batch)
+        val keepers = batch.join(
+          pairs.select(col("new_id").as(splitCol)).distinct(),
+          Seq(splitCol), "left_anti")
+        add(keepers)
         val addSec = (System.nanoTime() - t1) / 1e9
         val row = BatchRow(b, rows, hits, probeSec, addSec, probeReads,
           pushedFlag(), segCount())

@@ -116,15 +116,18 @@ final class TextIngestIndex(spark: SparkSession, root: String,
     * slice/length expressions as the live `setJaccardJoin.pref`, so the
     * frozen-order index and the recompute-every-batch join cannot
     * disagree on what a prefix is. */
-  private def prefixRows(tokens: DataFrame): DataFrame =
+  private def prefixRows(tokens: DataFrame,
+      extraCols: Seq[String] = Nil): DataFrame = {
+    val tail = (blockCols ++ extraCols).map(col)
     tokens
-      .groupBy(Seq(col("__id"), col("__n")) ++ blockCols.map(col): _*)
+      .groupBy(Seq(col("__id"), col("__n")) ++ tail: _*)
       .agg(slice(array_sort(collect_list(struct(col("__f"), col("__pe")))),
         lit(1),
         (col("__n") - ceil(col("__n") * threshold) + 1).cast("int"))
         .as("__pref"))
       .select(Seq(col("__id"), col("__n"),
-        explode(col("__pref.__pe")).as("__pe")) ++ blockCols.map(col): _*)
+        explode(col("__pref.__pe")).as("__pe")) ++ tail: _*)
+  }
 
   /** Fold a batch of keepers' hashed-set rows (`(__id, __ts,
     * blockCols…)`, the [[graft.operators.TextDedup.hashedSets]] shape)
@@ -172,25 +175,42 @@ final class TextIngestIndex(spark: SparkSession, root: String,
     val keySeq = if (pushKeys) keyRows.map(_.getLong(0)).toSeq else Nil
     def keyed(df: DataFrame): DataFrame =
       if (pushKeys) df.where(col("__pe").isin(keySeq: _*)) else df
-    // candidate pairs, one subplan per resident segment (≤ log₂ batches
-    // of them — bounded plan width), all evaluated in ONE job
-    val cands = dirs.map { dir =>
-      // rank the batch's tokens under THIS segment's frozen order:
-      // left join against the (token-pruned) vocab, unseen → f = 0
-      // (rarest-first — consistent with the frozen base sort, which
-      // contains only seen tokens, and maximally pruning)
-      val vocab = keyed(spark.read.parquet(s"$dir/vocab"))
-      val rankedB = btok.join(vocab, Seq("__pe"), "left")
-        .withColumn("__f", coalesce(col("__f"), lit(0L)))
-      val bpref = prefixRows(rankedB)
-      val basePref = keyed(spark.read.parquet(s"$dir/pref"))
-      val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
-        .foldLeft(col("a.__pe") === col("b.__pe") &&
-          least(col("a.__n"), col("b.__n")).cast("double") >=
-            greatest(col("a.__n"), col("b.__n")) * lit(threshold))(_ && _)
-      bpref.as("a").join(basePref.as("b"), joinCond)
-        .select(col("a.__id").as("new_id"), col("b.__id").as("base_id"))
-    }.reduce(_ unionByName _).distinct()
+    // ONE candidate subplan across every resident segment, each row
+    // tagged with its segment (from the file path) — the per-segment
+    // frozen orders still never mix (the rank join and the candidate
+    // join both key on the tag), but the pushed key literal appears
+    // ONCE PER SCAN instead of once per segment: with ~10⁵ keys and
+    // log₂(batches) segments, per-segment subplans serialized the key
+    // set 2×segments times into the plan and the task binaries
+    // (measured: 17.5 MiB task binaries and probe seconds growing with
+    // segment count on the sf0.1 shingle drain — planning cost, not IO)
+    val segOf = regexp_extract(input_file_name(), "(seg_\\d+)", 1)
+    // rank the batch's tokens under EACH segment's frozen order in one
+    // join: batch tokens × the (tiny, ≤ log₂ batches) segment list,
+    // left-joined against the token-pruned tagged vocab — a token the
+    // segment never saw takes f = 0 (rarest-first: consistent with the
+    // frozen base sort, which contains only seen tokens, and maximally
+    // pruning)
+    val segDf = {
+      import spark.implicits._
+      dirs.map(d => new org.apache.hadoop.fs.Path(d).getName).toDF("__seg")
+    }
+    val vocabAll = keyed(spark.read.parquet(dirs.map(d => s"$d/vocab"): _*))
+      .withColumn("__seg", segOf)
+    val rankedB = btok.crossJoin(broadcast(segDf))
+      .join(vocabAll, Seq("__pe", "__seg"), "left")
+      .withColumn("__f", coalesce(col("__f"), lit(0L)))
+    val bpref = prefixRows(rankedB, extraCols = Seq("__seg"))
+    val basePref = keyed(spark.read.parquet(dirs.map(d => s"$d/pref"): _*))
+      .withColumn("__seg", segOf)
+    val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(col("a.__pe") === col("b.__pe") &&
+        col("a.__seg") === col("b.__seg") &&
+        least(col("a.__n"), col("b.__n")).cast("double") >=
+          greatest(col("a.__n"), col("b.__n")) * lit(threshold))(_ && _)
+    val cands = bpref.as("a").join(basePref.as("b"), joinCond)
+      .select(col("a.__id").as("new_id"), col("b.__id").as("base_id"))
+      .distinct()
     // pin the (output-sized) candidate set — tombstoned survivors are
     // hidden HERE, before the verify attach and the bounded id collect
     // both consume it (a deleted base doc must not block new ingest)
