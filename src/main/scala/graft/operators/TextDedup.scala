@@ -651,11 +651,37 @@ object TextDedup {
     * only exists at production scale). */
   def connectedComponents(ids: DataFrame, edges: DataFrame,
       maxIter: Int = 20, jumpAfter: Int = 3): DataFrame = {
+    // Both the edge materialization below and the propagation loop
+    // shuffle (long, long) pair rows that LZ4 compresses ~10×, and AQE
+    // coalesces reduce partitions by COMPRESSED bytes — at 94M edges
+    // (sf10 probe) the coalesced ~30-task sorts paid ~650 MB of
+    // UNCOMPRESSED input each and spilled ~25 GB/stage. Scope a small
+    // advisory size to this whole call so those exchanges stay wide
+    // (8 MB compressed ≈ the default 64 MB of uncompressed sort input
+    // for this row shape); restored in the finally — every frame that
+    // leaves this function is pinned, so nothing re-executes under the
+    // caller's conf.
+    val session = ids.sparkSession
+    val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val prevAdvisory = session.conf.getOption(advisoryKey)
+    session.conf.set(advisoryKey, "8m")
+    try {
     // materialize the edge list once — it is typically an EXPENSIVE plan
     // (a verified similarity join) that would otherwise recompute every
-    // propagation round
+    // propagation round. The EXPLICIT pre-checkpoint width matters: the
+    // checkpoint freezes its upstream partition count, and every later
+    // map stage over the pinned edges inherits it — unrepartitioned, the
+    // pair join's ~30 AQE output partitions each sorted ~6M wide rows on
+    // the map side of the first loop exchange and spilled regardless of
+    // the advisory (reduce-side sizing cannot reach a map side).
+    val symWidth = math.max(
+      ids.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      ids.sparkSession.conf
+        .getOption("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+        .map(_.toInt).getOrElse(0))
     val sym = edges.select(col("id_a").as("__src"), col("id_b").as("__dst"))
       .unionByName(edges.select(col("id_b").as("__src"), col("id_a").as("__dst")))
+      .repartition(symWidth, col("__src"))
       .transform(Pin(_))
     // HYBRID fast path: a near-dup pair graph is usually output-sized —
     // orders of magnitude smaller than the corpus that produced it — and
@@ -733,6 +759,10 @@ object TextDedup {
         s"$jumpAfter*2^${maxIter - jumpAfter} exceeded by the graph " +
         "diameter): refusing to return a truncated label set — raise maxIter")
     labels
+    } finally prevAdvisory match {
+      case Some(v) => session.conf.set(advisoryKey, v)
+      case None => session.conf.unset(advisoryKey)
+    }
   }
 
   /** Driver-side labeling for the [[connectedComponents]] fast path:
@@ -1007,10 +1037,23 @@ object TextDedup {
   def editDistancePairs(df: DataFrame, idCol: String,
       strCol: String): DataFrame = {
     // contract: empty strings don't participate (an empty "name" is not
-    // an entity; every length-1 string would trivially pair with it)
+    // an entity; every length-1 string would trivially pair with it).
+    // The repartition is load-bearing: the deletion-key Generate below
+    // runs UNDER the join's shuffle, i.e. at SCAN parallelism — a
+    // single-file entity table (catalogs routinely are) ran the whole
+    // O(rows × len²) key expansion as ONE task (measured: 45.9 s of the
+    // 49.6 s sf10 probe leg in a 1-task stage). An explicit exchange on
+    // the id costs one narrow corpus-bytes shuffle and makes the
+    // expansion cluster-wide regardless of file layout.
+    // EXPLICIT width: repartition(col) alone is an AQE-coalescible
+    // exchange, and the corpus is tiny COMPRESSED (1.5 MB at sf10) — AQE
+    // folded it back to ONE partition and the serial stage returned. A
+    // user-specified partition count is exempt from coalescing.
+    val width = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val base = df.filter(length(col(strCol)) > 0)
       .select(col(idCol).as("__id"), col(strCol).as("__s"),
         length(col(strCol)).as("__n"))
+      .repartition(width, col("__id"))
     val keyed = base.select(col("__id"), col("__s"),
       explode(concat(
         array(col("__s")),
