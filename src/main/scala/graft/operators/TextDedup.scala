@@ -664,7 +664,14 @@ object TextDedup {
     val session = ids.sparkSession
     val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
     val prevAdvisory = session.conf.getOption(advisoryKey)
-    session.conf.set(advisoryKey, "8m")
+    // …but only when the corpus is big enough for those sorts to exist:
+    // at gate scale the finer tasks are pure scheduling overhead
+    // (measured +27% on the q43/q96/q144 bench family at 5k docs), and
+    // the probes measured zero spill at default advisory up to 50k docs
+    // / 9.4M edges — the onset is between there and 500k docs / 94M
+    // edges, so the switch sits at 100k. One cheap single-column count.
+    val scopeAdvisory = ids.count() > 100000L
+    if (scopeAdvisory) session.conf.set(advisoryKey, "8m")
     try {
     // materialize the edge list once — it is typically an EXPENSIVE plan
     // (a verified similarity join) that would otherwise recompute every
@@ -759,7 +766,7 @@ object TextDedup {
         s"$jumpAfter*2^${maxIter - jumpAfter} exceeded by the graph " +
         "diameter): refusing to return a truncated label set — raise maxIter")
     labels
-    } finally prevAdvisory match {
+    } finally if (scopeAdvisory) prevAdvisory match {
       case Some(v) => session.conf.set(advisoryKey, v)
       case None => session.conf.unset(advisoryKey)
     }
