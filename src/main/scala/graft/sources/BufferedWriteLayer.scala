@@ -284,8 +284,18 @@ final class BufferedWriteLayer(val table: GraftTable,
         if (dmlDates.nonEmpty) {
           val out = fs.create(
             new Path(dir + BufferedWriteLayer.DmlDatesSuffix), true)
-          try out.write(dmlDates.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
-          finally out.close()
+          try {
+            out.write(dmlDates.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+            // process ordering is not storage-durability ordering (ADVICE
+            // r13): a _SUCCESS-committed batch must IMPLY a durable
+            // sidecar (plain inserts legitimately have none, so a lost
+            // sidecar is undetectable at recovery) — force the bytes down
+            // before the batch write starts. hsync where the FS supports
+            // it; hflush is the floor everywhere else.
+            out.hflush()
+            try out.hsync()
+            catch { case _: UnsupportedOperationException => () }
+          } finally out.close()
         }
         conformed.write.parquet(dir) // _SUCCESS commits the record
         // checkpoint the READ-BACK (bounded local scan), so the buffered

@@ -40,7 +40,7 @@ import org.apache.spark.sql.functions._
   *    candidate bench ids for the exact verify. */
 final class ContainmentBenchIndex(spark: org.apache.spark.sql.SparkSession,
     root: String, tau: Double,
-    maxProbeKeys: Int = -1) {
+    maxProbeKeys: Int = -1) extends IndexProbePlumbing {
   require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
 
   private val keyBound =
@@ -48,7 +48,6 @@ final class ContainmentBenchIndex(spark: org.apache.spark.sql.SparkSession,
     else graft.Autotune.ingestIndexMaxProbeKeys(100000,
       spark.conf.getOption("spark.graft.ingestIndex.maxProbeKeys"))
 
-  @volatile private[graft] var lastProbePushedKeys = false
   private var built = false
 
   /** Freeze the bench side. `benchSets` carries `(__id, __ts)` — the
@@ -100,11 +99,10 @@ final class ContainmentBenchIndex(spark: org.apache.spark.sql.SparkSession,
       .select(col("__id"), col("__ts"), size(col("__ts")).as("__n")))
     val dtok = d.select(col("__id"), col("__n"),
       explode(col("__ts")).as("__pe"))
-    val keyRows = dtok.select("__pe").distinct()
-      .limit(keyBound + 1).collect()
+    val keyRows = collectBounded(dtok, "__pe", keyBound)
     if (keyRows.isEmpty) return empty
     val pushKeys = keyRows.length <= keyBound
-    lastProbePushedKeys = pushKeys
+    recordProbePath(pushKeys)
     val keySeq = if (pushKeys) keyRows.map(_.getLong(0)).toSeq else Nil
     def keyed(df: DataFrame): DataFrame =
       if (pushKeys) df.where(col("__pe").isin(keySeq: _*)) else df
@@ -133,8 +131,7 @@ final class ContainmentBenchIndex(spark: org.apache.spark.sql.SparkSession,
       .select(col("a.__bid").as("bench_id"), col("b.__cid").as("doc_id"))
       .distinct()
     val pinned = graft.operators.Pin(cands)
-    val idRows = pinned.select("bench_id").distinct()
-      .limit(keyBound + 1).collect()
+    val idRows = collectBounded(pinned, "bench_id", keyBound)
     if (idRows.isEmpty) return empty
     val sets0 = spark.read.parquet(s"$root/sets")
     val benchSets =

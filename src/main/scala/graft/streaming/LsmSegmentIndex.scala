@@ -4,6 +4,44 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Shared probe plumbing for every probe-side index — the LSM pair
+  * ([[AnnIngestIndex]], [[TextIngestIndex]]) via [[LsmSegmentIndex]] and
+  * the frozen [[ContainmentBenchIndex]] alike (VERDICT r13 what's-wrong
+  * #2: the bench index set its private pushed flag directly and its
+  * probes were invisible in the bench record's `ingest_index` block —
+  * the exact "silently always-fallback looks correct and scales badly"
+  * blind spot the counters exist to close). Owns:
+  *  - the bounded driver-side key collect behind the pushed-In path;
+  *  - the per-instance and process-wide pushed-vs-fallback counters
+  *    (bench artifacts emit the process totals). */
+private[graft] trait IndexProbePlumbing {
+
+  // introspection for specs: did the last probe use the pushed-In path?
+  @volatile private[graft] var lastProbePushedKeys = false
+  private var probePushed = 0L
+  private var probeFallback = 0L
+
+  /** Collect up to `bound`+1 distinct values of `c` — the caller pushes
+    * an In literal iff the result stayed within `bound` (one extra row
+    * distinguishes "exactly at the bound" from "over it"). */
+  protected final def collectBounded(df: DataFrame, c: String,
+      bound: Int): Array[Row] =
+    df.select(c).distinct().limit(bound + 1).collect()
+
+  /** Record which path a real probe took; feeds the per-instance and
+    * process-wide counters (bench artifacts emit the latter). */
+  protected final def recordProbePath(pushed: Boolean): Unit = synchronized {
+    lastProbePushedKeys = pushed
+    if (pushed) { probePushed += 1; LsmSegmentIndex.pushedTotal.incrementAndGet() }
+    else { probeFallback += 1; LsmSegmentIndex.fallbackTotal.incrementAndGet() }
+  }
+
+  /** (probes that pushed a key literal, probes that fell back to the
+    * join-only scan) for THIS index instance. */
+  final def probePathCounts: (Long, Long) =
+    synchronized((probePushed, probeFallback))
+}
+
 /** Shared LSM segment-registry core for the ingest-side indexes
   * ([[AnnIngestIndex]] for vectors, [[TextIngestIndex]] for exact
   * Jaccard). Both maintain committed dedup survivors as key-sorted
@@ -42,7 +80,8 @@ import org.apache.spark.sql.functions._
   *    always falls back looks correct and scales badly — the counters
   *    make it observable in bench artifacts). */
 private[streaming] abstract class LsmSegmentIndex(
-    protected val spark: SparkSession, protected val root: String) {
+    protected val spark: SparkSession, protected val root: String)
+  extends IndexProbePlumbing {
 
   /** Column name carrying the committed survivor id inside segment rows
     * — the merge-time compaction anti-join and the tombstone store key
@@ -72,10 +111,6 @@ private[streaming] abstract class LsmSegmentIndex(
   // per remove, never a re-distinct of the whole set; duplicate ids are
   // harmless to the anti-joins and the set clears at every full merge.
   private var tombstones: Option[DataFrame] = None
-  private var probePushed = 0L
-  private var probeFallback = 0L
-  // introspection for specs: did the last probe use the pushed-In path?
-  @volatile private[graft] var lastProbePushedKeys = false
 
   protected final def fs = new Path(root)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -92,25 +127,36 @@ private[streaming] abstract class LsmSegmentIndex(
       .map(_.getPath).filter(_.getName.startsWith("seg_"))
     if (segs.nonEmpty)
       segSeq = segs.map(_.getName.stripPrefix("seg_").toInt).max + 1
-    // a segment is committed iff its _commit manifest exists; anything
-    // else is a mid-write crash — delete it, checkpoint replay re-adds
-    val (complete, partial) = segs.partition(p =>
-      fs.exists(new Path(p, "_commit")))
-    partial.foreach(fs.delete(_, true))
-    // finish interrupted merge cleanups: every committed manifest's
-    // absorbed list names directories whose rows the committed segment
-    // already contains — adopting BOTH would index every absorbed row
-    // twice forever. Collect manifests from ALL committed segments (a
-    // doubly-interrupted chain resolves transitively: the absorbed dir's
-    // own manifest is read before the dir is deleted).
-    val absorbedNames = complete.flatMap(readManifest).toSet
-    val (dead, live) = complete.partition(p =>
-      absorbedNames.contains(p.getName))
+    // finish interrupted merge cleanups FIRST: every committed
+    // manifest's absorbed list names directories whose rows the
+    // committed segment already contains — adopting BOTH would index
+    // every absorbed row twice forever. Collect manifests from ALL
+    // committed segments (a doubly-interrupted chain resolves
+    // transitively: the absorbed dir's own manifest is read before the
+    // dir is deleted), and drop absorbed dirs whether or not they carry
+    // their own commit (a legacy dir can be absorbed too).
+    val withCommit = segs.filter(p => fs.exists(new Path(p, "_commit"))).toSet
+    val absorbedNames = withCommit.flatMap(readManifest)
+    val (dead, live) = segs.partition(p => absorbedNames.contains(p.getName))
     dead.foreach(fs.delete(_, true))
-    if (live.nonEmpty) {
+    // per-survivor adoption verdict via [[adoptSegment]]: committed
+    // current-layout segments adopt as-is; a `_commit`-less segment is
+    // EITHER a mid-write crash (deleted — the stream checkpoint replays
+    // its batch) OR a legacy segment from before the commit protocol
+    // (ADVICE r13 medium: those were committed by `_SUCCESS` markers
+    // only, and wiping them would silently empty the whole committed
+    // base on the first restart after an upgrade) — the subclass, which
+    // owns the payload layout, decides completeness and may migrate the
+    // payload to the current layout under a fresh committed dir.
+    val adopted = live.flatMap { p =>
+      val kept = adoptSegment(p, withCommit.contains(p))
+      if (kept.isEmpty) fs.delete(p, true)
+      kept
+    }
+    if (adopted.nonEmpty) {
       // smallest-first head-ward: the binary-counter invariant (sizes
       // increase tail-ward) holds for the adopted list
-      segments = live.toList
+      segments = adopted.toList
         .map(p => (p.toString, segmentRowCount(p.toString)))
         .sortBy(_._2)
     }
@@ -121,6 +167,23 @@ private[streaming] abstract class LsmSegmentIndex(
       tombstones = Some(graft.operators.Pin(
         t.select(col(t.columns.head).as(segmentIdCol))))
     }
+  }
+
+  /** Adoption verdict for one surviving segment dir: `Some(dir)` adopts
+    * (possibly a DIFFERENT dir, when the subclass migrated the payload),
+    * `None` deletes. The default trusts only the commit protocol;
+    * subclasses override to recognize legacy-complete payloads (written
+    * before `_commit` existed — `_SUCCESS`-committed only) and either
+    * stamp them with an empty manifest in place or rewrite them into the
+    * current layout via [[nextSegDir]] + [[commitSegment]]. */
+  protected def adoptSegment(dir: Path, committed: Boolean): Option[Path] =
+    if (committed) Some(dir) else None
+
+  /** Allocate the next segment directory name (caller writes + commits). */
+  protected final def nextSegDir(): String = {
+    val d = f"$root/seg_$segSeq%06d"
+    segSeq += 1
+    d
   }
 
   private def readManifest(p: Path): Seq[String] = {
@@ -135,7 +198,8 @@ private[streaming] abstract class LsmSegmentIndex(
     * temp name, then rename — the rename is the commit point, so a
     * segment is either invisible (no `_commit`, deleted at adoption) or
     * complete WITH its cleanup obligations on record. */
-  private def commitSegment(dir: String, absorbed: List[String]): Unit = {
+  protected final def commitSegment(dir: String,
+      absorbed: List[String]): Unit = {
     val tmp = new Path(dir, "_commit.tmp")
     val out = fs.create(tmp, true)
     try out.write(absorbed.map(d => new Path(d).getName)
@@ -167,8 +231,7 @@ private[streaming] abstract class LsmSegmentIndex(
     tombstones.foreach { t =>
       frame = frame.join(broadcast(t), Seq(segmentIdCol), "left_anti")
     }
-    val dir = f"$root/seg_$segSeq%06d"
-    segSeq += 1
+    val dir = nextSegDir()
     writeSegmentPayload(frame, dir, n)
     commitSegment(dir, absorbed)
     absorbed.foreach(d => fs.delete(new Path(d), true))
@@ -220,21 +283,6 @@ private[streaming] abstract class LsmSegmentIndex(
   protected final def residentSegmentDirs: List[String] =
     synchronized(segments.map(_._1))
 
-  /** Collect up to `bound`+1 distinct values of `c` — the caller pushes
-    * an In literal iff the result stayed within `bound` (one extra row
-    * distinguishes "exactly at the bound" from "over it"). */
-  protected final def collectBounded(df: DataFrame, c: String,
-      bound: Int): Array[Row] =
-    df.select(c).distinct().limit(bound + 1).collect()
-
-  /** Record which path a real probe took; feeds the per-instance and
-    * process-wide counters (bench artifacts emit the latter). */
-  protected final def recordProbePath(pushed: Boolean): Unit = synchronized {
-    lastProbePushedKeys = pushed
-    if (pushed) { probePushed += 1; LsmSegmentIndex.pushedTotal.incrementAndGet() }
-    else { probeFallback += 1; LsmSegmentIndex.fallbackTotal.incrementAndGet() }
-  }
-
   // ---- introspection -------------------------------------------------------
   /** Resident segment count — ≤ log₂(batches)+1 under equal-sized adds. */
   final def segmentCount: Int = synchronized(segments.length)
@@ -245,11 +293,6 @@ private[streaming] abstract class LsmSegmentIndex(
   /** Total rows ever processed through segment writes (adds + merge
     * rewrites) — the amortized O(rows · log batches) quantity. */
   protected final def writtenTotal: Long = synchronized(rowsWrittenTotal)
-
-  /** (probes that pushed a key literal, probes that fell back to the
-    * join-only scan) for THIS index instance. */
-  final def probePathCounts: (Long, Long) =
-    synchronized((probePushed, probeFallback))
 
   /** Rows in the pinned tombstone set's lineage — for specs pinning the
     * full-merge clearing (bounded by removes since the last full merge,
