@@ -208,6 +208,61 @@ object Autotune {
         (base.toLong * scale).toInt
       }
 
+  private val EnvAnnPlanes = "SPARK_GRAFT_ANN_PLANES"
+  private val EnvAnnTables = "SPARK_GRAFT_ANN_TABLES"
+
+  /** Sign-plane LSH family (planesPerTable, numTables) for an ANN
+    * ingest-index SEGMENT of `docs` vectors — the r13 `weak`: the family
+    * was a fixed tiny-corpus constant (12 planes → 4,096 buckets/table),
+    * so at the sf1 drain a ~1k-row batch's probe keys covered a quarter
+    * of the whole key space and every row group matched — a full-index
+    * read per micro-batch, quadratic total ingest cost at the advertised
+    * base. The knob is data-independent, so it is derived from the
+    * OBSERVED size at each segment write (re-bucketing at LSM merge is a
+    * deterministic recompute, not a retrain); env > conf > derived:
+    *
+    *  - `planesPerTable = clamp(⌈log₂ docs⌉ + 6, 12, 28)`. Probe reads
+    *    over a key-sorted segment are ≈ (batch keys that EXIST in the
+    *    segment) × rowsPerGroup = batch · L · rpg · docs / 2^planes —
+    *    keeping 2^planes ≥ 64 × docs pins per-batch probe IO ~CONSTANT
+    *    as the base grows (the 64 is the Δ=+6 headroom; the cap at 28
+    *    still leaves reads at ~10⁻⁴ of a 10⁹-doc segment).
+    *  - `numTables`: 10 unless a target recall is set. Raising planes at
+    *    FIXED tables lowers collision recall AT THE THRESHOLD BOUNDARY
+    *    (p₁ = 1 − θ/π per plane; at threshold 0.9, boundary recall falls
+    *    from 0.82 at 12 planes to 0.33 at 20) while TRUE duplicates
+    *    (cosine ≥ 0.99) stay ≥ 0.95 recall even at the 28-plane cap —
+    *    the honest default for dedup, where the verify step already
+    *    makes every FOUND pair exact. Operators who need the boundary
+    *    held set `spark.graft.ingestIndex.annTargetRecall`: tables are
+    *    then derived as ⌈ln(1−R)/ln(1−p₁^planes)⌉ (capped 64) — the
+    *    classic n^ρ LSH cost, paid explicitly instead of silently. */
+  def annFamily(docs: Long, threshold: Double,
+      confPlanes: Option[String] = None, confTables: Option[String] = None,
+      confRecall: Option[String] = None,
+      env: Map[String, String] = sys.env): (Int, Int) = {
+    val planes = env.get(EnvAnnPlanes).map(_.toInt)
+      .orElse(confPlanes.map(_.toInt))
+      .getOrElse {
+        val lg = math.ceil(math.log(math.max(docs, 2).toDouble) /
+          math.log(2.0)).toLong
+        clamp(lg + 6, 12, 28).toInt
+      }
+    val tables = env.get(EnvAnnTables).map(_.toInt)
+      .orElse(confTables.map(_.toInt))
+      .getOrElse(confRecall.map(_.toDouble) match {
+        case Some(r) =>
+          require(r > 0.0 && r < 1.0, s"annTargetRecall in (0,1), got $r")
+          val p1 = 1.0 - math.acos(math.min(math.max(threshold, -1.0), 1.0)) /
+            math.Pi
+          val pk = math.pow(p1, planes.toDouble)
+          clamp(math.ceil(math.log(1 - r) / math.log(1 - pk)).toLong, 4, 64)
+            .toInt
+        case None => 10
+      })
+    (planes, tables)
+  }
+
   /** Target rows per ingest-index segment FILE (the LSM merge's write
     * parallelism ÷ file-size trade, see
     * [[graft.streaming.SegmentWriter]]). Precedence env > session conf

@@ -757,8 +757,14 @@ object StreamingQueries {
       // key filter — the base is never re-hashed or shuffled per batch.
       // Output equals cosineNearDupPairsAgainst (same seed-fixed family,
       // exact verify), so the q148 oracle is untouched.
+      // family PINNED at the gate default (12, 10): the oracle replays
+      // the brute-force cosine pair graph and this corpus is tiny, so
+      // the collision-heavy small family is the exactness path; the
+      // PRODUCTION default (no pin) derives each segment's family from
+      // its observed size (graft.Autotune.annFamily — VERDICT r13 #1)
       val idx = new graft.streaming.AnnIngestIndex(s, r + "/annidx",
-        "vec_id", "v", dim = 64, threshold = 0.9)
+        "vec_id", "v", dim = 64, threshold = 0.9,
+        planesPerTable = 12, numTables = 10)
       val q = src.writeStream
         .option("checkpointLocation", r + "/chk")
         .trigger(Trigger.AvailableNow())

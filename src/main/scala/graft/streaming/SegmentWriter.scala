@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions.col
 private[streaming] object SegmentWriter {
 
   def writeSorted(frame: DataFrame, dir: String, n: Long,
-      key: String): Unit = {
+      key: String, groupRows: Long = -1L): Unit = {
     // env > conf > 2M default (see Autotune.segmentRowsPerFile)
     val rowsPerFile = graft.Autotune.segmentRowsPerFile(
       frame.sparkSession.conf.getOption("spark.graft.ingestIndex.rowsPerFile"))
@@ -30,7 +30,17 @@ private[streaming] object SegmentWriter {
       if (files == 1) frame.repartition(1).sortWithinPartitions(key)
       else frame.repartitionByRange(files, col(key))
         .sortWithinPartitions(key)
-    arranged.write.option("parquet.block.size", blockBytes)
+    val writer = arranged.write.option("parquet.block.size", blockBytes)
+    // `groupRows` caps ROWS per row group (parquet.block.row.count.limit)
+    // for NARROW payloads: group granularity is the probe's read
+    // amplification unit — a group is read whole when ANY probed key
+    // lives in it, so a payload of 16-byte (key, id) rows under the
+    // byte-size heuristic alone would take multi-k-row groups and give
+    // every matched key a multi-k-row blast radius. Capping rows keeps
+    // probe reads ≈ matched keys × groupRows regardless of row width.
+    (if (groupRows > 0)
+       writer.option("parquet.block.row.count.limit", groupRows.toString)
+     else writer)
       // BLOOM FILTER on the probe key — the piece that makes the pushed
       // In prune for UNIFORM 64-bit keys (token/bucket hashes): row-group
       // stats only compare the In set's RANGE against the group's
@@ -59,7 +69,7 @@ private[streaming] object SegmentWriter {
       .option(s"parquet.bloom.filter.enabled#$key", "true")
       .option(s"parquet.bloom.filter.fpp#$key", "0.000001")
       .option(s"parquet.bloom.filter.expected.ndv#$key",
-        (blockBytes / 8).toString)
+        (if (groupRows > 0) groupRows else blockBytes / 8).toString)
       .mode("overwrite").parquet(dir)
   }
 }

@@ -102,6 +102,19 @@ final class TextIngestIndex(spark: SparkSession, root: String,
     SegmentWriter.writeSorted(frame, s"$dir/sets", n, "__id")
   }
 
+  /** Legacy pre-`_commit` segments (ADVICE r13 medium) were committed
+    * by their payload `_SUCCESS` markers alone — a restart over such a
+    * base must ADOPT it (stamped with an empty manifest in place; the
+    * layout is unchanged), deleting only truly partial payloads. */
+  protected override def adoptSegment(dir: org.apache.hadoop.fs.Path,
+      committed: Boolean): Option[org.apache.hadoop.fs.Path] =
+    if (committed) Some(dir)
+    else if (Seq("vocab", "pref", "sets").forall(s => fs.exists(
+        new org.apache.hadoop.fs.Path(dir, s"$s/_SUCCESS")))) {
+      commitSegment(dir.toString, Nil)
+      Some(dir)
+    } else None
+
   adoptExisting()
 
   /** `(__id, __n, __ts, blockCols…)` with empty sets dropped — both
@@ -184,7 +197,11 @@ final class TextIngestIndex(spark: SparkSession, root: String,
     // set 2×segments times into the plan and the task binaries
     // (measured: 17.5 MiB task binaries and probe seconds growing with
     // segment count on the sf0.1 shingle drain — planning cost, not IO)
-    val segOf = regexp_extract(input_file_name(), "(seg_\\d+)", 1)
+    // anchored to a PATH COMPONENT (ADVICE r13): the unanchored pattern
+    // matched the FIRST `seg_<digits>` anywhere in the path, so an index
+    // root that itself contains such a component would tag every row
+    // identically and silently mix the per-segment frozen orders
+    val segOf = regexp_extract(input_file_name(), "/(seg_\\d+)/", 1)
     // rank the batch's tokens under EACH segment's frozen order in one
     // join: batch tokens × the (tiny, ≤ log₂ batches) segment list,
     // left-joined against the token-pruned tagged vocab — a token the

@@ -41,7 +41,7 @@ class AnnIngestIndexSpec extends AnyFunSuite {
   test("probe equals the brute bucket-join (cosineNearDupPairsAgainst)") {
     val dir = graft.tables.TempDirs.create("graft_annidx_")
     val idx = new AnnIngestIndex(spark, dir, "vec_id", "v", Dim,
-      threshold = 0.9)
+      threshold = 0.9, planesPerTable = 12, numTables = 10)
     var base: DataFrame = vecs(0, 0, 0)
     var batchStart = 0
     (1 to 3).foreach { b =>
@@ -66,14 +66,14 @@ class AnnIngestIndexSpec extends AnyFunSuite {
       "tombstones instead of leaking them") {
     val dir = graft.tables.TempDirs.create("graft_annidx_restart_")
     val idx = new AnnIngestIndex(spark, dir, "vec_id", "v", Dim,
-      threshold = 0.9)
+      threshold = 0.9, planesPerTable = 12, numTables = 10)
     val b1 = vecs(0, 80, 11).localCheckpoint()
     val b2 = vecs(80, 200, 12).localCheckpoint() // bigger: forces a merge
     idx.add(b1); idx.add(b2)
     val base = b1.unionByName(b2).localCheckpoint()
     // simulate a process restart: fresh instance over the same root
     val idx2 = new AnnIngestIndex(spark, dir, "vec_id", "v", Dim,
-      threshold = 0.9)
+      threshold = 0.9, planesPerTable = 12, numTables = 10)
     assert(idx2.segmentCount == idx.segmentCount,
       "restarted index must adopt the resident segments")
     assert(idx2.indexedRows == idx.indexedRows,
@@ -88,7 +88,7 @@ class AnnIngestIndexSpec extends AnyFunSuite {
     // and the next add must not overwrite an adopted segment dir
     idx2.add(probeBatch)
     val idx3 = new AnnIngestIndex(spark, dir, "vec_id", "v", Dim,
-      threshold = 0.9)
+      threshold = 0.9, planesPerTable = 12, numTables = 10)
     assert(idx3.indexedRows == idx2.indexedRows)
   }
 
@@ -118,7 +118,8 @@ class AnnIngestIndexSpec extends AnyFunSuite {
     val dir = graft.tables.TempDirs.create("graft_annidx_bigbatch_")
     // tiny bound so the fixture batch exercises the production fallback
     val idx = new AnnIngestIndex(spark, dir, "vec_id", "v", Dim,
-      threshold = 0.9, maxProbeKeys = 50)
+      threshold = 0.9, planesPerTable = 12, numTables = 10,
+      maxProbeKeys = 50)
     val base = vecs(0, 100, 21).localCheckpoint()
     idx.add(base)
     val batch = batchWithDups(100 until 220, base, 22).localCheckpoint()
@@ -156,7 +157,7 @@ class AnnIngestIndexSpec extends AnyFunSuite {
       "absorbed-dir cleanup must not double-index the absorbed rows") {
     val dir = graft.tables.TempDirs.create("graft_annidx_crash_")
     val idx = new AnnIngestIndex(spark, dir, "vec_id", "v", Dim,
-      threshold = 0.9)
+      threshold = 0.9, planesPerTable = 12, numTables = 10)
     val b1 = vecs(0, 80, 41).localCheckpoint()
     idx.add(b1)
     val seg0 = new java.io.File(dir, "seg_000000")
@@ -170,7 +171,7 @@ class AnnIngestIndexSpec extends AnyFunSuite {
     // the crash would leave it, complete with its own _commit
     copyDir(backup, seg0)
     val idx2 = new AnnIngestIndex(spark, dir, "vec_id", "v", Dim,
-      threshold = 0.9)
+      threshold = 0.9, planesPerTable = 12, numTables = 10)
     assert(idx2.segmentCount == 1,
       "adoption must replay the commit manifest and drop the absorbed dir")
     assert(idx2.indexedRows == idx.indexedRows,
@@ -228,6 +229,102 @@ class AnnIngestIndexSpec extends AnyFunSuite {
     val afterRestart = idx2.probe(batch).collect().map(_.getLong(1)).toSet
     assert(afterRestart == Set(1L),
       s"tombstones must survive restart (hits=$afterRestart)")
+  }
+
+  test("adaptive family: each segment derives (planes, tables) from its " +
+      "own size, merges re-bucket wider, planted dups still hit") {
+    val dir = graft.tables.TempDirs.create("graft_annidx_adaptive_")
+    // NO pinned family — the production default (VERDICT r13 #1)
+    val idx = new AnnIngestIndex(spark, dir, "vec_id", "v", Dim,
+      threshold = 0.9)
+    def familyOf(seg: String): (Int, Int) = {
+      val s = scala.io.Source.fromFile(new java.io.File(dir, s"$seg/_family"))
+      val parts = try s.mkString.trim.split("\\s+").map(_.toInt)
+        finally s.close()
+      (parts(0), parts(1))
+    }
+    val b1 = vecs(0, 60, 51).localCheckpoint()
+    idx.add(b1) // 60 docs: ceil(log2 60)+6 = 12 (the floor)
+    assert(familyOf("seg_000000") == (12, 10),
+      s"tiny segment family ${familyOf("seg_000000")}")
+    val b2 = vecs(60, 1200, 52).localCheckpoint()
+    idx.add(b2) // merge absorbs b1 -> 1200 docs: ceil(log2 1200)+6 = 17
+    assert(idx.segmentCount == 1, "bigger add must absorb the small seg")
+    val seg = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("seg_")).map(_.getName).max
+    assert(familyOf(seg) == (17, 10),
+      s"merged segment must re-bucket under its size's family, " +
+        s"got ${familyOf(seg)}")
+    // layout: vectors stored once, bucket rows are (key, id) only
+    assert(new java.io.File(dir, s"$seg/vecs/_SUCCESS").exists() &&
+      new java.io.File(dir, s"$seg/buckets/_SUCCESS").exists())
+    assert(idx.indexedRows == 1200L, "registry sizes are DOC counts")
+    // exact duplicates (cosine 1.0 after scaling) collide in every
+    // table of ANY sign-plane family — the planted-dup floor holds
+    // under the widened family
+    val base = b1.unionByName(b2).localCheckpoint()
+    val batch = batchWithDups(1200 until 1300, base, 53).localCheckpoint()
+    val got = idx.probe(batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = batch.join(base.select(col("vec_id").as("base_id")),
+        col("vec_id") - 1001200L === col("base_id"))
+      .select(col("vec_id"), col("base_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.nonEmpty && planted.subsetOf(got),
+      s"planted exact dups missing under the adaptive family: " +
+        s"${planted -- got}")
+    // restart adopts the per-segment families from their _family files
+    val idx2 = new AnnIngestIndex(spark, dir, "vec_id", "v", Dim,
+      threshold = 0.9)
+    val got2 = idx2.probe(batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == got, "restarted adaptive probe diverged")
+  }
+
+  test("legacy flat segments (pre-split, _SUCCESS/_commit only) are " +
+      "migrated at adoption, never wiped") {
+    import spark.implicits._
+    val dir = graft.tables.TempDirs.create("graft_annidx_legacy_")
+    val base = vecs(0, 150, 61).localCheckpoint()
+    // fabricate the r12/r13 layout: ONE flat parquet dir of
+    // (base_id, __tk, __v) bucket rows with vectors inline, no _family;
+    // r12 committed via _SUCCESS only (no _commit) — the ADVICE r13
+    // medium case where adoption used to delete the whole base
+    graft.operators.VectorSearch.signatureBuckets(
+        base, "vec_id", "v", Dim, 12, 10, 97L)
+      .select(col("vec_id").as("base_id"), col("__tk"), col("__v"))
+      .write.parquet(s"$dir/seg_000000")
+    val idx = new AnnIngestIndex(spark, dir, "vec_id", "v", Dim,
+      threshold = 0.9, planesPerTable = 12, numTables = 10)
+    assert(idx.segmentCount == 1,
+      "legacy-complete segment must be adopted (migrated), not wiped")
+    assert(idx.indexedRows == 150L,
+      s"migration must keep every doc once: ${idx.indexedRows}")
+    assert(!new java.io.File(dir, "seg_000000").exists(),
+      "migrated legacy dir must be cleaned up")
+    val seg = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("seg_")).map(_.getName).max
+    assert(new java.io.File(dir, s"$seg/_commit").exists() &&
+      new java.io.File(dir, s"$seg/vecs/_SUCCESS").exists() &&
+      new java.io.File(dir, s"$seg/buckets/_SUCCESS").exists(),
+      "migrated segment must land in the current committed layout")
+    val batch = batchWithDups(200 until 300, base, 62).localCheckpoint()
+    val got = idx.probe(batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = VectorSearch.cosineNearDupPairsAgainst(batch, base,
+        "vec_id", "v", Dim, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, "post-migration probe diverged from brute")
+    // a truly PARTIAL leftover (no _SUCCESS, no _commit) is still a
+    // mid-write crash: deleted at adoption
+    new java.io.File(dir, "seg_000007").mkdirs()
+    Seq((1L, "x")).toDF("a", "b").write
+      .mode("overwrite").parquet(s"$dir/seg_000007/junk")
+    val idx2 = new AnnIngestIndex(spark, dir, "vec_id", "v", Dim,
+      threshold = 0.9, planesPerTable = 12, numTables = 10)
+    assert(idx2.segmentCount == 1 &&
+      !new java.io.File(dir, "seg_000007").exists(),
+      "partial payloads must still be deleted at adoption")
   }
 
   test("20-batch drain: probes never re-hash the base, reads follow the " +

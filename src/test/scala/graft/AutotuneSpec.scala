@@ -148,4 +148,36 @@ class AutotuneSpec extends AnyFunSuite {
     assert(Autotune.segmentRowsPerFile(Some("500000"),
       Map("SPARK_GRAFT_SEGMENT_ROWS_PER_FILE" -> "250000")) == 250000L)
   }
+
+  test("annFamily: planes track segment size (floor 12, +6 headroom, " +
+      "cap 28); tables fixed at 10 unless a recall target derives them") {
+    // floor: anything <= 64 docs stays at the 12-plane gate family
+    assert(Autotune.annFamily(1, 0.9, env = Map.empty) == (12, 10))
+    assert(Autotune.annFamily(64, 0.9, env = Map.empty) == (12, 10))
+    // growth: ceil(log2 docs) + 6 — 2^planes stays >= 64x docs, which is
+    // what keeps per-batch probe reads ~constant as the base grows
+    assert(Autotune.annFamily(1200, 0.9, env = Map.empty) == (17, 10))
+    assert(Autotune.annFamily(1000000, 0.9, env = Map.empty) == (26, 10))
+    // cap: a 10^9-doc segment saturates at 28 planes
+    assert(Autotune.annFamily(1000000000L, 0.9, env = Map.empty) == (28, 10))
+    // monotone in docs
+    val sizes = Seq(10L, 100L, 10000L, 1000000L, 100000000L)
+    val planes = sizes.map(Autotune.annFamily(_, 0.9, env = Map.empty)._1)
+    assert(planes == planes.sorted, s"planes not monotone: $planes")
+    // recall target derives tables: threshold 0.9 -> p1 = 1 - acos(.9)/pi
+    // = 0.8564; at 12 planes p = 0.1558, L = ceil(ln(.1)/ln(1-p)) = 14
+    assert(Autotune.annFamily(50, 0.9, confRecall = Some("0.9"),
+      env = Map.empty) == (12, 14))
+    // the n^rho cost made explicit: holding the boundary at wider planes
+    // takes more tables, capped at 64
+    assert(Autotune.annFamily(1000000, 0.9, confRecall = Some("0.9"),
+      env = Map.empty)._2 == 64)
+    // precedence: conf beats derived, env beats conf, for both knobs
+    assert(Autotune.annFamily(1000000, 0.9, confPlanes = Some("14"),
+      confTables = Some("20"), env = Map.empty) == (14, 20))
+    assert(Autotune.annFamily(1000000, 0.9, confPlanes = Some("14"),
+      confTables = Some("20"),
+      env = Map("SPARK_GRAFT_ANN_PLANES" -> "16",
+        "SPARK_GRAFT_ANN_TABLES" -> "8")) == (16, 8))
+  }
 }

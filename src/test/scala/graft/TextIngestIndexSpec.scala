@@ -116,6 +116,37 @@ class TextIngestIndexSpec extends AnyFunSuite {
     assert(got == want, "restarted probe diverged")
   }
 
+  test("legacy pre-_commit segments (payload _SUCCESS-complete) are " +
+      "adopted and re-stamped, never wiped (ADVICE r13 medium)") {
+    val dir = graft.tables.TempDirs.create("graft_txtidx_legacy_")
+    val idx = new TextIngestIndex(spark, dir, Seq("lang"), threshold = 0.9)
+    val b1 = docs(0, 30).localCheckpoint()
+    val b2 = docs(30, 80).localCheckpoint()
+    idx.add(sets(b1)); idx.add(sets(b2))
+    val base = b1.unionByName(b2).localCheckpoint()
+    // simulate a base written BEFORE the commit protocol: complete
+    // payloads (vocab/pref/sets each _SUCCESS) but no _commit manifest
+    val segs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("seg_"))
+    assert(segs.nonEmpty)
+    segs.foreach(s => assert(new java.io.File(s, "_commit").delete()))
+    val idx2 = new TextIngestIndex(spark, dir, Seq("lang"), threshold = 0.9)
+    assert(idx2.segmentCount == idx.segmentCount,
+      "a restart over a pre-protocol base must adopt it, not wipe it")
+    assert(idx2.indexedDocs == idx.indexedDocs)
+    segs.foreach(s => assert(new java.io.File(s, "_commit").exists(),
+      "adopted legacy segments must be stamped with an empty manifest"))
+    import spark.implicits._
+    val batch = Seq(dupOf(0, 8000L), dupOf(42, 8001L))
+      .toDF("doc_id", "text", "lang").localCheckpoint()
+    val got = idx2.probe(sets(batch))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = TextDedup.jaccardPairsAgainstSets(sets(batch), sets(base),
+        Seq("lang"), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, "legacy-adopted probe diverged")
+  }
+
   test("large-batch probe stays off the In-literal path above " +
       "maxProbeKeys, with identical output") {
     val dir = graft.tables.TempDirs.create("graft_txtidx_bigbatch_")
