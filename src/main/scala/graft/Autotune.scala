@@ -263,6 +263,26 @@ object Autotune {
     (planes, tables)
   }
 
+  private val EnvTextPrefGroupRows = "SPARK_GRAFT_TEXT_PREF_GROUP_ROWS"
+
+  /** Rows per row group in the text ingest-index `pref/` payload — the
+    * ONE corpus-scaled probe-side payload of [[graft.streaming
+    * .TextIngestIndex]] (vocab is type-bounded, sets are candidate-
+    * bounded), so its group granularity sets the probe's read-
+    * amplification crossover: a group is read whole when any pushed
+    * prefix token lives in it, so reads ≈ min(base pref rows,
+    * probedPrefixKeys × groupRows). The r14 sf1 Zipf drain measured the
+    * byte-sized default (~2–4k rows/group) keeping that bound above
+    * every drainable base; 128 (the ANN buckets' proven value for
+    * 16–32 B rows) puts the crossover at ~1M pref rows — ~10⁴× under a
+    * 1B-doc corpus — at ~2–4 KB per group plus bloom. Precedence
+    * env > conf (`spark.graft.ingestIndex.textPrefGroupRows`) > 128. */
+  def textPrefGroupRows(confValue: Option[String] = None,
+      env: Map[String, String] = sys.env): Long =
+    env.get(EnvTextPrefGroupRows).map(_.toLong)
+      .orElse(confValue.map(_.toLong))
+      .getOrElse(128L)
+
   /** Target rows per ingest-index segment FILE (the LSM merge's write
     * parallelism ÷ file-size trade, see
     * [[graft.streaming.SegmentWriter]]). Precedence env > session conf

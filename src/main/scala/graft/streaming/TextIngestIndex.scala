@@ -35,9 +35,18 @@ import org.apache.spark.sql.functions._
   *    tokens)` filter to rank the batch's tokens: batch-sized IO, never
   *    vocabulary-sized.
   *  - `pref/`: `(__pe, __id, __n, blockCols…)` — the base docs' prefix
-  *    rows under the frozen order, sorted by `__pe`. Probed with the
-  *    same pushed token filter: only base prefix rows whose token occurs
-  *    somewhere in the batch are ever read.
+  *    rows under the frozen order, sorted by `__pe`, with ROW-COUNT-
+  *    CAPPED row groups ([[graft.Autotune.textPrefGroupRows]], default
+  *    128 — r14): pref is the one payload that scales with the CORPUS
+  *    (vocab is type-bounded, sets reads are candidate-bounded), so its
+  *    group granularity sets the probe's read-amplification crossover.
+  *    Probed with a pushed filter on the batch's per-segment PREFIX-
+  *    token union (r14 — a provably sufficient ~4–10× subset of the
+  *    full batch token set: the candidate join matches only batch
+  *    prefix rows), so pref reads ≈ prefixKeys × groupRows,
+  *    base-independent past the crossover (~1M pref rows at defaults;
+  *    the r14 Zipf drain measured the prior byte-sized groups + full-
+  *    token push keeping reads base-bound at every drainable scale).
   *  - `sets/`: `(__id, __n, __ts, blockCols…)` — full hashed token
   *    sets, sorted by `__id`, read only for verification through a
   *    pushed id filter on the (output-sized) candidate base ids.
@@ -97,8 +106,16 @@ final class TextIngestIndex(spark: SparkSession, root: String,
       .select(Seq(col("__id"), col("__n"),
         explode(col("__ts")).as("__pe")) ++ blockCols.map(col): _*)
       .join(vocab, "__pe")
+    // pref is the one CORPUS-scaled probe-side payload (vocab rows are
+    // bounded by the type count, sets reads by the candidate set), so
+    // its row groups are row-count-capped like the ANN buckets: reads ≈
+    // probed prefix keys × groupRows instead of "every 2–4k-row
+    // byte-sized group contains one of the probed keys" (the r14 Zipf
+    // drain's named cause — see Autotune.textPrefGroupRows)
     SegmentWriter.writeSorted(prefixRows(ranked), s"$dir/pref",
-      n * 16, "__pe") // ≈ (1−t)·tokens prefix rows per doc
+      n * 16, "__pe", // ≈ (1−t)·tokens prefix rows per doc
+      groupRows = graft.Autotune.textPrefGroupRows(
+        spark.conf.getOption("spark.graft.ingestIndex.textPrefGroupRows")))
     SegmentWriter.writeSorted(frame, s"$dir/sets", n, "__id")
   }
 
@@ -217,9 +234,29 @@ final class TextIngestIndex(spark: SparkSession, root: String,
     val rankedB = btok.crossJoin(broadcast(segDf))
       .join(vocabAll, Seq("__pe", "__seg"), "left")
       .withColumn("__f", coalesce(col("__f"), lit(0L)))
-    val bpref = prefixRows(rankedB, extraCols = Seq("__seg"))
-    val basePref = keyed(spark.read.parquet(dirs.map(d => s"$d/pref"): _*))
-      .withColumn("__seg", segOf)
+    // pinned: consumed by the candidate join AND the prefix-key collect
+    // below (without the pin the vocab rank join would run twice)
+    val bpref = graft.operators.Pin(
+      prefixRows(rankedB, extraCols = Seq("__seg")))
+    // PREFIX-key refinement for the base pref scan: the candidate join
+    // matches on a.__pe = b.__pe with `a` = the batch's PREFIX rows, so
+    // only the batch's per-segment prefix-token union (~(1−t)·|set|+1
+    // per doc — a ~4–10× SUBSET of the full batch token set pushed into
+    // the vocab scan) can ever match a base pref row. Pushing that
+    // union instead of every batch token multiplies with the row-count-
+    // capped pref groups: probe pref reads ≈ prefixKeys × groupRows,
+    // independent of the base. Lossless (subset keyed on the join key);
+    // falls back to the full-batch-token filter when the union alone
+    // exceeds the bound (then `keyed` still applies — also a superset).
+    val prefKeyRows = collectBounded(bpref, "__pe", keyBound)
+    if (prefKeyRows.isEmpty) return empty
+    val prefScan0 = spark.read.parquet(dirs.map(d => s"$d/pref"): _*)
+    val basePref =
+      (if (prefKeyRows.length <= keyBound)
+         prefScan0.where(col("__pe")
+           .isin(prefKeyRows.map(_.getLong(0)).toSeq: _*))
+       else keyed(prefScan0))
+        .withColumn("__seg", segOf)
     val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(col("a.__pe") === col("b.__pe") &&
         col("a.__seg") === col("b.__seg") &&

@@ -147,6 +147,12 @@ class AutotuneSpec extends AnyFunSuite {
     assert(Autotune.segmentRowsPerFile(Some("500000"), Map.empty) == 500000L)
     assert(Autotune.segmentRowsPerFile(Some("500000"),
       Map("SPARK_GRAFT_SEGMENT_ROWS_PER_FILE" -> "250000")) == 250000L)
+    // text pref group rows: env > conf > 128 (the probe's read-
+    // amplification unit on the one corpus-scaled text payload)
+    assert(Autotune.textPrefGroupRows(None, Map.empty) == 128L)
+    assert(Autotune.textPrefGroupRows(Some("512"), Map.empty) == 512L)
+    assert(Autotune.textPrefGroupRows(Some("512"),
+      Map("SPARK_GRAFT_TEXT_PREF_GROUP_ROWS" -> "64")) == 64L)
   }
 
   test("annFamily: planes track segment size (floor 12, +6 headroom, " +
