@@ -75,7 +75,11 @@ object StageBreakdown {
       f""""spill_mb":${s.spillMb}%.1f,"site":"${jsonEscape(s.site)}"}"""
 
   def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse("q26_minhash_lsh")
+    // comma-separated list: amortizes JVM/session startup over a profile
+    // sweep; each query gets a warm (unrecorded) run first so the
+    // recorded stages measure steady state, not codegen/JIT warmup
+    val names = args.headOption.getOrElse("q26_minhash_lsh")
+      .split(",").toSeq
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -85,6 +89,9 @@ object StageBreakdown {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Autotune.install(spark)
+    // match the Bench session exactly — a profile under a different
+    // planner config would attribute the wrong plan
+    graft.plans.DeferExpensiveProjection.install(spark)
 
     val collector = new Collector
     spark.sparkContext.addSparkListener(collector)
@@ -102,23 +109,33 @@ object StageBreakdown {
               qe: org.apache.spark.sql.execution.QueryExecution,
               e: Exception): Unit = ()
         })
-    val t0 = System.nanoTime()
-    val df = SparkEntry.queries(name)(spark, dir)
-    df.write.format("noop").mode("overwrite").save()
-    val sec = (System.nanoTime() - t0) / 1e9
-    val stages = collector.settled()
-    println(f"== $name on $dir: $sec%.1f s, ${stages.size} stages ==")
-    println(f"${"stage"}%6s ${"ms"}%8s ${"tasks"}%5s ${"inRows"}%12s " +
-      f"${"shufW MB"}%9s ${"shufW rows"}%12s ${"shufR MB"}%9s " +
-      f"${"spill MB"}%9s  site")
-    stages.sortBy(-_.swMb).foreach { s =>
-      println(f"${s.id}%6d ${s.ms}%8d ${s.tasks}%5d ${s.inRows}%12d " +
-        f"${s.swMb}%9.1f ${s.swRows}%12d ${s.srMb}%9.1f " +
-        f"${s.spillMb}%9.1f  ${s.site}")
+    val warm = names.size > 1 || sys.env.contains("SPARK_GRAFT_WARM")
+    names.foreach { name =>
+      if (warm) { // unrecorded warm pass: steady state, not JIT warmup
+        try SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"warm $name: $e") }
+        collector.reset()
+      }
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val stages = collector.settled()
+      collector.reset()
+      println(f"== $name on $dir: $sec%.1f s, ${stages.size} stages ==")
+      println(f"${"stage"}%6s ${"ms"}%8s ${"tasks"}%5s ${"inRows"}%12s " +
+        f"${"shufW MB"}%9s ${"shufW rows"}%12s ${"shufR MB"}%9s " +
+        f"${"spill MB"}%9s  site")
+      stages.sortBy(-_.swMb).foreach { s =>
+        println(f"${s.id}%6d ${s.ms}%8d ${s.tasks}%5d ${s.inRows}%12d " +
+          f"${s.swMb}%9.1f ${s.swRows}%12d ${s.srMb}%9.1f " +
+          f"${s.spillMb}%9.1f  ${s.site}")
+      }
+      val totW = stages.map(_.swMb).sum
+      println(f"total shuffle write ${totW}%.1f MB, " +
+        f"spill ${stages.map(_.spillMb).sum}%.1f MB")
     }
-    val totW = stages.map(_.swMb).sum
-    println(f"total shuffle write ${totW}%.1f MB, " +
-      f"spill ${stages.map(_.spillMb).sum}%.1f MB")
     spark.stop()
   }
 }

@@ -33,12 +33,18 @@ object LanguageModel {
     * Documents with fewer than two tokens have no bigrams and are absent
     * from the output (nothing to score). */
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val uni = df.select(explode(TextAnalysis.wordArr(col(textCol))).as("__w"))
-      .groupBy("__w").agg(count(lit(1)).as("__cu"))
+    // model frames PINNED (r14, same rationale as [[naiveBayes]]): uni
+    // feeds both the vocabulary count and the scoring join, and without
+    // the pin each reference re-explodes the corpus. Both pins are
+    // model-sized (distinct unigrams / bigrams), never corpus-sized.
+    val uni = graft.operators.Pin(
+      df.select(explode(TextAnalysis.wordArr(col(textCol))).as("__w"))
+        .groupBy("__w").agg(count(lit(1)).as("__cu")))
     val vocab = uni.agg(count(lit(1)).cast("double").as("__v"))
     val bg = df.select(col(idCol),
       explode(TextAnalysis.wordNgrams(col(textCol), 2)).as("__bg"))
-    val bgc = bg.groupBy("__bg").agg(count(lit(1)).as("__cb"))
+    val bgc = graft.operators.Pin(
+      bg.groupBy("__bg").agg(count(lit(1)).as("__cb")))
     bg.join(bgc, "__bg")
       // tokens cannot contain whitespace (they came from a \s+ split), so
       // the first space-delimited field IS w1
@@ -68,16 +74,22 @@ object LanguageModel {
     * probabilities are bit-equal. */
   def trigramSurprisal(df: DataFrame, idCol: String, textCol: String,
       l3: Double = 0.6, l2: Double = 0.3, l1: Double = 0.1): DataFrame = {
-    val uni = df.select(explode(TextAnalysis.wordArr(col(textCol))).as("__w"))
-      .groupBy("__w").agg(count(lit(1)).as("__cu"))
+    // model frames PINNED (r14, same rationale as [[naiveBayes]]): uni
+    // is referenced three times (totals + two scoring joins) and bgc
+    // twice — unpinned, each reference re-explodes the corpus. All three
+    // pins are model-sized count tables, never corpus-sized.
+    val uni = graft.operators.Pin(
+      df.select(explode(TextAnalysis.wordArr(col(textCol))).as("__w"))
+        .groupBy("__w").agg(count(lit(1)).as("__cu")))
     val totals = uni.agg(count(lit(1)).cast("double").as("__v"),
       sum(col("__cu")).cast("double").as("__n"))
-    val bgc = df.select(
+    val bgc = graft.operators.Pin(df.select(
         explode(TextAnalysis.wordNgrams(col(textCol), 2)).as("__bg"))
-      .groupBy("__bg").agg(count(lit(1)).as("__cb"))
+      .groupBy("__bg").agg(count(lit(1)).as("__cb")))
     val tg = df.select(col(idCol),
       explode(TextAnalysis.wordNgrams(col(textCol), 3)).as("__tg"))
-    val tgc = tg.groupBy("__tg").agg(count(lit(1)).as("__ct"))
+    val tgc = graft.operators.Pin(
+      tg.groupBy("__tg").agg(count(lit(1)).as("__ct")))
     tg.join(tgc, "__tg")
       .withColumn("__w1w2", substring_index(col("__tg"), " ", 2))
       .withColumn("__w2w3", substring_index(col("__tg"), " ", -2))
@@ -123,11 +135,25 @@ object LanguageModel {
       labelCol: String): DataFrame = {
     val toks = df.select(col(idCol), col(labelCol),
       explode(TextAnalysis.wordArr(col(textCol))).as("__t"))
-    val priors = df.groupBy(col(labelCol).as("__l"))
-      .agg(count(lit(1)).cast("double").as("__nd"))
-    val n = df.agg(count(lit(1)).cast("double").as("__nn"))
-    val cond = toks.groupBy(col(labelCol).as("__l"), col("__t"))
-      .agg(count(lit(1)).cast("double").as("__c"))
+    // the MODEL frames are PINNED (r14): without the pin every reference
+    // is its own physical subtree (column pruning defeats exchange
+    // reuse), and the q78 plan re-scanned the corpus 7× and re-ran the
+    // explode+count 4× — once each for cond, tot, vocab, and priors×2
+    // (guide §2.4: operations keyed the same way should share one
+    // exchange; §5: cache exactly the reused-and-expensive frames). Both
+    // pins are model-sized, never corpus-sized: priors is one row per
+    // label, cond is (distinct token × label) rows — the word-count
+    // table a 100 TB corpus bounds by its vocabulary, the same trade
+    // [[TextDedup]] makes for hashed token sets.
+    val priors = graft.operators.Pin(df.groupBy(col(labelCol).as("__l"))
+      .agg(count(lit(1)).cast("double").as("__nd")))
+    // corpus size FOLDS OVER the pinned priors — count(*) equals the sum
+    // of per-label counts exactly (null labels form their own group, and
+    // the doubles are exact integers), so no second corpus scan
+    val n = priors.agg(sum(col("__nd")).as("__nn"))
+    val cond = graft.operators.Pin(toks
+      .groupBy(col(labelCol).as("__l"), col("__t"))
+      .agg(count(lit(1)).cast("double").as("__c")))
     // per-label totals and vocabulary FOLD OVER the (label, token) count
     // table — deriving them from `toks` directly would re-run the corpus
     // scan + explode once each; cond is vocab×labels rows

@@ -740,14 +740,31 @@ object TextDedup {
     // pair join's ~30 AQE output partitions each sorted ~6M wide rows on
     // the map side of the first loop exchange and spilled regardless of
     // the advisory (reduce-side sizing cannot reach a map side).
+    //
+    // …and the width rides the SAME corpus-size gate as the advisory
+    // (r14): below it the un-coalescible 256-wide repartition was pure
+    // gate-scale overhead — one extra exchange of every edge plus a
+    // 256-partition checkpoint that every later pass re-pays (measured:
+    // 537 ms pin stage + 76/60 ms 256-task collects for a 4.1 MB edge
+    // list at sf0.1; ~16 KB per task is scheduling, not work). Below the
+    // gate the edges keep their producer's AQE-sized width, exactly the
+    // pre-r13 plan the ≤50k-doc probes measured at zero spill; above it
+    // the explicit width stands (the sf10 spill fix, guide §2.5).
     val symWidth = math.max(
       ids.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
       ids.sparkSession.conf
         .getOption("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
         .map(_.toInt).getOrElse(0))
+    // `spark.graft.cc.forceWideEdges` pins the decision for interleaved
+    // same-JVM A/B attribution (QueryAb) on a host whose contention band
+    // exceeds the effect size — not a tuning knob
+    val wideEdges = ids.sparkSession.conf
+      .getOption("spark.graft.cc.forceWideEdges").map(_.toBoolean)
+      .getOrElse(scopeAdvisory)
     val sym = edges.select(col("id_a").as("__src"), col("id_b").as("__dst"))
       .unionByName(edges.select(col("id_b").as("__src"), col("id_a").as("__dst")))
-      .repartition(symWidth, col("__src"))
+      .transform(e => if (wideEdges) e.repartition(symWidth, col("__src"))
+        else e)
       .transform(Pin(_))
     // HYBRID fast path: a near-dup pair graph is usually output-sized —
     // orders of magnitude smaller than the corpus that produced it — and

@@ -396,6 +396,48 @@ class TrainingDataSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("edge-width gate: narrow (gate-scale) and wide (probe-scale) edge " +
+      "pins label identically, on both CC paths") {
+    import spark.implicits._
+    // the r14 gate: below the 100k-id advisory gate the symmetric-edge
+    // pin keeps its producer's width (no explicit repartition); above it
+    // (or under the forceWideEdges A/B knob) the un-coalescible explicit
+    // width stands. Labels must be identical either way — partitioning
+    // is never allowed to change what min-label propagation computes.
+    val rnd = new scala.util.Random(13)
+    val ids = (0L until 60L).toDF("__id")
+    val edges = Seq.fill(45)((rnd.nextLong(60), rnd.nextLong(60)))
+      .filter(e => e._1 != e._2).toDF("id_a", "id_b")
+    def labels(): Map[Long, Long] =
+      TextDedup.connectedComponents(ids, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val narrow = labels() // 60 ids < gate → narrow pin
+    val wide = try {
+      spark.conf.set("spark.graft.cc.forceWideEdges", "true")
+      labels()
+    } finally spark.conf.unset("spark.graft.cc.forceWideEdges")
+    assert(narrow == wide, "edge pin width changed CC labels")
+    val (narrowLoop, wideLoop) = withDistributedCc {
+      val n = labels()
+      val w = try {
+        spark.conf.set("spark.graft.cc.forceWideEdges", "true")
+        labels()
+      } finally spark.conf.unset("spark.graft.cc.forceWideEdges")
+      (n, w)
+    }
+    assert(narrowLoop == narrow && wideLoop == narrow,
+      "distributed loop diverged across edge pin widths")
+    // the natural gate flips with corpus size: a >100k-id frame takes
+    // the wide path on its own (no knob) and still labels identically
+    // on the ids the edges touch
+    val bigIds = spark.range(120000).select(col("id").as("__id"))
+    val bigLabels = TextDedup.connectedComponents(bigIds, edges)
+      .filter(col("__id") < 60).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bigLabels == narrow.map { case (k, v) => k -> v },
+      "above-gate wide path diverged on the touched ids")
+  }
+
   test("driver union-find fast path labels exactly like the distributed loop") {
     import spark.implicits._
     val rnd = new scala.util.Random(77)
