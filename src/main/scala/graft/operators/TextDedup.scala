@@ -46,8 +46,9 @@ object TextDedup {
     * token arrays so no surviving pair's score changes. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double): DataFrame =
-    setJaccardPairs(df.select(Seq(col(idCol).as("__id"),
-      hashedTokenSet(col(textCol)).as("__ts")) ++ blockCols.map(col): _*),
+    // hashedSets widens an under-parallel input before the token-hash
+    // kernel (see [[widenForKernel]]) — shared with the incremental path
+    setJaccardPairs(hashedSets(df, idCol, textCol, blockCols),
       blockCols, threshold)
 
   /** Sorted distinct 64-bit hashes of word `n`-gram shingles — the
@@ -75,8 +76,13 @@ object TextDedup {
     * over shingle sets instead of token sets. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double, n: Int = 3): DataFrame =
-    setJaccardPairs(df.select(Seq(col(idCol).as("__id"),
-      hashedNgramSet(col(textCol), n).as("__ts")) ++ blockCols.map(col): _*),
+    // widen an under-parallel input before the shingle kernel (3n
+    // element_at + hash per gram — heavier than the token-set kernel)
+    setJaccardPairs(widenForKernel(
+        df.select(Seq(col(idCol), col(textCol)) ++ blockCols.map(col): _*),
+        col(idCol))
+      .select(Seq(col(idCol).as("__id"),
+        hashedNgramSet(col(textCol), n).as("__ts")) ++ blockCols.map(col): _*),
       blockCols, threshold)
 
   /** Exact similarity self-join via PREFIX FILTERING (the classic exact
@@ -229,8 +235,13 @@ object TextDedup {
     * re-scan, not the join, is the dominant per-batch cost). */
   def hashedSets(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String]): DataFrame =
-    df.select(Seq(col(idCol).as("__id"),
-      hashedTokenSet(col(textCol)).as("__ts")) ++ blockCols.map(col): _*)
+    // widen an under-parallel input (one-file corpus, micro-batch) before
+    // the tokenize+hash+sort kernel runs — no-op on wide scans
+    widenForKernel(
+        df.select(Seq(col(idCol), col(textCol)) ++ blockCols.map(col): _*),
+        col(idCol))
+      .select(Seq(col(idCol).as("__id"),
+        hashedTokenSet(col(textCol)).as("__ts")) ++ blockCols.map(col): _*)
 
   /** [[jaccardPairsAgainst]] over pre-built [[hashedSets]] frames. */
   def jaccardPairsAgainstSets(newSets: DataFrame, baseSets: DataFrame,
@@ -602,8 +613,18 @@ object TextDedup {
       .withColumn("__ch", md5(col("__text")))
     val reps = withHash.groupBy("__ch").agg(min(col("__id")).as("__rep"))
     val members = withHash.join(reps, "__ch").select(col("__id"), col("__rep"))
-    val repDocs = withHash.join(reps,
-        withHash("__id") === reps("__rep"))
+    // widen BEFORE the rep join (r14): repDocs feeds the candidate
+    // generator's per-doc MinHash/token-set kernel — the single most
+    // expensive projection of the whole pipeline (96 modular perms per
+    // token). When `reps` broadcasts, repDocs inherits the SCAN
+    // parallelism (one task per file split — two ~5 s single-task
+    // signature stages at sf0.1's one-file corpus); widening on the join
+    // key __id additionally satisfies the rep join's required clustering
+    // should the join ever be exchange-backed instead. See
+    // [[widenForKernel]] for the scale story (no-op on wide scans).
+    val repDocs = widenForKernel(
+        withHash.select(col("__id"), col("__text")), col("__id"))
+      .join(reps, col("__id") === reps("__rep"))
       .select(col("__id"), col("__text"))
 
     val cands = candidates(repDocs)
@@ -694,6 +715,29 @@ object TextDedup {
       Iterator.single(c)
     }.collect().sum
     seen > cap
+  }
+
+  /** Widen `df` to the session shuffle width before an EXPENSIVE PER-ROW
+    * KERNEL (token-set hashing, MinHash permutations, shingle builds)
+    * when — and only when — its current plan parallelism is below it.
+    * Kernel cost scales with rows, but the parallelism the kernel
+    * inherits scales with input BYTES (file splits, or whatever an
+    * upstream broadcast join preserved): a one-file gate-scale corpus
+    * runs the whole kernel on ONE task while every other core idles
+    * (measured: two ~5 s single-task signature stages in q26 at sf0.1),
+    * and AQE cannot help — it only coalesces, never widens, and sizes by
+    * compressed bytes anyway. The gate is the ACTUAL partition count of
+    * the frame's physical plan (planning only, no job): at fleet scale a
+    * corpus scan is thousands of splits wide and this is a no-op — no
+    * added shuffle (guide: never pay a corpus-wide exchange the scan
+    * already provides) — while an under-parallel input pays one small
+    * (id, payload) exchange to put every core on the kernel. Explicit
+    * width because repartition(col) alone is AQE-coalescible right back
+    * to one task (the q115 lesson). */
+  private[graft] def widenForKernel(df: DataFrame, key: Column): DataFrame = {
+    val width = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.queryExecution.toRdd.getNumPartitions >= width) df
+    else df.repartition(width, key)
   }
 
   def connectedComponents(ids: DataFrame, edges: DataFrame,
@@ -902,7 +946,8 @@ object TextDedup {
     // b's misses, not d's, so d contributes full postings), and the
     // |T_d| ≥ τ·|T_b| size filter inside the candidate join (any hit has
     // |T_d| ≥ |∩| ≥ τ·|T_b|).
-    def sets(df: DataFrame) = df
+    def sets(df: DataFrame) = widenForKernel(
+        df.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol).as("__id"), hashedTokenSet(col(textCol)).as("__ts"))
       .filter(size(col("__ts")) > 0)
       .withColumn("__n", size(col("__ts")))
@@ -920,9 +965,22 @@ object TextDedup {
     // tokens of b occurs in d — the rarest choice only shrinks candidates.
     // Both sides carry the 1-based POSITION in their rarity-sorted order
     // for the PPJoin position filter below.
+    // explicit width on the rarity agg (r14): its reduce input is ~24 B
+    // (id, n, pe, f) rows that AQE coalesces to ONE task by compressed
+    // bytes, but the reduce does the per-doc collect_list + array_sort
+    // AND (fused downstream) each side's posting/prefix explode —
+    // measured as two ~850 ms single-task stages at sf0.1 while 31 cores
+    // idled. repartition(w, __id) satisfies the groupBy's required
+    // clustering, so it REPLACES the planner's exchange (never adds
+    // one); explicit width because repartition(col) alone is
+    // AQE-coalescible right back to one task. Nothing is lost map-side:
+    // partial collect_list buffers full rows anyway.
+    val rarityWidth = bench.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     def rarityOrdered(t: DataFrame) = t
       .select(col("__id"), col("__n"), explode(col("__ts")).as("__pe"))
       .join(freq, "__pe")
+      .repartition(rarityWidth, col("__id"))
       .groupBy("__id").agg(first(col("__n")).as("__n"),
         array_sort(collect_list(struct(col("__f"), col("__pe"))))
           .as("__ord"))
@@ -952,6 +1010,10 @@ object TextDedup {
             col("b.__cn") - (col("b.__cp0") + 1))).cast("double") >=
             col("a.__n") * lit(tau))
       .select(col("a.__id").as("bench_id"), col("b.__cid").as("doc_id"))
+      // no exchange here: HashPartitioning(__id) from the postings-side
+      // rarity repartition is a subset of the distinct's clustering keys
+      // (doc_id = postings __id), so the dedup + fused verify inherit
+      // the explicit width directly
       .distinct()
     cands
       .join(b.select(col("__id").as("bench_id"), col("__ts").as("__ta"),
@@ -1044,8 +1106,14 @@ object TextDedup {
     * run (same operator plan, different hash kernel). */
   def simhash(df: DataFrame, idCol: String, textCol: String,
       tokenHash: Column => Column = xxhash64(_)): DataFrame = {
-    val tokens = df.select(col(idCol).as("__id"),
-      explode(tokenSet(col(textCol))).as("__tok"))
+    // widen before tokenize+hash; HashPartitioning(__id) also satisfies
+    // the signature groupBy's clustering, so when the widen fires the
+    // aggregate runs complete-mode with NO post-explode exchange — the
+    // explicit shuffle REPLACES the planner's, it never adds one
+    val tokens = widenForKernel(
+        df.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol).as("__id"),
+        explode(tokenSet(col(textCol))).as("__tok"))
       .withColumn("__h", tokenHash(col("__tok")))
     val bitSums = (0 until 64).map { b =>
       sum(when(shiftright(col("__h"), b).bitwiseAND(lit(1L)) === 1L, 1)
