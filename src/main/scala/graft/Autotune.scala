@@ -176,6 +176,7 @@ object Autotune {
   private val EnvBufferRows = "SPARK_GRAFT_BUFFER_MAX_ROWS"
   private val EnvCcLimit = "SPARK_GRAFT_CC_DRIVER_EDGE_LIMIT"
   private val EnvInitialPartitions = "SPARK_GRAFT_INITIAL_PARTITIONS"
+  private val EnvAqeMinPartition = "SPARK_GRAFT_AQE_MIN_PARTITION_KB"
 
   /** The default WAL buffer cap [[graft.sources.BufferedWriteLayer]]
     * reads when the caller passes none: env override, else derived. */
@@ -345,6 +346,22 @@ object Autotune {
     resolve(EnvInitialPartitions,
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
       None, math.max(k.initialShufflePartitions, shuffle), _.toLong, _.toLong)
+    // AQE coalesce FLOOR SIZE: with parallelismFirst (the default), a
+    // shuffle whose total bytes are small coalesces down to ~1 MB
+    // partitions regardless of how expensive the fused work above each
+    // row is — and similarity/dedup exchanges carry ~10×-LZ4-compressed
+    // (long,long)/hash rows whose downstream work (verify intersects,
+    // collect_list sorts, signature explodes) is heavy per byte, so
+    // whole reduce stages collapse to 1–2 tasks while the other cores
+    // idle (the single-task-latency twin of the r13 compressed-bytes
+    // SPILL defect; measured: q27 −40% from this knob alone). 64 KB
+    // compressed ≈ a few MB uncompressed ≈ sub-100 ms tasks. Scale-safe
+    // by construction: the floor only matters when total/parallelism
+    // < 1 MB — a genuinely small shuffle — and large shuffles size by
+    // total/parallelism exactly as before.
+    resolve(EnvAqeMinPartition,
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      Some(1L * MB), 64L * 1024, kb => kb.toLong * 1024, bytesConf)
     val bufferedRows = defaultMaxBufferedRows(env)
     val a = audit(host, shuffle.toInt, broadcast, bufferedRows, ccLimit)
     val chosen = if (applied.isEmpty) "no overrides applied (all knobs " +

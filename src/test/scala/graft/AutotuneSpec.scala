@@ -116,6 +116,32 @@ class AutotuneSpec extends AnyFunSuite {
     }
   }
 
+  test("install: AQE min-partition-size floor — env > conf > derived 64k") {
+    val key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val prior = spark.conf.getOption(key)
+    try {
+      // derived: 64 KB (heavy-work-per-compressed-byte exchanges must
+      // not collapse to one task; large shuffles size by
+      // total/parallelism as before so the floor is scale-inert)
+      spark.conf.unset(key)
+      Autotune.install(spark, env = Map.empty)
+      assert(spark.conf.get(key) == (64L * 1024).toString)
+      // operator-set conf (differs from Spark's 1m default) is respected
+      spark.conf.set(key, "2m")
+      Autotune.install(spark, env = Map.empty)
+      assert(spark.conf.get(key) == "2m")
+      // env wins over everything, in KB
+      Autotune.install(spark,
+        env = Map("SPARK_GRAFT_AQE_MIN_PARTITION_KB" -> "256"))
+      assert(spark.conf.get(key) == (256L * 1024).toString)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("defaultMaxBufferedRows: env override wins, else derived") {
     assert(Autotune.defaultMaxBufferedRows(
       Map("SPARK_GRAFT_BUFFER_MAX_ROWS" -> "4242")) == 4242L)
