@@ -512,6 +512,27 @@ class GraftTable(
     rgShadowExpr.map(e => df.withColumn(GraftTable.RgKeyColumn, e))
       .getOrElse(df)
 
+  /** Scope table WRITES back to Spark's default AQE coalesce floor
+    * (1 MB). The session floor is lowered to 64 KB (Autotune, r14) so
+    * heavy-work-per-byte READ stages keep their parallelism — but a
+    * write's exchange feeds FILES, and under the 64 KB floor a small
+    * append/compaction fans out into many tiny files per partition dir
+    * (measured: q55's partial-compaction fixture 0.65 → 6.8 s), exactly
+    * the small-files pathology compaction exists to remove (guide §6:
+    * target 128 MB–1 GB output files, never task-count-many). The write
+    * executes inside this scope, so the restore in `finally` cannot leak
+    * into it; a concurrent reader momentarily sees the 1 MB floor —
+    * the pre-r14 behavior, harmless. */
+  private def withWriteCoalesce[T](f: => T): T = {
+    val key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "1m")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** The column the FTS sidecar ranges over: the shadow key when the
     * lead sort key needed one, the lead sort key itself when its type is
     * parquet-pushable, none otherwise. */
@@ -583,7 +604,7 @@ class GraftTable(
     * record would make that version's readers see phantom columns). */
   private def writeVersion(v: Int, prepared: DataFrame,
       evolvedTo: Option[StructType] = None): Unit = {
-    withRgShadow(prepared)
+    withWriteCoalesce(withRgShadow(prepared)
       // co-locate each (project_id, date) before writing: without this,
       // every task writes a file into every partition directory (tasks ×
       // dirs small files); with it, files per dir ≈ 1 and the
@@ -595,7 +616,7 @@ class GraftTable(
       .options(writerOptions)
       .mode(SaveMode.Overwrite)
       .partitionBy(meta.partitions: _*)
-      .parquet(versionDir(v))
+      .parquet(versionDir(v)))
     evolvedTo.foreach(writeSchemaFile(v, _))
     commit(v, dates = writtenDateRange(versionDir(v)))
   }
@@ -1106,10 +1127,10 @@ class GraftTable(
     // the empty-intersection drop below is only sound against a gram
     // with zero null-keyed holders (such a row would have to hold EVERY
     // query gram).
-    terms.groupBy("file", "gram")
+    withWriteCoalesce(terms.groupBy("file", "gram")
       .agg(min(col("k")).as("klo"), max(col("k")).as("khi"),
         sum(when(col("k").isNull, 1L).otherwise(0L)).as("knulls"))
-      .write.mode(SaveMode.Overwrite).parquet(textIndexDir(v, column))
+      .write.mode(SaveMode.Overwrite).parquet(textIndexDir(v, column)))
   }
 
   /** `text_match(column, query)` over the resolved view, file-pruned by
@@ -1442,14 +1463,14 @@ class GraftTable(
     val snapSchema = dirsSchema(visibleDirs(cs))
     // resolvedFrom, not a bare union: with partial bases in the snapshot,
     // a leg's subsumed dates must be excluded or the rewrite double-counts
-    withRgShadow(resolvedFrom(cs, None))
+    withWriteCoalesce(withRgShadow(resolvedFrom(cs, None))
       .repartition(meta.partitions.map(col): _*)
       .sortWithinPartitions(compactOrder: _*)
       .write
       .options(writerOptions)
       .mode(SaveMode.Overwrite)
       .partitionBy(meta.partitions: _*)
-      .parquet(versionDir(upTo + 1))
+      .parquet(versionDir(upTo + 1)))
     commit(upTo + 1, baseOf = Some(upTo),
       dates = writtenDateRange(versionDir(upTo + 1)))
     if (maintainCountIndex) {
@@ -1488,7 +1509,7 @@ class GraftTable(
     val cs = commits()
     if (cs.isEmpty) return
     val v = cs.last.v + 1
-    withRgShadow(resolvedFrom(cs, Some(col("date").between(
+    withWriteCoalesce(withRgShadow(resolvedFrom(cs, Some(col("date").between(
         lit(lo.toString).cast("date"), lit(hi.toString).cast("date")))))
       .repartition(meta.partitions.map(col): _*)
       .sortWithinPartitions(compactOrder: _*)
@@ -1496,7 +1517,7 @@ class GraftTable(
       .options(writerOptions)
       .mode(SaveMode.Overwrite)
       .partitionBy(meta.partitions: _*)
-      .parquet(versionDir(v))
+      .parquet(versionDir(v)))
     commit(v, dates = Some((lo, hi)), pbase = true)
     if (maintainCountIndex) countMarker() match {
       // partial compaction never changes the logical count — carry over
