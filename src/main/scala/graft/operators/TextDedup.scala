@@ -45,10 +45,13 @@ object TextDedup {
     * only prunes candidates; intersection/union are computed on the full
     * token arrays so no surviving pair's score changes. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      blockCols: Seq[String], threshold: Double): DataFrame =
+      blockCols: Seq[String], threshold: Double,
+      widen: Boolean = true): DataFrame =
     // hashedSets widens an under-parallel input before the token-hash
-    // kernel (see [[widenForKernel]]) — shared with the incremental path
-    setJaccardPairs(hashedSets(df, idCol, textCol, blockCols),
+    // kernel (see [[widenForKernel]]) — shared with the incremental
+    // path; `widen = false` for per-micro-batch callers, where even the
+    // planning-only width probe is per-batch overhead
+    setJaccardPairs(hashedSets(df, idCol, textCol, blockCols, widen),
       blockCols, threshold)
 
   /** Sorted distinct 64-bit hashes of word `n`-gram shingles — the
@@ -234,14 +237,18 @@ object TextDedup {
     * corpus text on every micro-batch (at fleet scale the corpus
     * re-scan, not the join, is the dominant per-batch cost). */
   def hashedSets(df: DataFrame, idCol: String, textCol: String,
-      blockCols: Seq[String]): DataFrame =
-    // widen an under-parallel input (one-file corpus, micro-batch) before
-    // the tokenize+hash+sort kernel runs — no-op on wide scans
-    widenForKernel(
-        df.select(Seq(col(idCol), col(textCol)) ++ blockCols.map(col): _*),
-        col(idCol))
+      blockCols: Seq[String], widen: Boolean = true): DataFrame = {
+    // widen an under-parallel input (one-file corpus, compacted view)
+    // before the tokenize+hash+sort kernel runs — no-op on wide scans.
+    // `widen = false` for per-MICRO-BATCH callers: a few-hundred-row
+    // batch's kernel is cheaper than the widen's own planning probe, and
+    // paying that probe per batch measured q126 +0.2 s across its drain
+    val slim = df.select(
+      Seq(col(idCol), col(textCol)) ++ blockCols.map(col): _*)
+    (if (widen) widenForKernel(slim, col(idCol)) else slim)
       .select(Seq(col(idCol).as("__id"),
         hashedTokenSet(col(textCol)).as("__ts")) ++ blockCols.map(col): _*)
+  }
 
   /** [[jaccardPairsAgainst]] over pre-built [[hashedSets]] frames. */
   def jaccardPairsAgainstSets(newSets: DataFrame, baseSets: DataFrame,

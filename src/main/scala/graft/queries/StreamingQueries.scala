@@ -682,14 +682,16 @@ object StreamingQueries {
         .option("checkpointLocation", r + "/chk")
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // widen = false: micro-batch frames — the kernel is cheaper
+          // than the per-batch width probe (see hashedSets)
           val newSets = graft.operators.Pin(graft.operators.TextDedup
             .hashedSets(batch.localCheckpoint(), "doc_id", "text",
-              Seq("lang")))
+              Seq("lang"), widen = false))
           val blocked = idx.probe(newSets)
             .select(col("new_id").as("doc_id")).distinct()
           val clean = batch.join(blocked, Seq("doc_id"), "left_anti")
           val within = graft.operators.TextDedup.jaccardPairs(
-            clean, "doc_id", "text", Seq("lang"), 0.9)
+            clean, "doc_id", "text", Seq("lang"), 0.9, widen = false)
           val surv = graft.operators.TextDedup.greedySurvivors(
             clean.select(col("doc_id").as("__id")), within)
           tbl.append(
@@ -839,7 +841,8 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           idx.probe(graft.operators.TextDedup.hashedSets(
-              batch.localCheckpoint(), "doc_id", "text", Nil))
+              batch.localCheckpoint(), "doc_id", "text", Nil,
+              widen = false))
             .select(col("bench_id"), col("doc_id"),
               round(col("containment"), 6).as("containment"))
             .write.mode("overwrite").parquet(s"$r/out/batch_$batchId")
