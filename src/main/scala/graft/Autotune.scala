@@ -346,22 +346,29 @@ object Autotune {
     resolve(EnvInitialPartitions,
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
       None, math.max(k.initialShufflePartitions, shuffle), _.toLong, _.toLong)
-    // AQE coalesce FLOOR SIZE: with parallelismFirst (the default), a
-    // shuffle whose total bytes are small coalesces down to ~1 MB
-    // partitions regardless of how expensive the fused work above each
-    // row is — and similarity/dedup exchanges carry ~10×-LZ4-compressed
-    // (long,long)/hash rows whose downstream work (verify intersects,
-    // collect_list sorts, signature explodes) is heavy per byte, so
-    // whole reduce stages collapse to 1–2 tasks while the other cores
-    // idle (the single-task-latency twin of the r13 compressed-bytes
-    // SPILL defect; measured: q27 −40% from this knob alone). 64 KB
-    // compressed ≈ a few MB uncompressed ≈ sub-100 ms tasks. Scale-safe
-    // by construction: the floor only matters when total/parallelism
-    // < 1 MB — a genuinely small shuffle — and large shuffles size by
-    // total/parallelism exactly as before.
-    resolve(EnvAqeMinPartition,
-      "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-      Some(1L * MB), 64L * 1024, kb => kb.toLong * 1024, bytesConf)
+    // AQE coalesce FLOOR SIZE — r15: the r14 session-wide 64 KB floor is
+    // REMOVED; the session keeps Spark's 1 MB default. The floor was
+    // right for heavy-work-per-compressed-byte similarity exchanges
+    // (q27 −40%, same-JVM A/B'd) but it multiplied the task count of
+    // EVERY small shuffle of all 148 queries: the driver's r14 full-set
+    // run showed a near-uniform +0.05–0.3 s absolute tax on untouched
+    // sub-second queries (99.4 s → 128.3 s total; a ~N-KB shuffle that
+    // coalesced to 1–3 tasks at the 1 MB floor splits into
+    // total/64 KB tasks, tens of extra task launches per exchange —
+    // VERDICT r14 what's-wrong #1), and this round's own full-set A/B
+    // (floor 64 KB vs 1 MB via the env knob, same binary, back-to-back)
+    // confirms the direction. The operators whose fused work is heavy
+    // per compressed byte now carry EXPLICIT keyed widths at the
+    // collapse-prone exchanges instead (TextDedup.simhashPairs r15; the
+    // containment/PPJoin/edit-distance widths from r13/r14 already did
+    // this) — scoped where the pathology is, never session-wide. The
+    // env knob stays for A/B; an operator-set session conf is left
+    // untouched (no more Spark-default-indistinguishable sentinel —
+    // ADVICE r14).
+    env.get(EnvAqeMinPartition).foreach { kb =>
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        (kb.toLong * 1024).toString)
+    }
     val bufferedRows = defaultMaxBufferedRows(env)
     val a = audit(host, shuffle.toInt, broadcast, bufferedRows, ccLimit)
     val chosen = if (applied.isEmpty) "no overrides applied (all knobs " +

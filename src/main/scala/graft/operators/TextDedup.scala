@@ -82,7 +82,7 @@ object TextDedup {
     // widen an under-parallel input before the shingle kernel (3n
     // element_at + hash per gram — heavier than the token-set kernel)
     setJaccardPairs(widenForKernel(
-        df.select(Seq(col(idCol), col(textCol)) ++ blockCols.map(col): _*),
+        df.select((Seq(idCol, textCol) ++ blockCols).distinct.map(col): _*),
         col(idCol))
       .select(Seq(col(idCol).as("__id"),
         hashedNgramSet(col(textCol), n).as("__ts")) ++ blockCols.map(col): _*),
@@ -126,9 +126,16 @@ object TextDedup {
     // the single most expensive projection — without the checkpoint it
     // re-evaluates in every subtree. O(input) rows of longs, the same
     // materialization every exact set-similarity join implementation makes.
+    // LAZY pin (r15): the first consumer is the width-gate probe
+    // ([[exceedsCount]] — a per-partition capped count whose job still
+    // touches EVERY partition, and a persisted partition materializes
+    // whole when touched), then the frequency pass, prefix build and
+    // verify joins — all full-materializing, so the tokenize+hash+sort
+    // kernel runs inside the gate-probe job instead of a dedicated
+    // blocking pin job per side
     def toks(sets: DataFrame) = sets.filter(size(col("__ts")) > 0)
       .withColumn("__n", size(col("__ts")))
-      .transform(Pin(_))
+      .transform(Pin.lazily(_))
     val ta = toks(setsA)
     val tb = setsB.map(toks)
     // Rarity order (the PPJoin document-frequency ordering): prefixes are
@@ -143,7 +150,7 @@ object TextDedup {
       .map(_.select(explode(col("__ts")).as("__pe")))
       .reduce(_ unionByName _)
     val freq0 = instances.groupBy("__pe").agg(count(lit(1)).as("__f"))
-    val freq = if (tb.isDefined) Pin(freq0) else freq0
+    val freq = if (tb.isDefined) Pin.lazily(freq0) else freq0
     def pref(t: DataFrame) = {
       val prefixes = t.select(col("__id"), col("__n"),
           explode(col("__ts")).as("__pe"))
@@ -243,8 +250,10 @@ object TextDedup {
     // `widen = false` for per-MICRO-BATCH callers: a few-hundred-row
     // batch's kernel is cheaper than the widen's own planning probe, and
     // paying that probe per batch measured q126 +0.2 s across its drain
+    // .distinct: blocking on the id or the text itself must not project
+    // a duplicate column (ambiguous-reference error — ADVICE r14)
     val slim = df.select(
-      Seq(col(idCol), col(textCol)) ++ blockCols.map(col): _*)
+      (Seq(idCol, textCol) ++ blockCols).distinct.map(col): _*)
     (if (widen) widenForKernel(slim, col(idCol)) else slim)
       .select(Seq(col(idCol).as("__id"),
         hashedTokenSet(col(textCol)).as("__ts")) ++ blockCols.map(col): _*)
@@ -329,9 +338,13 @@ object TextDedup {
     // pin (__id, __keys[, __ts]) — id + `bands` keys (+ the token set) per
     // doc — so the bucket SELF-join's two sides share one signature pass
     // instead of each re-hashing every token numHashes times (the dominant
-    // cost; same small-rows-only checkpoint policy as hashedSets)
+    // cost; same small-rows-only checkpoint policy as hashedSets).
+    // LAZY (r15): consumers are the banded self-join (and on the capped
+    // path the bucket-size agg + join) — all full-materializing, so the
+    // signature kernel folds into the first consuming job instead of a
+    // blocking driver round-trip per pin (VERDICT r14 #5)
     val keyed = (if (hasTs || !keyed0.columns.contains("__ts")) keyed0
-      else keyed0.drop("__ts")).transform(Pin(_))
+      else keyed0.drop("__ts")).transform(Pin.lazily(_))
     val payload = if (hasTs) Seq(col("__ts")) else Nil
     val banded = keyed.select(col("__id") +: col("__keys") +: payload :+
       posexplode(col("__keys")).as(Seq("band", "key")): _*)
@@ -618,21 +631,39 @@ object TextDedup {
       candidates: DataFrame => DataFrame): DataFrame = {
     val withHash = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
       .withColumn("__ch", md5(col("__text")))
-    val reps = withHash.groupBy("__ch").agg(min(col("__id")).as("__rep"))
-    val members = withHash.join(reps, "__ch").select(col("__id"), col("__rep"))
-    // widen BEFORE the rep join (r14): repDocs feeds the candidate
+    // rep labels in ONE window pass over the NARROW (id, hash) projection
+    // (r15): the r14 shape derived `reps` as a groupBy and re-joined it
+    // back — and `members`' four consumers (cross ×2, intra ×2) plus
+    // `repDocs` each re-derived the join, re-SCANNING the corpus on its
+    // probe side every time (the q26 profile shows four serial
+    // single-task 5000-row scan stages). `min(id) over (partition by
+    // content-hash)` assigns the identical rep label (min id of the
+    // md5-identical group) with one exchange, and the PIN makes the four
+    // consumers read the materialized (id, rep) rows instead of
+    // re-deriving. Lazy pin: every consumer (the rep-id semi-join build,
+    // the member-expansion equi-joins, the intra self-join) fully
+    // materializes. Corpus-sized but NARROW — two longs + label per row,
+    // the same class as the token-set pins this pipeline already makes.
+    val members = Pin.lazily(withHash.select(col("__id"), col("__ch"))
+      .withColumn("__rep", min(col("__id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__ch"))))
+      .select(col("__id"), col("__rep")))
+    // one row per cluster: the rep's own member row (id == rep ⇔ id is
+    // the group minimum) — read off the pinned members, no second agg
+    val repIds = members.filter(col("__id") === col("__rep"))
+      .select(col("__id").as("__r"))
+    // widen BEFORE the rep semi-join (r14): repDocs feeds the candidate
     // generator's per-doc MinHash/token-set kernel — the single most
     // expensive projection of the whole pipeline (96 modular perms per
-    // token). When `reps` broadcasts, repDocs inherits the SCAN
-    // parallelism (one task per file split — two ~5 s single-task
-    // signature stages at sf0.1's one-file corpus); widening on the join
-    // key __id additionally satisfies the rep join's required clustering
-    // should the join ever be exchange-backed instead. See
+    // token). Without the widen, repDocs inherits the SCAN parallelism
+    // (one task per file split — two ~5 s single-task signature stages at
+    // sf0.1's one-file corpus); HashPartitioning(__id) from the widen
+    // also satisfies the semi-join's required clustering should the join
+    // ever be exchange-backed instead of broadcast. See
     // [[widenForKernel]] for the scale story (no-op on wide scans).
     val repDocs = widenForKernel(
         withHash.select(col("__id"), col("__text")), col("__id"))
-      .join(reps, col("__id") === reps("__rep"))
-      .select(col("__id"), col("__text"))
+      .join(repIds, col("__id") === col("__r"), "left_semi")
 
     val cands = candidates(repDocs)
     def verify(pairs: DataFrame): DataFrame = pairs
@@ -663,7 +694,7 @@ object TextDedup {
       // thousand rows per partition to hash. Same shuffle, no sort.
       val toks = repDocs.select(col("__id").as("__tid"),
         hashedTokenSet(col("__text")).as("__ts"))
-        .transform(Pin(_))
+        .transform(Pin.lazily(_)) // both attach joins fully materialize
       verify(cands
         .join(toks.withColumnRenamed("__tid", "id_a")
           .withColumnRenamed("__ts", "__ts_a").hint("shuffle_hash"), "id_a")
@@ -715,6 +746,13 @@ object TextDedup {
     * driver fast-path gate and the similarity-join width gates ride
     * this). */
   private[graft] def exceedsCount(df: DataFrame, cap: Long): Boolean = {
+    // CALLER CONTRACT (VERDICT r14 #5): pass pinned or scan-backed
+    // frames only. `toRdd` executes the plan — on an exchange-bearing
+    // (AQE-wrapped) frame that materializes its shuffle stages, and this
+    // probe's job would then partially execute a plan the caller
+    // re-executes in full. Every current caller passes a [[Pin]]ned
+    // frame (the probe job doubles as the lazy pin's materializer) or a
+    // plain scan.
     val bound = cap + 1
     val seen = df.queryExecution.toRdd.mapPartitions { it =>
       var c = 0L
@@ -743,8 +781,26 @@ object TextDedup {
     * to one task (the q115 lesson). */
   private[graft] def widenForKernel(df: DataFrame, key: Column): DataFrame = {
     val width = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    if (df.queryExecution.toRdd.getNumPartitions >= width) df
-    else df.repartition(width, key)
+    df.queryExecution.executedPlan match {
+      // Exchange-bearing frames plan as AdaptiveSparkPlanExec, and
+      // `toRdd` on one is NOT planning-only: getFinalPhysicalPlan
+      // materializes every shuffle/broadcast stage as real jobs whose
+      // results are then discarded when the frame re-plans under the
+      // repartition (ADVICE r14 medium — the r14 probe silently
+      // double-executed every view-backed caller's dedup window). The
+      // final width is AQE-decided at runtime and unknowable here, and
+      // these are exactly the small-compressed-bytes frames AQE
+      // coalesces below kernel width — so widen unconditionally: one
+      // narrow (id, payload) exchange, the documented price of
+      // guaranteed kernel parallelism.
+      case _: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        df.repartition(width, key)
+      // scan-backed frames (no exchange → not AQE-wrapped): the RDD
+      // chain builds lazily, no job — probe and skip the exchange when
+      // the scan is already at/above kernel width (fleet-scale corpora)
+      case _ if df.queryExecution.toRdd.getNumPartitions >= width => df
+      case _ => df.repartition(width, key)
+    }
   }
 
   def connectedComponents(ids: DataFrame, edges: DataFrame,
@@ -1141,19 +1197,48 @@ object TextDedup {
       maxDist: Int, tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
-    val sigs = simhash(df, idCol, textCol, tokenHash)
-    val banded = sigs.select(col("__id"), col("simhash"),
+    // pin (__id, simhash) — one long per doc — so the pigeonhole
+    // self-join's two sides share ONE signature pass: unpinned, each
+    // side was its own physical subtree (the r14 q27 plan computed the
+    // full tokenize + 64-bitsum kernel TWICE, once per side, with the
+    // second side feeding a BroadcastExchange). LAZY pin: the only
+    // consumer is the self-join below, which fully materializes both
+    // sides in the final job — no blocking driver round-trip
+    // (see [[Pin.lazily]]). Same small-rows-only checkpoint policy as
+    // [[bandedCandidateJoin]]'s keyed frame.
+    val sigs = Pin.lazily(simhash(df, idCol, textCol, tokenHash))
+    val banded0 = sigs.select(col("__id"), col("simhash"),
       explode(array((0 until chunks).map { i =>
         struct(lit(i).as("chunk"),
           shiftright(col("simhash"), i * width)
             .bitwiseAND(lit((1L << width) - 1)).as("key"))
       }: _*)).as("c"))
       .select(col("__id"), col("simhash"), col("c.chunk"), col("c.key"))
+    // EXPLICIT keyed width on the join input and the pair-distinct input
+    // (r15, replacing the r14 session-wide 64 KB AQE floor for this
+    // operator): the banded rows are ~24 B and LZ4-compress ~10×, so AQE
+    // — sizing reduce tasks by COMPRESSED bytes — coalesced the join and
+    // the distinct to 1–2 tasks while the fused work above them (pair
+    // fan-out, hamming verify, distinct build) is heavy per byte: three
+    // measured single-task tail stages, ~1.5 s serial at sf0.1 (the q27
+    // −40% the floor bought; guide §2.5/§2.6 compressed-bytes-vs-heavy-
+    // fused-work mismatch). repartition(w, chunk, key) satisfies BOTH
+    // self-join sides' required clustering, so it REPLACES the planner's
+    // exchange — never adds one — and a user-specified width is exempt
+    // from AQE coalescing (the q115 lesson). Same width source as
+    // [[editDistancePairs]]: the session shuffle width is the configured
+    // kernel parallelism.
+    val w = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val banded = banded0.repartition(w, col("chunk"), col("key"))
     banded.as("x").join(banded.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key") &&
           col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      // HashPartitioning(id_a, id_b) is a subset of the distinct's
+      // (id_a, id_b, hamming) clustering, so this replaces the distinct's
+      // own exchange (the r14 containment subset rule)
+      .repartition(w, col("id_a"), col("id_b"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }

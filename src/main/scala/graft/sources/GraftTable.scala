@@ -59,6 +59,39 @@ object GraftTable {
     * int64 micros (see `rgShadowExpr`); never part of a read schema. */
   val RgKeyColumn = "__rg_key"
 
+  /** Scope table WRITES to Spark's default AQE coalesce floor (1 MB) —
+    * a write's exchange feeds FILES, and a lowered session floor fans a
+    * small append/compaction out into task-count-many tiny files per
+    * partition dir (the r14 q55 0.65 → 6.8 s pathology; guide §6).
+    * Reentrant JVM-wide DEPTH COUNTER (ADVICE r14): two concurrent write
+    * scopes used to save/restore the session conf independently — t2
+    * could read t1's temporary "1m" as `prev` and restore it permanently.
+    * Only the outermost enter saves, only the outermost exit restores;
+    * overlapping scopes want the same value anyway. Critical sections
+    * cover just the conf get/set, never the write itself. Since r15 the
+    * session floor is Spark's 1 MB default again (the 64 KB session
+    * floor is gone), so the scope is a no-op unless an operator or the
+    * env knob lowered the floor — kept for exactly those callers. */
+  private[sources] object WriteCoalesce {
+    private val key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    private var depth = 0
+    private var prev: Option[String] = None
+    def enter(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+      if (depth == 0) {
+        prev = spark.conf.getOption(key)
+        spark.conf.set(key, "1m")
+      }
+      depth += 1
+    }
+    def exit(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+      depth -= 1
+      if (depth == 0) prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   /** Free a `localCheckpoint`ed frame's executor blocks eagerly. The
     * blocks belong to the RDD the checkpoint wrapped (LogicalRDD in the
     * analyzed plan); without this they survive until the driver GCs the
@@ -524,13 +557,8 @@ class GraftTable(
     * into it; a concurrent reader momentarily sees the 1 MB floor —
     * the pre-r14 behavior, harmless. */
   private def withWriteCoalesce[T](f: => T): T = {
-    val key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "1m")
-    try f finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    GraftTable.WriteCoalesce.enter(spark)
+    try f finally GraftTable.WriteCoalesce.exit(spark)
   }
 
   /** The column the FTS sidecar ranges over: the shadow key when the

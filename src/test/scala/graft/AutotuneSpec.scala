@@ -116,20 +116,28 @@ class AutotuneSpec extends AnyFunSuite {
     }
   }
 
-  test("install: AQE min-partition-size floor — env > conf > derived 64k") {
+  test("install: AQE min-partition-size floor — no derived value (r15); " +
+      "env wins, operator conf untouched") {
     val key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
     val prior = spark.conf.getOption(key)
     try {
-      // derived: 64 KB (heavy-work-per-compressed-byte exchanges must
-      // not collapse to one task; large shuffles size by
-      // total/parallelism as before so the floor is scale-inert)
+      // r15: NO derived session floor — the r14 64 KB floor taxed every
+      // small shuffle of all 148 queries (driver full-set regression,
+      // VERDICT r14 #1); heavy-kernel operators carry explicit keyed
+      // widths instead. Unset stays at Spark's 1 MB default (getOption
+      // surfaces a registered entry's default, so compare bytes).
       spark.conf.unset(key)
       Autotune.install(spark, env = Map.empty)
-      assert(spark.conf.get(key) == (64L * 1024).toString)
-      // operator-set conf (differs from Spark's 1m default) is respected
+      assert(org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(spark.conf.get(key)) == (1L << 20))
+      // operator-set conf is respected verbatim — including a value
+      // EQUAL to Spark's default (the r14 sentinel ambiguity is gone)
       spark.conf.set(key, "2m")
       Autotune.install(spark, env = Map.empty)
       assert(spark.conf.get(key) == "2m")
+      spark.conf.set(key, "1m")
+      Autotune.install(spark, env = Map.empty)
+      assert(spark.conf.get(key) == "1m")
       // env wins over everything, in KB
       Autotune.install(spark,
         env = Map("SPARK_GRAFT_AQE_MIN_PARTITION_KB" -> "256"))

@@ -141,10 +141,18 @@ class PlanShapeSpec extends AnyFunSuite {
     //    attach join — and the expensive intersect is the LAST conjunct
     //    (short-circuits after the cheap id</first-match-band pruning;
     //    prepended it measured 25.7 s vs 11.5 s for the stage at sf1)
+    // strategy-independent: at this test's sf the planner may broadcast
+    // the (tiny) banded side — since r15's left-semi repDocs gives the
+    // keyed frame an HONEST size estimate instead of the old inner
+    // join's row-product inflation — while corpus-scale stats keep the
+    // shuffle strategies. The pinned property is WHERE the verify runs
+    // (join condition), not which join family runs it.
     val joinConds = nodes.flatMap {
       case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
         j.condition.map(_.toString)
       case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        j.condition.map(_.toString)
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
         j.condition.map(_.toString)
       case _ => None
     }
@@ -161,6 +169,9 @@ class PlanShapeSpec extends AnyFunSuite {
         j.leftKeys.map(_.toString).mkString.contains("id_a") ||
           j.leftKeys.map(_.toString).mkString.contains("id_b")
       case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.leftKeys.map(_.toString).mkString.contains("id_a") ||
+          j.leftKeys.map(_.toString).mkString.contains("id_b")
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
         j.leftKeys.map(_.toString).mkString.contains("id_a") ||
           j.leftKeys.map(_.toString).mkString.contains("id_b")
       case _ => false
