@@ -32,6 +32,19 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     packs.iterator.map(_._1).reduce(_ ++ _)
 
+  /** Queries whose CONSTRUCTION builds a memoized on-disk fixture
+    * (bounded streaming replays, MOR fixture tables, variant/count
+    * tables, the FTS doc store): the bench constructs exactly these in
+    * its unrecorded warm-up so no timed pass can carry a fixture
+    * (re)build. Deliberately NOT all queries — constructing the pure
+    * compute-heavy packs (sampled similarity, training data) runs their
+    * eager output pins too, and that warm-up residue measured a
+    * +0.05–0.15 s GC tax across the timed sub-second queries. */
+  def fixtureQueries: Set[String] =
+    StreamingQueries.queries.keySet ++ MergeOnRead.queries.keySet ++
+      VariantTable.queries.keySet ++ CountPushdown.queries.keySet ++
+      Set("q49_text_prefilter", "q99_text_rowgroup") // docStore users
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -1284,6 +1284,14 @@ object TextDedup {
       .select(col(idCol).as("__id"), col(strCol).as("__s"),
         length(col(strCol)).as("__n"))
       .repartition(width, col("__id"))
+    // NOT pinned (r15, measured): the self-join does run the deletion-
+    // key expansion once per side (two Generate subtrees, one under a
+    // BroadcastExchange), but the broadcast build computes its copy on
+    // a PARALLEL thread overlapping the probe side — pinning serialized
+    // the sides and measured q115 0.62 → 0.77 s / q142 0.63 → 0.93 s in
+    // an interleaved jar A/B. The shared-kernel pin pays off only when
+    // the kernel dominates the overlap (simhash's 64 bit-sums per
+    // token, the LSH signature family) — this expansion is too cheap.
     val keyed = base.select(col("__id"), col("__s"),
       explode(concat(
         array(col("__s")),

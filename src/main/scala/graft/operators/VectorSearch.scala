@@ -449,7 +449,15 @@ object VectorSearch {
         .select(col("__id"), col("__b.table").as("table"),
           col("__b.key").as("key"))
     }
-    val bucketsA = bucketed(a)
+    // LAZY pin on the SELF-join path (r15): unpinned, each side of the
+    // bucket self-join was its own physical subtree and the sign-plane
+    // signature kernel (numTables × planesPerTable × dim multiplies per
+    // vector) ran twice. Both consumers fully materialize. The
+    // two-corpus path is the per-micro-batch streaming probe (q148) —
+    // left unpinned: a pin per micro-batch would accrue executor blocks
+    // across the stream's lifetime (the q126 widen-probe lesson).
+    val bucketsA =
+      if (b.isEmpty) graft.operators.Pin.lazily(bucketed(a)) else bucketed(a)
     val bucketsB = b.map(bucketed).getOrElse(bucketsA)
     val onBuckets = col("a.table") === col("b.table") &&
       col("a.key") === col("b.key")
